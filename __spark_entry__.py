@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The real catalog lives in ``kda_flink_app_timestream_spark.plans`` —
+every operator registers a (PySpark callable, DuckDB oracle SQL) pair
+there; this module just re-exports it in the driver's shape.
 """
 
 from __future__ import annotations
@@ -13,26 +16,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kda_flink_app_timestream_spark.plans import REGISTRY, load_all_plans
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the batch analog of the reference's whole pipeline
+    (StreamingJob.java:112-186): events → 10 s tumbling event-time
+    window × event_type → count/sum/avg.
+    """
+    load_all_plans()
+    return REGISTRY["events_tumbling_agg"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    load_all_plans()
+    return {name: q.fn for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each oracle-checkable query; queries
+    registered with ``oracle=None`` (non-SQL-expressible semantics) are
+    omitted → the driver records the weaker rows-only check."""
+    load_all_plans()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

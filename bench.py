@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+
+Each query executes fully via the noop sink (no driver-side collect —
+measures the distributed plan, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+BENCH_QUERIES = [
+    "events_tumbling_agg",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_left_outer_order_counts",
+    "window_topk_orders_per_customer",
+    "asof_join_purchase_signup",
+    "parse_service_logs_roundtrip",
+    "late_data_classification",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from kda_flink_app_timestream_spark.plans import load_all_plans
+    from kda_flink_app_timestream_spark.session import build_spark
+
+    registry = load_all_plans()
+    spark = build_spark(app_name="kda-spark-bench")
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # plans, not first-touch costs
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = registry.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""Composed relational operators Spark lacks as single primitives.
+
+As-of join: Spark has no native ASOF JOIN (DuckDB/Pandas do). The
+scalable formulation here is the union-and-forward-fill trick: tag both
+sides, union on (key, ts), and carry the latest right-side payload
+forward with ``last(..., ignorenulls)`` over an ordered window. That is
+ONE shuffle on the partition key — same cost as a regular join — versus
+the naive per-row subquery (quadratic) or a per-group
+``pd.merge_asof`` (Python serde + memory-bound groups).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    ``right[right_ts] <= left[left_ts]`` and matching key(s) (backward
+    as-of, inclusive — DuckDB ``ASOF LEFT JOIN`` semantics).
+
+    Right rows sort before left rows at equal timestamps so an exact tie
+    matches (<=, not <). Payload columns come back as ``{col}{suffix}``.
+
+    Scale: one shuffle on ``on``; window state is a single struct per
+    key (the forward-fill), so skewed keys cost memory O(1) per row
+    streamed, not O(group).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = F.struct(*[F.col(c) for c in right_payload])
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        payload.alias("__payload"),
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = r.unionByName(l).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = filled.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col("__match").getField(c).alias(f"{c}{suffix}") for c in right_payload],
+    )
+    return out
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence,
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group via row_number() — single shuffle, no global
+    sort; the per-partition heap keeps memory at O(k) per group."""
+    w = W.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)

@@ -1,0 +1,155 @@
+"""Reference-parity queries: the reference's own dataflow semantics
+(parse → event time → window → late handling, StreamingJob.java:112-186)
+expressed as oracle-checkable batch queries. The streaming renditions of
+the same semantics live in ``streaming/`` and ``plans/streaming_queries``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.parse import build_service_log_text, parse_service_logs
+from ..operators.relational import asof_join
+from ..sources.batch import load_table
+from .catalog import query
+
+
+@query(
+    "parse_service_logs_roundtrip",
+    oracle="""
+    SELECT make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS time,
+           'latency' AS measure_name,
+           CAST(value AS VARCHAR) AS measure_value,
+           value AS measure_value_double,
+           'DOUBLE' AS measure_value_type,
+           lpad(CAST(user_id AS VARCHAR), 12, '0') AS aws_account_id,
+           event_type AS operation,
+           'GLUE' AS caller_service
+    FROM events
+    """,
+    tags=("parse", "reference-parity"),
+)
+def parse_service_logs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip proof of the parser (LogsToTimestreamPayloadFn.java:15-96):
+    render each events row into the generator's exact multi-line
+    ``Key=Value`` template (timestream_kinesis_data_gen.py:25-36), parse
+    it back with the pure-expression parser, and emit the recovered
+    point. The oracle is the identity — recovered fields must equal the
+    original columns. Exercises split/trim/lower/regexp_replace/cast and
+    the epoch-millis→timestamp normalization end-to-end, JVM-side only.
+    """
+    e = load_table(spark, sf_dir, "events")
+    raw = e.select(
+        build_service_log_text(
+            operation=F.col("event_type"),
+            aws_account_id=F.lpad(F.col("user_id").cast("string"), 12, "0"),
+            latency=F.col("value").cast("string"),
+            end_time_millis=F.unix_millis(F.col("ts")),
+            caller_service=F.lit("GLUE"),
+        ).alias("value")
+    )
+    parsed = parse_service_logs(raw)
+    return parsed.select(
+        "time",
+        "measure_name",
+        "measure_value",
+        "measure_value_double",
+        "measure_value_type",
+        "aws_account_id",
+        "operation",
+        "caller_service",
+    )
+
+
+@query(
+    "asof_join_purchase_signup",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'
+    ),
+    signups AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts_asof
+    FROM purchases p
+    ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    tags=("join", "asof", "timeseries"),
+)
+def asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the latest signup at-or-before it
+    for the same user (time-series point alignment — the canonical
+    time-series join the reference's Timestream target serves).
+
+    Implemented with the union-and-forward-fill operator
+    (``operators.relational.asof_join``): one shuffle on user_id, no
+    per-row subquery. Oracle: DuckDB's native ASOF LEFT JOIN.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = e.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    return asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["ts"],
+        suffix="_asof",
+    ).select("event_id", "user_id", "ts", F.col("ts_asof").alias("signup_ts_asof"))
+
+
+@query(
+    "late_data_classification",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+               max(CAST(ts AS TIMESTAMP)) OVER (
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS watermark_before
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN watermark_before IS NOT NULL
+                            AND ts < watermark_before - INTERVAL 5 SECOND
+                           THEN 1 END) AS BIGINT) AS n_late,
+           CAST(count(CASE WHEN watermark_before IS NULL
+                            OR ts >= watermark_before - INTERVAL 5 SECOND
+                           THEN 1 END) AS BIGINT) AS n_ontime
+    FROM flagged
+    GROUP BY event_type
+    """,
+    tags=("streaming-semantics", "late-data", "reference-parity"),
+)
+def late_data_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of the reference's late-data rule: a monotonous
+    watermark (max event time seen so far, StreamingJob.java:132-134)
+    with 5 s allowed lateness (StreamingJob.java:149); records older
+    than watermark − 5 s go to the late side output
+    (StreamingJob.java:128, 150). Arrival order := event_id.
+
+    This is a validation-only query — the global ordered window is
+    inherently sequential (exactly like the reference's parallelism-1
+    windowAll). The production path is the streaming `late_data_split`
+    helper (streaming/late.py), which is per-microbatch and parallel.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
+    flagged = e.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("watermark_before"),
+    )
+    is_late = F.col("watermark_before").isNotNull() & (
+        F.col("ts") < F.col("watermark_before") - F.expr("INTERVAL 5 SECOND")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(is_late, 1)).alias("n_late"),
+        F.count(F.when(~is_late, 1)).alias("n_ontime"),
+    )
