@@ -1,1 +1,194 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming queries, driver-checkable: each runs a REAL Structured
+Streaming query (readStream → watermark → windowed agg → memory sink,
+``availableNow`` trigger) and returns the drained result as a batch
+DataFrame. With a watermark wider than the data's disorder nothing is
+dropped, so the oracle is the equivalent batch SQL — this pins the
+window semantics (tumbling/sliding/session) themselves.
+
+Tumbling is op #4 of the reference (StreamingJob.java:147-166);
+sliding is imported-but-unused there (StreamingJob.java:39); session
+windows are the Spark-native extension (SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..streaming.windows import session_windowed, sliding_windowed, tumbling_windowed
+from .catalog import query
+
+_mem_counter = itertools.count()
+
+# physical schema of events.parquet (ts is TIMESTAMP(NANOS) → long)
+_EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the file streaming source requires a DIRECTORY; stage a symlink dir
+    # around the single events.parquet file (testdata is read-only)
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    stage = os.path.join(tempfile.gettempdir(), f"events_stream_{abs(hash(src))}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = (
+        spark.readStream.format("parquet").schema(_EVENTS_FILE_SCHEMA).load(stage)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute the streaming plan to completion (availableNow) into a
+    memory sink; return the sink contents as a batch DataFrame.
+
+    ``complete`` output mode: with a deliberately-wide watermark (no
+    drops) windows never finalize, so append mode would emit nothing —
+    complete mode emits the full aggregation state at the last trigger."""
+    name = f"stream_result_{next(_mem_counter)}"
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling_events",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "tumbling"),
+)
+def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actual Structured Streaming tumbling window (10 min × event_type),
+    file source, watermark 35 days (wider than the data span → no drops
+    → batch-equivalent, so the oracle checks window assignment exactly)."""
+    out = tumbling_windowed(
+        _events_stream(spark, sf_dir),
+        "ts",
+        duration="10 minutes",
+        keys=("event_type",),
+        aggs=(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ),
+        watermark="35 days",
+    )
+    result = _run_to_memory(out, spark)
+    return result.select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+@query(
+    "stream_sliding_events",
+    oracle="""
+    WITH slid AS (
+        SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                 - i * INTERVAL '15 minutes' AS window_start,
+               event_type, value, CAST(ts AS TIMESTAMP) AS tsx
+        FROM events, (VALUES (0), (1)) AS offsets(i)
+    )
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM slid
+    WHERE tsx >= window_start AND tsx < window_start + INTERVAL '30 minutes'
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window 30 min / slide 15 min — each event lands in 2
+    windows (the operator Flink's SlidingEventTimeWindows would provide;
+    imported but unused in the reference, StreamingJob.java:39)."""
+    out = sliding_windowed(
+        _events_stream(spark, sf_dir),
+        "ts",
+        duration="30 minutes",
+        slide="15 minutes",
+        keys=("event_type",),
+        aggs=(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ),
+        watermark="35 days",
+    )
+    result = _run_to_memory(out, spark)
+    return result.select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                    WHEN CAST(ts AS TIMESTAMP) >= lag(CAST(ts AS TIMESTAMP)) OVER w
+                         + INTERVAL '30 minutes' THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user via ``session_window`` in a
+    real streaming query. Oracle: gaps-and-islands SQL — a new session
+    starts when the gap to the previous event is ≥ the 30 min timeout
+    (Spark merges windows that strictly overlap)."""
+    out = session_windowed(
+        _events_stream(spark, sf_dir),
+        "ts",
+        gap="30 minutes",
+        keys=("user_id",),
+        aggs=(F.count("*").alias("n_events"),),
+        watermark="35 days",
+    )
+    result = _run_to_memory(out, spark)
+    return result.select(
+        "user_id",
+        F.col("window.start").alias("session_start"),
+        F.col("window.end").alias("session_end"),
+        "n_events",
+    )

@@ -1,0 +1,149 @@
+"""Streaming micro-tests (SURVEY §5.3): file/rate sources driven to
+completion, sink batching/rejection/idempotence with a fake writer,
+late-split routing, gzip decode, end-to-end pipeline."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kda_flink_app_timestream_spark.functions.parse import parse_service_logs
+from kda_flink_app_timestream_spark.sources.generator import service_log_batch
+from kda_flink_app_timestream_spark.streaming.late import split_on_watermark
+from kda_flink_app_timestream_spark.streaming.pipeline import start_reference_pipeline
+from kda_flink_app_timestream_spark.streaming.sink import (
+    RejectedRecords,
+    write_chunked,
+)
+from kda_flink_app_timestream_spark.streaming.source import decode_payload
+
+
+def test_generator_renders_reference_template(spark):
+    df = service_log_batch(spark, n_rows=20)
+    row = df.first()
+    text = row["value"]
+    lines = text.split("\n")
+    assert lines[0].startswith("---")
+    keys = [l.split("=")[0] for l in lines if "=" in l]
+    assert keys == [
+        "Operation", "AwsAccountId", "HttpStatusCode", "CallerService",
+        "Size", "Time", "EndTime", "StartTime", "Program",
+    ]
+    assert lines[-1] == "EOE"
+    assert row["partition_key"] == [l for l in lines if l.startswith("AwsAccountId")][0].split("=")[1]
+
+
+def test_generator_late_injection(spark):
+    df = service_log_batch(spark, n_rows=2000, percent_late=25.0, late_time_seconds=600)
+    parsed = parse_service_logs(df)
+    now_ms = parsed.agg(F.max("time")).first()[0]
+    n_late = parsed.filter(
+        F.col("time") < F.lit(now_ms) - F.expr("INTERVAL 300 SECONDS")
+    ).count()
+    assert 0.15 < n_late / 2000 < 0.35  # ~25% shifted back 600 s
+
+
+def test_parser_missing_keys_stateless(spark):
+    """SURVEY §2.3.1: the reference leaks parser state across records; we
+    must parse missing keys as NULL, not inherit the previous record."""
+    rows = [
+        Row(value="Operation=GetTable\nAwsAccountId=123\nTime=178.5 ms\nEndTime=1700000000000"),
+        Row(value="Operation=CreateTable\nAwsAccountId=456"),  # no Time/EndTime
+    ]
+    out = parse_service_logs(spark.createDataFrame(rows)).collect()
+    assert out[0]["measure_value_double"] == 178.5
+    assert out[1]["measure_value"] is None
+    assert out[1]["measure_value_double"] is None
+    assert out[1]["time"] is None
+    assert out[1]["dimensions"]["operation"] == "CreateTable"
+
+
+def test_gzip_decode(spark):
+    blob = "Operation=GetTable\nTime=1.5 ms"
+    payload = gzip.compress(blob.encode()).decode("latin-1")
+    df = spark.createDataFrame([Row(value=payload), Row(value="plain text")])
+    out = df.select(decode_payload(F.col("value")).alias("value")).collect()
+    assert out[0]["value"] == blob
+    assert out[1]["value"] == "plain text"
+
+
+def test_write_chunked_batching_and_rejection():
+    calls: list[list] = []
+
+    def write_batch(batch):
+        calls.append(list(batch))
+        if any(rec["id"] == 7 for rec in batch):
+            raise RejectedRecords([next(i for i, r in enumerate(batch) if r["id"] == 7)])
+
+    rows = [{"id": i} for i in range(12)]
+    rejected_log = []
+    written, rejected = write_chunked(
+        iter(rows), write_batch, batch_size=5,
+        on_rejected=lambda bad, rr: rejected_log.extend(bad),
+    )
+    # 12 rows → chunks of 5,5,2 (partial chunk FLUSHES — the reference's
+    # stuck-partial-batch bug is fixed, TimestreamSink.java:136-139)
+    assert written == 11 and rejected == 1
+    assert rejected_log == [{"id": 7}]
+    sizes = [len(c) for c in calls]
+    assert sizes[0] == 5 and sizes[-1] == 2
+
+
+def test_late_split_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            Row(event_time=datetime(2024, 1, 1, 0, 0, 30), v=1),  # on-time
+            Row(event_time=datetime(2024, 1, 1, 0, 0, 26), v=2),  # within lateness
+            Row(event_time=datetime(2024, 1, 1, 0, 0, 24), v=3),  # late
+        ]
+    )
+    on_time, late = split_on_watermark(
+        df, datetime(2024, 1, 1, 0, 0, 30), "event_time", "5 seconds"
+    )
+    assert sorted(r["v"] for r in on_time.collect()) == [1, 2]
+    assert [r["v"] for r in late.collect()] == [3]
+    # first batch: no watermark yet → nothing late (Flink −∞ watermark)
+    on_time2, late2 = split_on_watermark(df, None, "event_time")
+    assert on_time2.count() == 3 and late2.count() == 0
+
+
+def test_reference_pipeline_end_to_end(spark, tmp_path):
+    """rate source → parse → foreachBatch batching sink, availableNow."""
+    sink_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_reference_pipeline(
+        spark,
+        source_kind="rate",
+        sink_dir=sink_dir,
+        checkpoint_dir=ckpt,
+        batch_size=50,
+        options={"rows_per_second": 200},
+    )
+    # rate source ignores availableNow → run live, poll for output, stop
+    import time
+
+    files: list[str] = []
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        files = [
+            f
+            for f in glob.glob(f"{sink_dir}/epoch=*/part=*.jsonl")
+            if len(open(f).read()) > 0
+        ]
+        if files:
+            break
+        time.sleep(1)
+    q.stop()
+    assert files, "sink wrote no files"
+    recs = [json.loads(l) for f in files for l in open(f)]
+    assert all(r["measure_name"] == "latency" for r in recs)
+    assert all(r["measure_value_type"] == "DOUBLE" for r in recs)
+    sample = recs[0]
+    assert set(sample["dimensions"]) == {"callerservice", "operation", "awsaccountid"}
+    assert float(sample["measure_value"]) > 0
