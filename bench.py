@@ -25,6 +25,15 @@ BENCH_QUERIES = [
     "asof_join_purchase_signup",
     "parse_service_logs_roundtrip",
     "late_data_classification",
+    "stream_tumbling_events",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "text_quality_scores",
+    "text_fingerprint",
+    "multimodal_byte_histogram",
 ]
 
 

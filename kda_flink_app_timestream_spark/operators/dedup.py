@@ -1,0 +1,216 @@
+"""Deduplication operators for LLM training-data pipelines
+(driver-mandated surface, BASELINE.json:6): exact, MinHash+LSH, SimHash,
+exact n-gram Jaccard.
+
+100 TB design notes:
+
+- Signatures (minhash/simhash/fingerprints) are pure per-row
+  expressions — no shuffle, no UDF, embarrassingly parallel.
+- Candidate generation NEVER does an all-pairs cross join. MinHash uses
+  LSH banding (shuffle on band key → pairs only within a bucket);
+  exact Jaccard uses an inverted shingle index (shuffle on shingle →
+  pairs only for docs sharing ≥1 shingle).
+- Hot shingles/bands (boilerplate text) are the skew risk: AQE skew-join
+  handles moderate skew; pathological shingles should be stop-listed
+  upstream (df.filter on shingle frequency — one extra agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+import hashlib
+
+from ..functions.text import portable_hash64, tokens, word_shingles
+
+NUM_MINHASHES = 8
+NUM_BANDS = 4  # rows-per-band = NUM_MINHASHES // NUM_BANDS = 2
+SIMHASH_BITS = 16
+
+# Universal-hash family for minhash permutations: h_s(x) = (A_s·b(x) + B_s)
+# mod P over ONE md5-derived base hash b(x) — 8 permutations cost 8 cheap
+# integer ops per shingle instead of 8 md5s. P is Mersenne-31 so A·b + B
+# stays under 2^62 (no overflow). Coefficients are md5-derived constants,
+# identical in the generated DuckDB oracle.
+MINHASH_PRIME = 2_147_483_647
+
+
+def _coeff(tag: str, s: int, lo: int) -> int:
+    h = int(hashlib.md5(f"mh-{tag}-{s}".encode()).hexdigest()[:15], 16)
+    return h % (MINHASH_PRIME - lo) + lo
+
+
+MINHASH_A = tuple(_coeff("a", s, 1) for s in range(NUM_MINHASHES))
+MINHASH_B = tuple(_coeff("b", s, 0) for s in range(NUM_MINHASHES))
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_MINHASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: ``sig[s] = min over shingles of
+    (A_s·b(shingle) + B_s) mod P`` — row-local, one md5 per shingle.
+
+    The base-hash array is materialized as its own projection so the
+    md5 work runs once, not once per permutation."""
+    sh = word_shingles(tokens(F.col(text_col)), shingle_n)
+    base = F.transform(sh, lambda x: portable_hash64(x, "mh") % MINHASH_PRIME)
+    with_base = df.select(F.col(id_col), base.alias("base"))
+
+    def perm(s: int):
+        a, b = MINHASH_A[s], MINHASH_B[s]
+        return lambda h: (h * a + b) % MINHASH_PRIME
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("base"), perm(s)))
+            for s in range(num_hashes)
+        ]
+    )
+    return with_base.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """LSH banding: split each signature into bands, bucket by band
+    value, emit distinct intra-bucket pairs. Shuffles on (band_idx,
+    band_key) — never all-pairs."""
+    num_hashes = NUM_MINHASHES
+    rows_per_band = num_hashes // num_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col("sig")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    exploded = sig_df.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, "band.band_idx", "band.band_key"
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with estimated Jaccard
+    (fraction of agreeing signature positions) ≥ threshold.
+
+    Signatures are cached: they feed the band join AND both sides of the
+    estimate join — without the cache the shingle+hash expression would
+    re-evaluate three times."""
+    sig = minhash_signature(df, id_col, text_col).cache()
+    pairs = lsh_candidate_pairs(sig, id_col)
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / float(NUM_MINHASHES)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Per-doc SimHash (``bits`` wide): majority vote per bit over
+    distinct-token hashes. Pure expressions, shuffle-free."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    # hash array materialized once — md5 per token, not per (token × bit)
+    hashes = F.transform(toks, lambda t: portable_hash64(t, "simhash"))
+    with_hashes = df.select(F.col(id_col), hashes.alias("h"))
+
+    def bit_sum(i: int) -> Column:
+        return F.aggregate(
+            F.col("h"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    value = None
+    for i in range(bits):
+        contrib = F.when(bit_sum(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        value = contrib if value is None else value + contrib
+    return with_hashes.select(F.col(id_col), value.cast("long").alias("simhash"))
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted shingle index: pairs sharing ≥1
+    shingle get ``|A∩B| / |A∪B|``; others are never materialized."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,94 @@
+"""Multimodal columns (driver-mandated surface, BASELINE.json:6):
+image/audio/video as opaque ``binary`` payloads + typed metadata
+structs, with decode / feature-extract / frame-sample operators.
+
+The Spark-side plumbing is real — BinaryType columns, metadata structs,
+Arrow-batched ``mapInPandas`` with explicit output schemas, partition
+shape — while the actual codec step is STUBBED: image/audio libraries
+are not in this container, so ``decode_image`` raises
+NotImplementedError and feature extraction uses a deterministic
+byte-histogram stand-in. Swapping a real decoder into
+``byte_histogram_features``'s inner loop changes nothing structurally.
+
+At 100 TB: payloads dominate row size → keep them in their own parquet
+column (columnar pruning skips them unless selected), size
+``maxPartitionBytes`` so an Arrow batch of payloads fits executor
+memory, and never collect payload columns to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FORMATS = ("png", "jpeg", "wav")
+N_HIST_BINS = 8
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Synthesize an opaque binary payload (UTF-8 bytes of the text —
+    the deterministic stand-in for real image/audio bytes) plus a typed
+    metadata struct, the schema a real multimodal table would carry."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    fmt = F.element_at(
+        F.array(*[F.lit(x) for x in FORMATS]),
+        (F.col(id_col) % len(FORMATS) + 1).cast("int"),
+    )
+    meta = F.struct(
+        fmt.alias("format"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        ((F.col(id_col) % 64 + 1) * 16).cast("int").alias("width"),
+        ((F.col(id_col) % 48 + 1) * 16).cast("int").alias("height"),
+    )
+    return df.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """STUB: pixel decode requires an image library not present in this
+    container. The signature and schema are the real contract."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv (not in this environment); "
+        "plug a decoder into byte_histogram_features's mapInPandas loop"
+    )
+
+
+def byte_histogram_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic fake 'feature extraction': 8-bin byte histogram per
+    payload via Arrow-batched ``mapInPandas`` — the exact plumbing
+    (batch iterator, binary cells, array output schema) a real
+    embed/decode UDF uses."""
+    n_bins = N_HIST_BINS
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                hist = [0] * n_bins
+                for b in payload:
+                    hist[b * n_bins // 256] += 1
+                feats.append(hist)
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.mapInPandas(extract, schema=f"{id_col} long, features array<int>")
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames_col: str = "n_frames",
+    stride: int = 10,
+) -> DataFrame:
+    """Video frame sampling: every ``stride``-th frame index per clip —
+    an explode, so downstream per-frame operators parallelize over
+    frames, not clips (the skew fix for long videos)."""
+    idx = F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(stride))
+    return df.select(
+        F.col(id_col),
+        F.col(n_frames_col),
+        F.explode(idx).alias("frame_idx"),
+    )

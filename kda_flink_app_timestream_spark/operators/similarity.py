@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (``array<float>``, len 64).
+
+Two paths (driver-mandated surface, BASELINE.json:6):
+
+- **Brute-force cosine top-k** — exact baseline: query-set × corpus
+  join, expression-only cosine, per-query top-k via row_number. The
+  corpus side stays partitioned; the (small) query set broadcasts, so
+  the join is shuffle-free at any corpus size; the only shuffle is the
+  per-query top-k (k rows per query survive the partial top-k).
+- **LSH-bucketed ANN** — scale path: random-hyperplane signs →
+  ``n_planes``-bit bucket per vector; candidates come only from the
+  query's bucket. Hyperplanes are derived from the portable hash
+  (deterministic, engine-agnostic), so the whole index is reproducible
+  SQL — no stored model. Recall/cost trades via ``n_planes``
+  (fewer planes → bigger buckets → higher recall, more compute).
+
+At a real 100 TB deployment the bucketed corpus would be written out
+bucket-partitioned (``partitionBy(bucket)``) so queries prune to one
+partition per probe — same operator, storage-side optimization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+import hashlib
+
+from ..functions.vectors import as_double, cosine
+
+N_PLANES = 8  # 256 buckets
+DIM = 64
+
+
+def _plane_component(plane: int, d: int) -> float:
+    """Deterministic pseudo-random component in [-1, 1]: same md5-derived
+    value as functions.text.portable_hash64 with seed 'lsh' — computed
+    once in Python and inlined as a literal on BOTH engines, so the
+    whole index is reproducible with no stored model."""
+    h = int(hashlib.md5(f"lsh|p{plane}d{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+HYPERPLANES: tuple[tuple[float, ...], ...] = tuple(
+    tuple(_plane_component(p, d) for d in range(DIM)) for p in range(N_PLANES)
+)
+
+
+def hyperplane(plane: int, dim: int = DIM) -> Column:
+    return F.array(*[F.lit(c) for c in HYPERPLANES[plane][:dim]])
+
+
+def lsh_bucket(vec: Column, n_planes: int = N_PLANES, dim: int = DIM) -> Column:
+    """Sign-concatenation bucket id in [0, 2^n_planes)."""
+    bucket = None
+    for p in range(n_planes):
+        d = F.aggregate(
+            F.zip_with(vec, hyperplane(p, dim), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        contrib = F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = contrib if bucket is None else bucket + contrib
+    return bucket.cast("long")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector the k nearest corpus
+    vectors (self-matches excluded). Rank on rounded similarity with id
+    tie-break → fully deterministic output."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's LSH bucket, then
+    exact cosine re-rank within the bucket (approximate — a neighbor in
+    another bucket is missed; that's the ANN trade)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), n_planes))
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ≥ threshold, blocked by
+    ``block_col`` (metadata blocking — the classic scalable first cut;
+    swap in ``lsh_bucket`` for unlabeled corpora)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        as_double(F.col(vec_col)).alias("va"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        as_double(F.col(vec_col)).alias("vb"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    joined = a.join(b, (["blk"] if block_col else [])).filter(cond) if block_col else a.crossJoin(b).filter(cond)
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return joined.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
+        F.col("cosine_sim") >= threshold
+    )

@@ -1,1 +1,211 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication queries over ``documents``/``embeddings`` (LLM-pipeline
+surface): exact, MinHash+LSH, SimHash, exact n-gram Jaccard,
+embedding-cosine near-dup. Oracle SQL is GENERATED from the same
+constants (seeds, band layout, thresholds) as the Spark operators, so
+both engines express the identical algorithm — the md5-based portable
+hash makes the signatures bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_portable_hash64, tokens
+from ..operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_PRIME,
+    NUM_BANDS,
+    NUM_MINHASHES,
+    SIMHASH_BITS,
+    exact_jaccard_pairs,
+    minhash_near_dup_pairs,
+    simhash,
+)
+from ..operators.similarity import embedding_near_dup_pairs
+from ..sources.batch import load_table
+from .catalog import query
+
+JACCARD_THRESHOLD = 0.3
+COSINE_THRESHOLD = 0.3
+
+
+@query(
+    "dedup_exact_summary",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts,
+           CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs
+    FROM documents
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting (hash-groupBy of full text). At 100 TB the
+    same shape runs on the rolling fingerprint instead of raw text so
+    the shuffle carries 8 bytes/doc, not the document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        (F.count("*") - F.countDistinct("text")).alias("n_dup_docs"),
+    )
+
+
+def _minhash_oracle() -> str:
+    rows_per_band = NUM_MINHASHES // NUM_BANDS
+    base = sql_portable_hash64("x", "mh")
+    mh = ", ".join(
+        f"list_min(list_transform(basev, h -> (h * {MINHASH_A[s]} + {MINHASH_B[s]}) "
+        f"% {MINHASH_PRIME}))"
+        for s in range(NUM_MINHASHES)
+    )
+    band_values = ", ".join(f"({b})" for b in range(NUM_BANDS))
+    key_parts = " || ':' || ".join(
+        f"CAST(sig[{rows_per_band} * b.i + {r + 1}] AS VARCHAR)"
+        for r in range(rows_per_band)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(NUM_MINHASHES)
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+        WHERE len(str_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        FROM docs
+    ),
+    bases AS (
+        SELECT doc_id,
+               list_transform(shingles, x -> {base} % {MINHASH_PRIME}) AS basev
+        FROM sh
+    ),
+    sig AS (SELECT doc_id, [{mh}] AS sig FROM bases),
+    bands AS (
+        SELECT doc_id, b.i AS band_idx, {key_parts} AS band_key
+        FROM sig CROSS JOIN (VALUES {band_values}) AS b(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b2 ON a.band_idx = b2.band_idx
+                     AND a.band_key = b2.band_key
+                     AND a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(({matches}) / {float(NUM_MINHASHES)}, 4) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON cand.doc_a = sa.doc_id
+    JOIN sig sb ON cand.doc_b = sb.doc_id
+    WHERE round(({matches}) / {float(NUM_MINHASHES)}, 4) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands×2) near-dup pairs with estimated Jaccard ≥
+    0.3. Shingle→minhash is row-local; the only shuffles are the band
+    bucket join and the signature re-join — never all-pairs
+    (operators/dedup.py: minhash_near_dup_pairs)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(tokens(F.col("text"))) >= 3
+    )
+    return minhash_near_dup_pairs(d, threshold=JACCARD_THRESHOLD)
+
+
+def _simhash_oracle() -> str:
+    h = sql_portable_hash64("t", "simhash")
+    terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> 2 * ((h >> {i}) & 1) - 1)) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents),
+    hashed AS (SELECT doc_id, list_transform(toks, t -> {h}) AS hs FROM d)
+    SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+    FROM hashed
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash (majority vote per bit over distinct-token
+    hashes) — row-local expressions, shuffle-free; near-dups are then
+    hamming-distance bucket joins on the signature."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d)
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared / CAST(na.n + nb.n - shared AS DOUBLE), 4) AS jaccard
+FROM shared
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE round(shared / CAST(na.n + nb.n - shared AS DOUBLE), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    tags=("dedup", "ngram", "jaccard"),
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.3 via inverted shingle index (pairs
+    sharing no shingle are never materialized — the exact-verification
+    stage after MinHash candidate generation)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(tokens(F.col("text"))) >= 3
+    )
+    return exact_jaccard_pairs(d, threshold=JACCARD_THRESHOLD)
+
+
+_EMBED_COSINE = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+_EMBED_NEARDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_EMBED_COSINE}, 6) AS cosine_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_EMBED_COSINE}, 6) >= {COSINE_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_embedding_pairs",
+    oracle=_EMBED_NEARDUP_ORACLE,
+    tags=("dedup", "embedding", "cosine"),
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.3, label-blocked (swap the
+    block key for an LSH bucket on unlabeled corpora —
+    operators/similarity.py: lsh_bucket)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=COSINE_THRESHOLD, block_col="label")

@@ -1,0 +1,74 @@
+"""Multimodal-column queries: binary payload + metadata projection,
+frame sampling (both oracle-checked), and the Arrow-batched feature
+extraction (rows-only — byte-level Python semantics aren't ANSI SQL)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    FORMATS,
+    attach_payload,
+    byte_histogram_features,
+    frame_sample,
+)
+from ..sources.batch import load_table
+from .catalog import query
+
+_FMT_CASE = "CASE doc_id % 3 " + " ".join(
+    f"WHEN {i} THEN '{f}'" for i, f in enumerate(FORMATS)
+) + " END"
+
+_METADATA_ORACLE = f"""
+SELECT doc_id,
+       {_FMT_CASE} AS format,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST((doc_id % 64 + 1) * 16 AS INT) AS width,
+       CAST((doc_id % 48 + 1) * 16 AS INT) AS height
+FROM documents
+"""
+
+
+@query("multimodal_metadata", oracle=_METADATA_ORACLE, tags=("multimodal", "binary"))
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload attach + typed-metadata projection (format,
+    byte length, dimensions). The payload column itself is never
+    collected — only its metadata, the 100 TB access pattern."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = attach_payload(d)
+    return with_payload.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+_FRAME_ORACLE = """
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx
+FROM (SELECT doc_id, n_chars % 100 + 1 AS n_frames FROM documents)
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_ORACLE, tags=("multimodal", "video"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for synthetic clips (every 10th frame index,
+    exploded so per-frame work parallelizes across executors)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") % 100 + 1).cast("long").alias("n_frames")
+    )
+    return frame_sample(d, stride=10)
+
+
+@query("multimodal_byte_histogram", oracle=None, tags=("multimodal", "pandas-udf"))
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (8-bin byte histogram — the deterministic decoder stand-in).
+    Rows-only check: byte-level Python isn't expressible in the SQL
+    oracle; correctness is pinned by tests/test_multimodal.py instead."""
+    d = load_table(spark, sf_dir, "documents")
+    return byte_histogram_features(attach_payload(d))

@@ -1,1 +1,93 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over ``embeddings`` (LLM-pipeline surface):
+exact brute-force cosine top-k and the LSH-bucketed ANN scale path.
+The oracle SQL mirrors the Spark arithmetic exactly: DOUBLE casts,
+sequential dot products, round-then-rank with id tie-breaks, and the
+same inlined hyperplane constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import HYPERPLANES, N_PLANES, brute_force_topk, lsh_topk
+from ..sources.batch import load_table
+from .catalog import query
+
+N_QUERIES = 20  # query set: vec_id < 20
+TOP_K = 5
+
+_COSINE = (
+    "list_dot_product(q.v, c.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
+)
+
+_BRUTEFORCE_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_COSINE}, 6) AS cosine_sim
+    FROM q JOIN e c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+@query("sim_bruteforce_topk", oracle=_BRUTEFORCE_ORACLE, tags=("similarity", "topk"))
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 20 query vectors against the full corpus.
+
+    Scale: the query set broadcasts (corpus never shuffles for the
+    join); per-query top-k is a row_number window — the partial top-k
+    keeps only k rows per query per partition before the final merge."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOP_K)
+
+
+def _bucket_sql(alias: str) -> str:
+    terms = []
+    for p in range(N_PLANES):
+        arr = "[" + ", ".join(repr(c) for c in HYPERPLANES[p]) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product({alias}.v, {arr}) > 0 THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+_LSH_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({_bucket_sql('e')}) AS bucket FROM e AS e),
+q AS (SELECT * FROM b WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_COSINE}, 6) AS cosine_sim
+    FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+@query("sim_lsh_topk", oracle=_LSH_ORACLE, tags=("similarity", "ann", "lsh"))
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via 8-hyperplane LSH buckets (256-way partition of the
+    corpus), exact re-rank within the bucket. The deterministic inlined
+    hyperplanes make the index reproducible across engines with no
+    stored state; at 100 TB the corpus is written bucket-partitioned so
+    a probe prunes to one partition."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOP_K)

@@ -1,1 +1,170 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over ``documents`` (LLM-pipeline surface):
+language-ID, quality scoring, token counting, fingerprinting, n-gram
+document frequency. Oracle SQL is generated from the same constants
+(marker lists, regexes, hash seeds) so both engines express the
+identical computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    ENGLISH_STOPWORDS,
+    LANG_MARKERS,
+    LANG_ORDER,
+    TOKEN_REGEX,
+    bpe_ish_token_count,
+    language_id,
+    quality_features,
+    rolling_fingerprint,
+    sql_rolling_fingerprint,
+    tokens,
+    word_shingles,
+)
+from ..sources.batch import load_table
+from .catalog import query
+
+
+def _sql_marker_hits(markers: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"len(list_filter(str_split(text, ' '), t -> list_contains([{arr}], t)))"
+    )
+
+
+def _lang_id_oracle() -> str:
+    hits = ",\n               ".join(
+        f"{_sql_marker_hits(LANG_MARKERS[lang])} AS h_{lang}" for lang in LANG_ORDER
+    )
+    gmax = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_ORDER) + ")"
+    first_match = " ".join(
+        f"WHEN h_{lang} = {gmax} THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {hits}
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN {gmax} <= 0 THEN 'und' {first_match} END AS predicted_lang
+    FROM scored
+    """
+
+
+@query("text_language_id", oracle=_lang_id_oracle(), tags=("text", "lang-id"))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID (deterministic n-gram-style heuristic):
+    argmax of per-language marker hits, first-in-order tie-break, 'und'
+    when nothing matches. Pure expressions — no shuffle, linear scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", language_id(F.col("text")).alias("predicted_lang"))
+
+
+_STOP_ARR = ", ".join(f"'{m}'" for m in ENGLISH_STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+WITH feats AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           len(list_filter(str_split(text, ' '), t -> list_contains([{_STOP_ARR}], t))) AS stop_hits,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+    FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 4) AS mean_token_len,
+       round(stop_hits / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio,
+       round(n_punct / CAST(n_chars AS DOUBLE), 4) AS punct_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + least(stop_hits / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.4
+             + (1.0 - least(n_punct / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.2,
+             4) AS quality_score
+FROM feats
+"""
+
+
+@query("text_quality_scores", oracle=_QUALITY_ORACLE, tags=("text", "quality"))
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features + composite score (length, stopword
+    density, punctuation) — the standard cheap pre-filter before
+    expensive LLM-pipeline stages."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return d.select("doc_id", *[feats[k].alias(k) for k in feats])
+
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_subword_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_estimate
+FROM documents
+"""
+
+
+@query("text_token_counts", oracle=_TOKEN_COUNT_ORACLE, tags=("text", "tokens"))
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex runs, and
+    the chars/4 budget estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_subword_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_bpe_estimate"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {sql_rolling_fingerprint('text')} AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (mod-prime
+    polynomial fold over portable token hashes) — byte-identical across
+    engines, usable as a cheap exact-dup key."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_NGRAM_DF_ORACLE = """
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               list_transform(
+                   CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1) ELSE [] END,
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           )) AS shingle
+    FROM toks
+)
+SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+FROM sh
+GROUP BY shingle
+ORDER BY doc_freq DESC, shingle
+LIMIT 20
+"""
+
+
+@query("text_ngram_doc_freq", oracle=_NGRAM_DF_ORACLE, tags=("text", "ngram"))
+def text_ngram_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-gram shingles by document frequency (the n-gram stats
+    that feed dedup stop-lists). Distinct-per-doc explode → count —
+    one shuffle on the shingle."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle")
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(20)
+    )

@@ -1,0 +1,166 @@
+"""Unit tests for the LLM-pipeline operators beyond the oracle harness:
+known-answer fixtures for minhash/simhash/jaccard, Python-reference
+check for the pandas byte-histogram (rows-only in the oracle), and
+recall sanity for the LSH ANN path."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kda_flink_app_timestream_spark.operators.dedup import (
+    exact_jaccard_pairs,
+    minhash_near_dup_pairs,
+    minhash_signature,
+    simhash,
+)
+from kda_flink_app_timestream_spark.operators.multimodal import (
+    attach_payload,
+    byte_histogram_features,
+    decode_image,
+    frame_sample,
+)
+from kda_flink_app_timestream_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+
+def _py_hash(seed, x) -> int:
+    return int(hashlib.md5(f"{seed}|{x}".encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="a b c d e f g h"),
+        Row(doc_id=2, text="a b c d e f g h"),           # exact dup of 1
+        Row(doc_id=3, text="a b c d e f g x"),           # near dup of 1
+        Row(doc_id=4, text="p q r s t u v w"),           # unrelated
+        Row(doc_id=5, text="x y"),                       # too short to shingle
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_minhash_signature_matches_python(spark, docs):
+    from kda_flink_app_timestream_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_PRIME,
+    )
+
+    sig = {r["doc_id"]: r["sig"] for r in minhash_signature(docs).collect()}
+    toks = "a b c d e f g h".split()
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    bases = [_py_hash("mh", x) % MINHASH_PRIME for x in shingles]
+    expected = [
+        min((b * MINHASH_A[s] + MINHASH_B[s]) % MINHASH_PRIME for b in bases)
+        for s in range(8)
+    ]
+    assert sig[1] == expected
+    assert sig[1] == sig[2]  # identical docs → identical signatures
+    assert sig[5] == [None] * 8  # <3 tokens → no shingles
+
+
+def test_minhash_pairs_find_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_near_dup_pairs(docs.filter("doc_id <= 4"), threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup: all signature positions agree
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated never pairs
+
+
+def test_exact_jaccard_known_answer(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(docs.filter("doc_id <= 4"), threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # docs 1 & 3: 6 shingles each, 5 shared → 5/7
+    assert pairs[(1, 3)] == round(5 / 7, 4)
+    assert (1, 4) not in pairs
+
+
+def test_simhash_identical_docs_equal(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    assert 0 <= sh[1] < 2**16
+    assert sh[1] != sh[4]
+
+
+def test_brute_force_topk_ordering(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.1, 0.0]),   # closest to 0
+        Row(vec_id=2, embedding=[0.5, 0.5, 0.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows)
+    got = brute_force_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    assert [r["neighbor_id"] for r in got] == [1, 2, 3]
+    assert got[0]["cosine_sim"] > 0.99
+    assert got[-1]["cosine_sim"] == -1.0
+
+
+def test_lsh_topk_bucket_consistency(spark, sf_dir):
+    """Every ANN result must share the query's LSH bucket, be ranked by
+    cosine desc within its query, and agree with brute force on the
+    cosine value for the same pair. (Recall itself is data-dependent —
+    these embeddings are unclustered — so it isn't asserted.)"""
+    from kda_flink_app_timestream_spark.functions.vectors import as_double
+    from kda_flink_app_timestream_spark.operators.similarity import lsh_bucket
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    approx = lsh_topk(emb, queries, k=5).collect()
+    assert approx, "LSH returned nothing"
+
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in emb.select(
+            "vec_id", lsh_bucket(as_double(F.col("embedding"))).alias("bucket")
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in brute_force_topk(emb, queries, k=500).collect()
+    }
+    per_query: dict[int, list] = {}
+    for r in approx:
+        assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine_sim"]
+        per_query.setdefault(r["query_id"], []).append(r["cosine_sim"])
+    for sims in per_query.values():
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_byte_histogram_matches_python(spark, docs):
+    out = {
+        r["doc_id"]: r["features"]
+        for r in byte_histogram_features(attach_payload(docs)).collect()
+    }
+    for row in docs.collect():
+        payload = row["text"].encode()
+        expected = [0] * 8
+        for b in payload:
+            expected[b * 8 // 256] += 1
+        assert out[row["doc_id"]] == expected
+
+
+def test_frame_sample_explodes(spark):
+    df = spark.createDataFrame([Row(doc_id=1, n_frames=25), Row(doc_id=2, n_frames=5)])
+    got = frame_sample(df, stride=10).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert sorted(by_doc[1]) == [0, 10, 20]
+    assert sorted(by_doc[2]) == [0]
+
+
+def test_decode_image_is_honest_stub(spark, docs):
+    with pytest.raises(NotImplementedError):
+        decode_image(attach_payload(docs))
