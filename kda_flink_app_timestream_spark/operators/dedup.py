@@ -186,11 +186,21 @@ def exact_jaccard_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted shingle index: pairs sharing ≥1
-    shingle get ``|A∩B| / |A∪B|``; others are never materialized."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+    shingle get ``|A∩B| / |A∪B|``; others are never materialized.
+
+    The index carries the 60-bit portable hash of the shingle, not the
+    string — an 8-byte shuffle key instead of ~20 bytes, and a cheaper
+    join compare. (Distinct-ness is preserved: the hash is applied after
+    array_distinct, and 60-bit collisions within a doc's ~10³ shingles
+    are negligible — and identical in the oracle, which hashes the same
+    way.)"""
+    hashed = F.transform(
+        word_shingles(tokens(F.col(text_col)), shingle_n),
+        lambda x: portable_hash64(x, "jac"),
     )
+    # cached: the index feeds both sides of the self-join plus the size
+    # aggregate — uncached, the shingle+md5 pipeline would run 3×
+    sh = df.select(F.col(id_col), F.explode(hashed).alias("shingle")).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -1,0 +1,418 @@
+"""Advanced relational coverage: statistical aggregates, percentiles,
+full rank family, correlated subqueries, array/map aggregation, unpivot,
+batch sessionization, full/cross joins, bag-semantics set ops, and
+csv/json format scans.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from .catalog import query
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(var_samp(l_quantity), 4) AS qty_var,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_discount), 6) AS price_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 6).alias("price_disc_covar"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). At 100 TB swap in ``percentile_approx`` — the
+    sketch version below (``approx_sketches``) shows that path."""
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.99D))")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(pct.alias("p"))
+        .select(
+            "o_orderstatus",
+            F.round(F.col("p")[0], 4).alias("p25"),
+            F.round(F.col("p")[1], 4).alias("p50"),
+            F.round(F.col("p")[2], 4).alias("p75"),
+            F.round(F.col("p")[3], 4).alias("p99"),
+        )
+    )
+
+
+@query("approx_sketches", oracle=None, tags=("agg", "approx", "sketch"))
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — HLL distinct + quantile sketch (rows-only:
+    sketch internals differ across engines by design; accuracy is pinned
+    by tests/test_advanced.py against exact values)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / cume_dist in one window."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "analytic"),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a full-partition frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@query(
+    "subquery_above_customer_avg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    tags=("subquery", "join"),
+)
+def subquery_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders 50%+ above their customer's
+    average. Spark-first: de-correlated into an aggregate + equi-join
+    (what Catalyst rewrites the subquery to anyway — written directly so
+    the plan is the scalable one by construction)."""
+    o = load_table(spark, sf_dir, "orders")
+    avgs = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.avg("o_totalprice").alias("avg_price")
+    )
+    return (
+        o.join(avgs, o.o_custkey == avgs.ck)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@query(
+    "array_agg_order_keys",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("agg", "array"),
+)
+def array_agg_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_list → array_sort (collect order is
+    nondeterministic under parallelism — sorting makes it canonical) →
+    string join for a stable scalar output."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.array_join(F.array_sort(F.collect_list("o_orderkey")), ",").alias("order_keys"),
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_returnflag, measure, round(total, 2) AS total FROM (
+        SELECT l_returnflag, 'quantity' AS measure, sum(l_quantity) AS total
+        FROM lineitem GROUP BY 1
+        UNION ALL
+        SELECT l_returnflag, 'price', sum(l_extendedprice) FROM lineitem GROUP BY 1
+        UNION ALL
+        SELECT l_returnflag, 'discount', sum(l_discount) FROM lineitem GROUP BY 1
+    )
+    """,
+    tags=("unpivot",),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack(): wide measures → long (measure, total) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("quantity"),
+        F.sum("l_extendedprice").alias("price"),
+        F.sum("l_discount").alias("discount"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', quantity, 'price', price, 'discount', discount) AS (measure, total)",
+    ).select("l_returnflag", "measure", F.round("total", 2).alias("total"))
+
+
+@query(
+    "batch_sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                     OR CAST(ts AS TIMESTAMP) >= lag(CAST(ts AS TIMESTAMP)) OVER w
+                        + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           CAST(max(duration_us) AS BIGINT) AS max_session_us
+    FROM sessions
+    GROUP BY user_id
+    """,
+    tags=("window", "sessionization"),
+)
+def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): lag → new-session flag →
+    running sum as session id — the classic two-window formulation, one
+    shuffle on user_id. (The streaming twin is ``stream_session_windows``
+    via session_window.)"""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    islands = flagged.withColumn("session_id", F.sum("is_new").over(w2))
+    sessions = islands.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.max("duration_us").alias("max_session_us"),
+    )
+
+
+@query(
+    "join_full_outer_nation_balance",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, round(sum(c_acctbal), 2) AS cust_bal
+               FROM customer GROUP BY 1),
+    s AS (SELECT s_nationkey AS nk, round(sum(s_acctbal), 2) AS supp_bal
+          FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey, c.cust_bal, s.supp_bal
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    tags=("join", "full-outer"),
+)
+def join_full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join preserving nations present on only one side."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("cust_bal"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supp_bal"))
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"), "cust_bal", "supp_bal"
+    )
+
+
+@query(
+    "join_cross_region_status",
+    oracle="""
+    SELECT r_name, s.o_orderstatus AS o_orderstatus, CAST(count(*) AS BIGINT) AS n
+    FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    CROSS JOIN orders o
+    WHERE o.o_orderstatus = s.o_orderstatus
+    GROUP BY 1, 2
+    """,
+    tags=("join", "cross"),
+)
+def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN of two tiny dimensions against a fact count
+    (the dimension-scaffold pattern: every (region × status) cell even
+    before facts exist)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    o = load_table(spark, sf_dir, "orders")
+    statuses = o.select("o_orderstatus").distinct()
+    counts = o.groupBy("o_orderstatus").count()
+    return (
+        r.crossJoin(statuses)
+        .join(counts, "o_orderstatus")
+        .select("r_name", "o_orderstatus", F.col("count").alias("n"))
+    )
+
+
+@query(
+    "setops_bag_semantics",
+    oracle="""
+    SELECT c_custkey FROM (
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+    tags=("setop", "bag"),
+)
+def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics — duplicates preserved up to
+    min multiplicity), Spark's intersectAll."""
+    o = load_table(spark, sf_dir, "orders")
+    open_cust = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    urgent_cust = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return open_cust.intersectAll(urgent_cust)
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"kda_roundtrip_{tag}_{fmt}")
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("scan", "csv"),
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink: write orders to CSV, read back with an explicit
+    schema (never inferSchema at scale — it double-scans), aggregate.
+    Oracle = the same aggregate off parquet, proving lossless transit."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _roundtrip_dir(sf_dir, "csv")
+    o.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).option("header", True).csv(path)
+    back = (
+        spark.read.schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .option("header", True)
+        .csv(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "scan_json_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scan", "json"),
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink with explicit schema (same contract as the
+    CSV path; JSON is the interchange format for the log-style sources)."""
+    e = load_table(spark, sf_dir, "events")
+    path = _roundtrip_dir(sf_dir, "json")
+    e.select("event_id", "event_type", "value").write.mode("overwrite").json(path)
+    back = spark.read.schema("event_id long, event_type string, value double").json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )

@@ -71,6 +71,7 @@ def load_all_plans() -> dict[str, Query]:
     global _LOADED
     if not _LOADED:
         from . import (  # noqa: F401
+            advanced,
             dedup,
             multimodal,
             reference,

@@ -150,8 +150,10 @@ WITH toks AS (
 ),
 sh AS (
     SELECT doc_id,
-           unnest(list_distinct(list_transform(range(1, len(t) - 1),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+           unnest(list_transform(
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+               x -> {sql_portable_hash64('x', 'jac')})) AS shingle
     FROM toks
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -192,3 +192,119 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.end").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '10 minutes'
+     AND c.ts <= p.ts
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-interval join (clicks within the 10 minutes
+    before a purchase, same user) — two watermarked streams, range
+    condition bounding the join state. The Spark rendition of Flink's
+    interval join; watermarks wider than the data span → no pruning →
+    batch-equivalent oracle."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "35 days")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "35 days")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    name = f"stream_result_{next(_mem_counter)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type): exactly-once
+    key emission across micro-batches via keyed state — the streaming
+    twin of exact dedup. The emitted key set equals batch DISTINCT
+    regardless of batch boundaries."""
+    dedup = _events_stream(spark, sf_dir).select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name = f"stream_result_{next(_mem_counter)}"
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("stream_stateful_running_counts", oracle=None, tags=("streaming", "stateful"))
+def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed state via applyInPandasWithState: per-user running
+    (count, sum) — the general ProcessFunction-style capability (the
+    reference's closest analog is its checkpointed sink buffer,
+    TimestreamSink.java:150-172). Rows-only: emission cadence depends on
+    micro-batch boundaries; final-state correctness is asserted against
+    the batch aggregate in tests/test_streaming.py."""
+    from ..streaming.stateful import running_counts
+
+    out = running_counts(_events_stream(spark, sf_dir))
+    name = f"stream_result_{next(_mem_counter)}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # latest state per key (a key may emit once per batch)
+    result = spark.table(name)
+    w_latest = F.max(F.struct("n_events", "total_value")).alias("s")
+    return (
+        result.groupBy("user_id")
+        .agg(w_latest)
+        .select("user_id", F.col("s.n_events").alias("n_events"), F.col("s.total_value").alias("total_value"))
+    )

@@ -59,6 +59,37 @@ def build_spark(
     return spark
 
 
+def resolve_config(
+    args: list[str] | None = None,
+    properties: dict[str, str] | None = None,
+    defaults: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Layered config resolution — the ParameterToolUtils analog
+    (ParameterToolUtils.java:13-35): the reference merges CLI args over
+    the KDA-hosted property group "FlinkApplicationProperties" (:26-32,
+    args win). Here: defaults < properties < ``--key value`` /
+    ``--key=value`` CLI args, same precedence direction.
+    """
+    merged: dict[str, str] = dict(defaults or {})
+    merged.update(properties or {})
+    argv = list(args or [])
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if tok.startswith("--"):
+            body = tok[2:]
+            if "=" in body:
+                k, v = body.split("=", 1)
+                merged[k] = v
+            elif i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+                merged[body] = argv[i + 1]
+                i += 1
+            else:
+                merged[body] = "true"
+        i += 1
+    return merged
+
+
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an externally-built session.
 

@@ -1,0 +1,51 @@
+"""Arbitrary stateful streaming (SURVEY §2.2 "stateful ops"):
+``applyInPandasWithState`` operators — the Spark analog of a Flink
+keyed ProcessFunction with ValueState.
+
+The reference's only state is its sink buffer (TimestreamSink.java:
+150-172, replaced structurally by checkpoints); these operators cover
+the *general* keyed-state capability the category demands.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running (count, sum) maintained in GroupState and emitted
+    every micro-batch — the canonical keyed-accumulator ProcessFunction.
+
+    State is one (long, double) pair per key: constant memory per key,
+    hash-partitioned by the grouping — scales with keys, not events.
+    """
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (n, total) = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,72 @@
+"""Tests beyond the oracle harness: sketch accuracy vs exact values,
+stateful running counts vs the batch aggregate, config resolution
+precedence, DDL bootstrap idempotence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kda_flink_app_timestream_spark.plans import load_all_plans
+from kda_flink_app_timestream_spark.session import resolve_config
+from kda_flink_app_timestream_spark.sources.batch import load_table
+from kda_flink_app_timestream_spark.streaming.bootstrap import initialize
+
+REGISTRY = load_all_plans()
+
+
+def test_approx_sketches_accuracy(spark, sf_dir):
+    got = {r["l_returnflag"]: r for r in REGISTRY["approx_sketches"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("median"),
+        )
+        .collect()
+    }
+    for flag, row in got.items():
+        assert abs(row["approx_parts"] - exact[flag]["parts"]) / exact[flag]["parts"] < 0.1
+        assert abs(row["approx_median_price"] - exact[flag]["median"]) / exact[flag]["median"] < 0.1
+
+
+def test_stateful_running_counts_match_batch(spark, sf_dir):
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in REGISTRY["stream_stateful_running_counts"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_resolve_config_precedence():
+    got = resolve_config(
+        args=["--region", "us-west-2", "--batch=100", "--flag"],
+        properties={"region": "eu-west-1", "stream": "s1"},
+        defaults={"region": "us-east-1", "stream": "default", "db": "kda"},
+    )
+    assert got["region"] == "us-west-2"  # CLI wins (ParameterToolUtils.java:26-32)
+    assert got["stream"] == "s1"  # properties beat defaults
+    assert got["db"] == "kda"  # defaults survive
+    assert got["batch"] == "100" and got["flag"] == "true"
+
+
+def test_bootstrap_idempotent(spark):
+    initialize(spark, "kda_test_db", "points")
+    initialize(spark, "kda_test_db", "points")  # second run must not raise
+    tables = [t.name for t in spark.catalog.listTables("kda_test_db")]
+    assert "points" in tables
+    props = spark.sql("SHOW TBLPROPERTIES kda_test_db.points").collect()
+    kv = {r["key"]: r["value"] for r in props}
+    assert kv["retention.memory_store_hours"] == "24"  # TimestreamInitializer.java:12
+    assert kv["retention.magnetic_store_days"] == "7"  # TimestreamInitializer.java:13
+    spark.sql("DROP TABLE kda_test_db.points")
+    spark.sql("DROP DATABASE kda_test_db")
