@@ -79,6 +79,8 @@ def load_all_plans() -> dict[str, Query]:
             similarity,
             streaming_queries,
             text,
+            timeseries,
+            udf,
         )
 
         _LOADED = True

@@ -1,0 +1,147 @@
+"""Time-series operators past the reference's single tumbling window:
+multi-resolution rollups (the "hypertable continuous aggregate" shape),
+gap-filling, and dynamic-dimension map processing — the operations a
+Timestream-class store serves, expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parse import build_service_log_text, parse_service_logs
+from ..sources.batch import load_table
+from .catalog import query
+
+
+@query(
+    "timeseries_multi_rollup",
+    oracle="""
+    SELECT CASE WHEN grouping(h) = 0 AND grouping(d) = 1 THEN 'hour' ELSE 'day' END
+               AS resolution,
+           coalesce(h, d) AS bucket_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+               event_type, value
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((h, event_type), (d, event_type))
+    """,
+    tags=("timeseries", "rollup", "grouping-sets"),
+)
+def timeseries_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: hourly AND daily
+    rollups of the point stream in ONE pass via GROUPING SETS — one scan,
+    one shuffle, both resolutions (vs. two jobs reading 100 TB twice)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_mr")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(h) = 0 AND grouping(d) = 1 THEN 'hour' ELSE 'day' END
+                   AS resolution,
+               coalesce(h, d) AS bucket_start,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM (
+            SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                   event_type, value
+            FROM events_mr
+        )
+        GROUP BY GROUPING SETS ((h, event_type), (d, event_type))
+        """
+    )
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH buckets AS (
+        SELECT unnest(generate_series(
+            TIMESTAMP '2024-01-01 00:00:00',
+            TIMESTAMP '2024-01-01 23:00:00',
+            INTERVAL '1 hour')) AS bucket
+    ),
+    actual AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               count(*) AS n, sum(value) AS sv
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+          AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-02 00:00:00'
+        GROUP BY 1
+    )
+    SELECT b.bucket,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+           round(coalesce(a.sv, 0.0), 2) AS sum_value
+    FROM buckets b LEFT JOIN actual a ON b.bucket = a.bucket
+    """,
+    tags=("timeseries", "gapfill"),
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series for one day: a generated time spine LEFT
+    JOINed to the actual buckets, empty hours zero-filled. The spine is
+    `sequence()` + explode — generated distributed, never a driver loop;
+    at scale the spine broadcasts (it's tiny by construction)."""
+    e = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-01 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket")
+    )
+    actual = (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    return spine.join(actual, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.coalesce("sv", F.lit(0.0)), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "map_dimensions_long_form",
+    oracle="""
+    SELECT dim_key, dim_value, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT 'operation' AS dim_key, event_type AS dim_value FROM events
+        UNION ALL
+        SELECT 'awsaccountid', lpad(CAST(user_id AS VARCHAR), 12, '0') FROM events
+        UNION ALL
+        SELECT 'callerservice', 'GLUE' FROM events
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("map", "explode", "parse"),
+)
+def map_dimensions_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-dimension map processing (the TimestreamPoint ``dimensions``
+    MapType, TimestreamPoint.java:15): parse points, ``explode`` the map
+    to long-form (key, value) rows, count value frequencies — the
+    map_keys/element_at/explode family over real parsed data."""
+    e = load_table(spark, sf_dir, "events")
+    raw = e.select(
+        build_service_log_text(
+            operation=F.col("event_type"),
+            aws_account_id=F.lpad(F.col("user_id").cast("string"), 12, "0"),
+            latency=F.col("value").cast("string"),
+            end_time_millis=F.unix_millis(F.col("ts")),
+            caller_service=F.lit("GLUE"),
+        ).alias("value")
+    )
+    points = parse_service_logs(raw)
+    exploded = points.select(
+        F.explode(F.col("dimensions")).alias("dim_key", "dim_value")
+    )
+    return exploded.groupBy("dim_key", "dim_value").agg(F.count("*").alias("n"))

@@ -1,0 +1,85 @@
+"""Python-boundary operator coverage (SURVEY §2.2 "UDF / UDAF / UDTF"):
+grouped-map ``applyInPandas`` (UDAF-style per-group computation checked
+against a pure-SQL oracle) and a table-function UDTF. The engine's rule
+stands: Python only when semantics demand it — these exist to prove the
+boundary works, with the native-expression equivalent alongside.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from .catalog import query
+
+
+@query(
+    "applyinpandas_zscore",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN count(*) OVER w > 1
+                THEN round((o_totalprice - avg(o_totalprice) OVER w)
+                           / stddev_samp(o_totalprice) OVER w, 4)
+           END AS price_zscore
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey)
+    """,
+    tags=("udf", "applyInPandas", "grouped-map"),
+)
+def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-customer z-score of order prices,
+    computed in pandas per group, oracle-checked against the SQL window
+    formulation. Arrow moves each group as one batch; groups are
+    hash-partitioned so skew in customer size is the only hot spot
+    (mitigated upstream by AQE skew splitting on the shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > 1:
+            mean = pdf["o_totalprice"].mean()
+            std = pdf["o_totalprice"].std(ddof=1)
+            z = ((pdf["o_totalprice"] - mean) / std).round(4)
+        else:
+            z = pd.Series([None] * n, dtype="float64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_custkey": pdf["o_custkey"],
+                "price_zscore": z,
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(
+        zscore, schema="o_orderkey long, o_custkey long, price_zscore double"
+    )
+
+
+@query(
+    "udtf_char_ngrams",
+    oracle="""
+    SELECT doc_id,
+           CAST(pos AS INT) AS pos,
+           substr(text, CAST(pos AS INT), 4) AS gram
+    FROM documents, unnest(range(1, length(text) - 2, 7)) AS t(pos)
+    WHERE doc_id < 50
+    """,
+    tags=("udf", "udtf", "table-function"),
+)
+def udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function shape: one document row → many (pos, 4-char-gram)
+    rows at stride 7. Implemented NATIVELY (posexplode-style
+    sequence + transform — codegen'd, no Python) because the expansion
+    is expressible; a Python UDTF would only add serde cost. The oracle
+    pins the row-multiplying semantics a UDTF provides."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    positions = F.sequence(F.lit(1), F.length("text") - 3, F.lit(7))
+    return d.select(
+        "doc_id", "text", F.explode(positions).alias("pos")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.substring(F.col("text"), F.col("pos"), F.lit(4)).alias("gram"),
+    )
