@@ -53,9 +53,13 @@ def parse_service_logs(df: DataFrame, value_col: str = "value") -> DataFrame:
     columns (at 100 TB, map lookups defeat Parquet column pruning —
     SURVEY §1.4).
     """
-    m = _kv_map(F.col(value_col))
+    # Two-step projection: the kv-map is materialized ONCE per record —
+    # inlining it would re-split/re-map the blob for each of the eight
+    # output columns below.
+    staged = df.select(_kv_map(F.col(value_col)).alias("__kv"))
+    m = F.col("__kv")
     latency = F.regexp_replace(m["time"], r"[^0-9.]", "")  # LogsToTimestreamPayloadFn.java:44
-    return df.select(
+    return staged.select(
         F.timestamp_millis(m["endtime"].cast("long")).alias("time"),
         F.lit("latency").alias("measure_name"),  # LogsToTimestreamPayloadFn.java:82
         latency.alias("measure_value"),

@@ -42,7 +42,14 @@ def tokens(text: Column) -> Column:
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct n-word shingles. Guarded for <n tokens (empty array —
-    NOT Spark's sequence(1,0) which counts backwards)."""
+    NOT Spark's sequence(1,0) which counts backwards).
+
+    PERF: pass a MATERIALIZED array column (project `tokens(text)` into
+    its own column first), not the raw `tokens(text)` expression — the
+    expression tree is substituted into every element access, so an
+    unmaterialized split re-tokenizes the whole text per shingle
+    position (O(n²) per document). `operators/dedup.py` shows the
+    two-step projection pattern."""
     count = F.size(toks)
     idx = F.when(count >= n, F.sequence(F.lit(1), count - (n - 1))).otherwise(
         F.array().cast("array<int>")

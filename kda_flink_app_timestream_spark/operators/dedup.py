@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 import hashlib
 
 from ..functions.text import portable_hash64, tokens, word_shingles
+from ..sources.batch import scatter
 
 NUM_MINHASHES = 8
 NUM_BANDS = 4  # rows-per-band = NUM_MINHASHES // NUM_BANDS = 2
@@ -55,11 +56,14 @@ def minhash_signature(
     """Per-doc MinHash signature: ``sig[s] = min over shingles of
     (A_s·b(shingle) + B_s) mod P`` — row-local, one md5 per shingle.
 
-    The base-hash array is materialized as its own projection so the
-    md5 work runs once, not once per permutation."""
-    sh = word_shingles(tokens(F.col(text_col)), shingle_n)
+    Three projection steps (tokens → base hashes → signature) so each
+    stage's array is materialized once: an inlined expression tree would
+    re-split the text per shingle position (O(n²)/doc) and re-md5 per
+    permutation."""
+    toked = scatter(df).select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    sh = word_shingles(F.col("toks"), shingle_n)
     base = F.transform(sh, lambda x: portable_hash64(x, "mh") % MINHASH_PRIME)
-    with_base = df.select(F.col(id_col), base.alias("base"))
+    with_base = toked.select(F.col(id_col), base.alias("base"))
 
     def perm(s: int):
         a, b = MINHASH_A[s], MINHASH_B[s]
@@ -159,10 +163,13 @@ def simhash(
 ) -> DataFrame:
     """Per-doc SimHash (``bits`` wide): majority vote per bit over
     distinct-token hashes. Pure expressions, shuffle-free."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    # hash array materialized once — md5 per token, not per (token × bit)
-    hashes = F.transform(toks, lambda t: portable_hash64(t, "simhash"))
-    with_hashes = df.select(F.col(id_col), hashes.alias("h"))
+    # two-step projection: distinct tokens materialized, then the hash
+    # array — md5 per token, not per (token × bit), no re-tokenization
+    toked = scatter(df).select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
+    )
+    hashes = F.transform(F.col("toks"), lambda t: portable_hash64(t, "simhash"))
+    with_hashes = toked.select(F.col(id_col), hashes.alias("h"))
 
     def bit_sum(i: int) -> Column:
         return F.aggregate(
@@ -194,13 +201,14 @@ def exact_jaccard_pairs(
     array_distinct, and 60-bit collisions within a doc's ~10³ shingles
     are negligible — and identical in the oracle, which hashes the same
     way.)"""
+    toked = scatter(df).select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
     hashed = F.transform(
-        word_shingles(tokens(F.col(text_col)), shingle_n),
+        word_shingles(F.col("toks"), shingle_n),
         lambda x: portable_hash64(x, "jac"),
     )
     # cached: the index feeds both sides of the self-join plus the size
     # aggregate — uncached, the shingle+md5 pipeline would run 3×
-    sh = df.select(F.col(id_col), F.explode(hashed).alias("shingle")).cache()
+    sh = toked.select(F.col(id_col), F.explode(hashed).alias("shingle")).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.batch import scatter
+
 FORMATS = ("png", "jpeg", "wav")
 N_HIST_BINS = 8
 
@@ -65,16 +67,20 @@ def byte_histogram_features(
     n_bins = N_HIST_BINS
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        shift = 8 - n_bins.bit_length() + 1  # bin = byte >> shift (256/n_bins)
         for pdf in batches:
-            feats = []
-            for payload in pdf[payload_col]:
-                hist = [0] * n_bins
-                for b in payload:
-                    hist[b * n_bins // 256] += 1
-                feats.append(hist)
+            feats = [
+                np.bincount(
+                    np.frombuffer(payload, dtype=np.uint8) >> shift,
+                    minlength=n_bins,
+                ).tolist()
+                for payload in pdf[payload_col]
+            ]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
-    return df.mapInPandas(extract, schema=f"{id_col} long, features array<int>")
+    return scatter(df).mapInPandas(extract, schema=f"{id_col} long, features array<int>")
 
 
 def frame_sample(

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.parse import build_service_log_text, parse_service_logs
 from ..operators.relational import asof_join
-from ..sources.batch import load_table
+from ..sources.batch import load_table, scatter
 from .catalog import query
 
 
@@ -40,7 +40,7 @@ def parse_service_logs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     original columns. Exercises split/trim/lower/regexp_replace/cast and
     the epoch-millis→timestamp normalization end-to-end, JVM-side only.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = scatter(load_table(spark, sf_dir, "events"))
     raw = e.select(
         build_service_log_text(
             operation=F.col("event_type"),

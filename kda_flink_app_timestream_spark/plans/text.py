@@ -159,8 +159,9 @@ def text_ngram_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     that feed dedup stop-lists). Distinct-per-doc explode → count —
     one shuffle on the shingle."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = toked.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), 3)).alias("shingle")
     )
     return (
         sh.groupBy("shingle")

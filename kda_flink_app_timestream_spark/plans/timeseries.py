@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.parse import build_service_log_text, parse_service_logs
-from ..sources.batch import load_table
+from ..sources.batch import load_table, scatter
 from .catalog import query
 
 
@@ -130,7 +130,7 @@ def map_dimensions_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     MapType, TimestreamPoint.java:15): parse points, ``explode`` the map
     to long-form (key, value) rows, count value frequencies — the
     map_keys/element_at/explode family over real parsed data."""
-    e = load_table(spark, sf_dir, "events")
+    e = scatter(load_table(spark, sf_dir, "events"))
     raw = e.select(
         build_service_log_text(
             operation=F.col("event_type"),

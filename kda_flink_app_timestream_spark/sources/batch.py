@@ -35,6 +35,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scatter(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition a coarsely-split input up to the session's parallelism
+    before CPU-heavy per-row work (parsing, hashing, Python stages).
+
+    A small parquet file (or one huge unsplittable gzip) arrives as ONE
+    input split, so an expensive map runs single-threaded no matter how
+    many cores exist; a cheap round-robin shuffle first buys full
+    parallelism. No-op when the input is already split at least that
+    wide (the 100 TB case — thousands of row groups)."""
+    spark = df.sparkSession
+    target = partitions or spark.sparkContext.defaultParallelism
+    current = df.rdd.getNumPartitions()
+    return df.repartition(target) if current < target else df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
