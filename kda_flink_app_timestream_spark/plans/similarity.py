@@ -91,3 +91,69 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a probe prunes to one partition."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOP_K)
+
+
+from ..operators.similarity import IVF_CENTROID_RANGE, IVF_NPROBE, ivf_topk  # noqa: E402
+
+_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+    SELECT vec_id AS cid, v AS centroid FROM e
+    WHERE vec_id >= {IVF_CENTROID_RANGE[0]} AND vec_id < {IVF_CENTROID_RANGE[1]}
+),
+assigned AS (
+    SELECT vec_id AS neighbor_id, v AS cv, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.centroid)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                            c.cid
+               ) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+probed AS (
+    SELECT vec_id AS query_id, v AS qv, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.centroid)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                            c.cid
+               ) AS rn
+        FROM e CROSS JOIN cents c
+        WHERE e.vec_id < {N_QUERIES}
+    ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+    SELECT DISTINCT p.query_id, a.neighbor_id,
+           round(list_dot_product(p.qv, a.cv)
+                 / (sqrt(list_dot_product(p.qv, p.qv))
+                    * sqrt(list_dot_product(a.cv, a.cv))), 6) AS cosine_sim
+    FROM probed p JOIN assigned a ON p.cid = a.cid
+    WHERE p.query_id <> a.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+@query("sim_ivf_topk", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf"))
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: corpus vectors assigned to their nearest of 16
+    codebook centroids; each query probes its 2 closest lists and
+    exact-re-ranks only those candidates. Codebook is a fixed corpus
+    slice (k-means training is an orthogonal offline job) so the whole
+    index is reproducible in the oracle. At 100 TB the corpus writes out
+    partitionBy(cid) → a probe reads nprobe/16 of the data."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOP_K)

@@ -169,3 +169,71 @@ def text_ngram_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.asc("shingle"))
         .limit(20)
     )
+
+
+_TFIDF_ORACLE = """
+WITH toked AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+n_docs AS (SELECT count(*) AS n FROM toked),
+terms AS (
+    SELECT doc_id, unnest(toks) AS term, len(toks) AS doc_len FROM toked
+),
+tf AS (
+    SELECT doc_id, term, doc_len, count(*) AS occurrences
+    FROM terms GROUP BY 1, 2, 3
+),
+df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           round((tf.occurrences / CAST(tf.doc_len AS DOUBLE))
+                 * ln(n_docs.n / CAST(df.doc_freq AS DOUBLE)), 6) AS tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n_docs
+    WHERE tf.doc_id < 50
+)
+SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+    ) AS rk FROM scored
+)
+WHERE rk <= 5
+"""
+
+
+@query("text_tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("text", "tfidf"))
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document (docs 0-49): term frequency ×
+    ln(N/doc-frequency), ranked with term tie-break. Document
+    frequencies aggregate over the FULL corpus (one shuffle on term);
+    only the scored subset re-joins — at 100 TB the df table is tiny
+    (vocabulary-sized) and broadcasts."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n_docs = toked.count()
+    terms = toked.select(
+        "doc_id", F.explode("toks").alias("term"), F.size("toks").alias("doc_len")
+    )
+    tf = terms.groupBy("doc_id", "term", "doc_len").agg(
+        F.count("*").alias("occurrences")
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(df_tbl), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("occurrences") / F.col("doc_len"))
+                * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )

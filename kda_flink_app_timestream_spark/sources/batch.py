@@ -18,6 +18,7 @@ from pyspark.sql import types as T
 from ..schemas import TABLE_NAMES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -44,9 +45,14 @@ def scatter(df: DataFrame, partitions: int | None = None) -> DataFrame:
     many cores exist; a cheap round-robin shuffle first buys full
     parallelism. No-op when the input is already split at least that
     wide (the 100 TB case — thousands of row groups)."""
-    spark = df.sparkSession
-    target = partitions or spark.sparkContext.defaultParallelism
-    current = df.rdd.getNumPartitions()
+    try:
+        spark = df.sparkSession
+        target = partitions or spark.sparkContext.defaultParallelism
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect: no sparkContext/rdd — repartition unconditionally
+        # (AQE coalesces again if it was already wide)
+        return df.repartition(partitions or DEFAULT_SHUFFLE_PARTITIONS)
     return df.repartition(target) if current < target else df
 
 
