@@ -674,7 +674,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scalar_date_funcs",
     oracle="""
-    SELECT date_trunc('month', o_orderdate) AS order_month,
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
            CAST(year(o_orderdate) AS BIGINT) AS order_year,
            CAST(month(o_orderdate) AS BIGINT) AS order_month_num,
            CAST(count(*) AS BIGINT) AS n_orders,
@@ -758,7 +758,7 @@ def scalar_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pivot_daily_event_matrix",
     oracle="""
-    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
            CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
            CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
            CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,

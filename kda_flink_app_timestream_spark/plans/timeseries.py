@@ -24,8 +24,8 @@ from .catalog import query
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS sum_value
     FROM (
-        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-               date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+        SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,
                event_type, value
         FROM events
     )

@@ -1,17 +1,19 @@
 """Local replica of the driver's DuckDB-oracle comparison (t2): run the
 PySpark query and the oracle SQL side-by-side, canonicalize (columns
-sorted by name, rows sorted by stringified tuple), compare values.
+sorted by name, rows sorted), compare cell values EXACTLY.
 
-Stricter than the driver can possibly be: exact equality on every cell
-(floats included — queries are required to round on both sides).
+Comparison happens on RAW driver-level values — Spark ``collect()`` Rows
+vs DuckDB ``fetchall()`` tuples — NOT via pandas, which silently coerces
+types (e.g. DuckDB DATE → pandas Timestamp) and can mask schema-type
+divergence the driver would flag.
 """
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import duckdb
-import pandas as pd
 
 TABLE_NAMES = (
     "region",
@@ -36,53 +38,44 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if str(df[c].dtype).startswith("datetime64"):
-            df[c] = df[c].astype("datetime64[us]")
-    key = df.apply(lambda row: repr(tuple(_canon_val(v) for v in row)), axis=1)
-    df = df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
-    return df
-
-
 def _canon_val(v):
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 9))
-    if v is None or v is pd.NaT:
-        return "None"
-    if isinstance(v, pd.Timestamp):
-        return v.isoformat()
+        return "NaN" if math.isnan(v) else repr(round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_val(x) for x in v) + "]"
+    # exact type repr matters: datetime.date vs datetime.datetime differ
     return repr(v)
 
 
-def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty == pass)."""
-    problems: list[str] = []
-    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
-        problems.append(
-            f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
-            f"oracle={sorted(oracle_pdf.columns)}"
-        )
-        return problems
-    if len(spark_pdf) != len(oracle_pdf):
-        problems.append(f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
-        return problems
-    s = canonicalize(spark_pdf)
-    o = canonicalize(oracle_pdf)
-    for col in s.columns:
-        sv, ov = s[col].tolist(), o[col].tolist()
-        bad = [
-            (i, a, b)
-            for i, (a, b) in enumerate(zip(sv, ov))
-            if _canon_val(a) != _canon_val(b)
-        ]
-        if bad:
-            i, a, b = bad[0]
-            problems.append(
-                f"{name}.{col}: {len(bad)}/{len(sv)} cells differ; "
-                f"first at sorted-row {i}: spark={a!r} oracle={b!r}"
-            )
+def _canon_rows(rows: list[tuple]) -> list[tuple]:
+    return sorted(tuple(_canon_val(v) for v in r) for r in rows)
+
+
+def compare_query(spark_df, oracle_con, oracle_sql: str, name: str) -> list[str]:
+    """Run both sides, return mismatch descriptions (empty == pass)."""
+    spark_cols = sorted(spark_df.columns)
+    spark_rows = [tuple(row[c] for c in spark_cols) for row in spark_df.collect()]
+
+    cur = oracle_con.execute(oracle_sql)
+    o_cols = [d[0] for d in cur.description]
+    if sorted(o_cols) != spark_cols:
+        return [f"{name}: columns spark={spark_cols} oracle={sorted(o_cols)}"]
+    idx = [o_cols.index(c) for c in spark_cols]
+    oracle_rows = [tuple(r[i] for i in idx) for r in cur.fetchall()]
+
+    if len(spark_rows) != len(oracle_rows):
+        return [f"{name}: rows spark={len(spark_rows)} oracle={len(oracle_rows)}"]
+    s, o = _canon_rows(spark_rows), _canon_rows(oracle_rows)
+    problems = []
+    for i, (a, b) in enumerate(zip(s, o)):
+        if a != b:
+            diff_cols = [
+                f"{spark_cols[j]}: spark={a[j]} oracle={b[j]}"
+                for j in range(len(a))
+                if a[j] != b[j]
+            ]
+            problems.append(f"{name}: sorted-row {i} differs — " + "; ".join(diff_cols))
+            if len(problems) >= 3:
+                problems.append(f"{name}: (further diffs suppressed)")
+                break
     return problems

@@ -8,7 +8,7 @@ import pytest
 
 from kda_flink_app_timestream_spark.plans import load_all_plans
 
-from .oracle_utils import compare_frames, duckdb_connection
+from .oracle_utils import compare_query, duckdb_connection
 
 REGISTRY = load_all_plans()
 ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
@@ -25,9 +25,7 @@ def oracle_con(sf_dir):
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, sf_dir, oracle_con, name):
     q = REGISTRY[name]
-    spark_pdf = q.fn(spark, sf_dir).toPandas()
-    oracle_pdf = oracle_con.execute(q.oracle).df()
-    problems = compare_frames(spark_pdf, oracle_pdf, name)
+    problems = compare_query(q.fn(spark, sf_dir), oracle_con, q.oracle, name)
     assert not problems, "\n".join(problems)
 
 
