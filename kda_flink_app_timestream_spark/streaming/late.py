@@ -72,25 +72,44 @@ class LateDataSplitter:
         self._ts_col = ts_col
         self._lateness = allowed_lateness
         self._query = None
+        self._max_event_ts: datetime | None = None
 
     def attach(self, query) -> None:
         self._query = query
 
-    def _current_watermark(self) -> str | None:
+    def _progress_watermark(self) -> datetime | None:
         if self._query is None:
             return None
         progress = self._query.lastProgress
         if not progress:
             return None
         wm = (progress.get("eventTime") or {}).get("watermark")
-        # Spark reports epoch-0 before the first real watermark
+        # Spark reports epoch-0 before the first real watermark; for a
+        # STATELESS query it never advances past it at all
         if not wm or wm.startswith("1970-01-01T00:00:00"):
             return None
-        return wm
+        parsed = datetime.fromisoformat(wm.replace("Z", "+00:00"))
+        return parsed.astimezone(timezone.utc).replace(tzinfo=None)
+
+    def _current_watermark(self) -> datetime | None:
+        """Effective watermark: the engine's (stateful queries) or the
+        splitter's own monotonous max-event-time tracker — the direct
+        analog of the reference's ``forMonotonousTimestamps`` strategy
+        (StreamingJob.java:132-134), needed because Spark only advances
+        the progress watermark when a stateful operator consumes it."""
+        candidates = [w for w in (self._progress_watermark(), self._max_event_ts) if w]
+        return max(candidates) if candidates else None
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # classify against the watermark as of batch START (records in
+        # this batch don't count against themselves), then advance it
         on_time, late = split_on_watermark(
             batch_df, self._current_watermark(), self._ts_col, self._lateness
         )
         self._on_time(on_time, epoch_id)
         self._late(late, epoch_id)
+        batch_max = batch_df.agg(F.max(self._ts_col)).first()[0]
+        if batch_max is not None and (
+            self._max_event_ts is None or batch_max > self._max_event_ts
+        ):
+            self._max_event_ts = batch_max
