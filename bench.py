@@ -34,6 +34,11 @@ BENCH_QUERIES = [
     "text_quality_scores",
     "text_fingerprint",
     "multimodal_byte_histogram",
+    "sim_ivf_topk",
+    "text_tfidf_top_terms",
+    "q7_nation_volume",
+    "q18_large_volume_orders",
+    "timeseries_multi_rollup",
 ]
 
 

@@ -32,11 +32,14 @@ def _kv_map(value: Column) -> Column:
     on '=' (LogsToTimestreamPayloadFn.java:25-27) — lines without '='
     (the dashed separator, 'EOE') are dropped; later duplicates win."""
     lines = F.filter(F.split(value, "\n"), lambda l: l.contains("="))
+    # value is the SECOND '='-token, exactly like the reference's
+    # line.split("=") → parts[1] (LogsToTimestreamPayloadFn.java:26-27):
+    # a value containing '=' is truncated at it, not joined
     entries = F.transform(
         lines,
         lambda l: F.struct(
             F.lower(F.trim(F.split_part(l, F.lit("="), F.lit(1)))).alias("key"),
-            F.trim(F.substring_index(l, "=", -1)).alias("value"),
+            F.trim(F.split_part(l, F.lit("="), F.lit(2))).alias("value"),
         ),
     )
     return F.map_from_entries(F.array_distinct(entries))

@@ -41,7 +41,9 @@ def start_reference_pipeline(
     *,
     source_kind: str = "rate",
     decode: str = "none",
-    sink_dir: str,
+    sink_dir: str | None = None,
+    jdbc_url: str | None = None,
+    jdbc_table: str = "points",
     late_sink: Callable[[DataFrame, int], None] | None = None,
     checkpoint_dir: str,
     batch_size: int = DEFAULT_BATCH_SIZE,  # StreamingJob.java:174
@@ -51,17 +53,26 @@ def start_reference_pipeline(
 ):
     """Wire and start the full job. Returns the StreamingQuery.
 
-    - on-time slice → BatchingForeachWriter (TimestreamSink analog)
+    - on-time slice → BatchingForeachWriter (TimestreamSink analog,
+      ``sink_dir``) or the JDBC time-series sink (``jdbc_url`` —
+      the BASELINE.json production target)
     - late slice → ``late_sink`` (console-print analog of
       StreamingJob.java:168 if None)
-    - exactly-once-ish via checkpointLocation + (epoch, partition)
-      idempotent writes.
+    - exactly-once-ish via checkpointLocation + per-epoch idempotent
+      writes on either backend.
     """
+    if (sink_dir is None) == (jdbc_url is None):
+        raise ValueError("exactly one of sink_dir / jdbc_url required")
     points = build_point_stream(
         spark, source_kind=source_kind, decode=decode,
         watermark=allowed_lateness, **source_options,
     )
-    writer = BatchingForeachWriter(jsonl_dir=sink_dir, batch_size=batch_size)
+    if jdbc_url is not None:
+        from .jdbc import jdbc_point_sink
+
+        writer = jdbc_point_sink(jdbc_url, jdbc_table)
+    else:
+        writer = BatchingForeachWriter(jsonl_dir=sink_dir, batch_size=batch_size)
 
     def default_late_sink(late_df: DataFrame, epoch_id: int) -> None:
         n = late_df.count()

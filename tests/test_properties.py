@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): the as-of join against a naive
+Python reference, sink chunking invariants, config precedence."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from kda_flink_app_timestream_spark.operators.relational import asof_join
+from kda_flink_app_timestream_spark.session import resolve_config
+from kda_flink_app_timestream_spark.streaming.sink import write_chunked
+
+BASE = datetime(2024, 1, 1)
+
+
+def _naive_asof(left, right):
+    """Reference semantics: latest right ts ≤ left ts, same key."""
+    out = {}
+    for key, lts, lid in left:
+        cands = [rts for rkey, rts in right if rkey == key and rts <= lts]
+        out[lid] = max(cands) if cands else None
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[2],
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=0, max_size=20
+    ),
+)
+def test_asof_join_matches_naive(spark, left, right):
+    lrows = [
+        Row(k=k, ts=BASE + timedelta(seconds=s), lid=lid) for k, s, lid in left
+    ]
+    rrows = [Row(k=k, ts=BASE + timedelta(seconds=s)) for k, s in right]
+    ldf = spark.createDataFrame(lrows)
+    rdf = (
+        spark.createDataFrame(rrows)
+        if rrows
+        else spark.createDataFrame([], "k int, ts timestamp")
+    )
+    got = {
+        r["lid"]: r["ts_asof"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", right_payload=["ts"]
+        ).collect()
+    }
+    expected = {
+        lid: (ts if ts is None else ts)
+        for lid, ts in _naive_asof(
+            [(k, BASE + timedelta(seconds=s), lid) for k, s, lid in left],
+            [(k, BASE + timedelta(seconds=s)) for k, s in right],
+        ).items()
+    }
+    assert got == expected
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n_rows=st.integers(0, 200),
+    batch_size=st.integers(1, 60),
+)
+def test_write_chunked_partitions_exactly(n_rows, batch_size):
+    calls: list[int] = []
+
+    def wb(batch):
+        calls.append(len(batch))
+
+    written, rejected = write_chunked(
+        iter([{"i": i} for i in range(n_rows)]), wb, batch_size=batch_size
+    )
+    assert written == n_rows and rejected == 0
+    assert sum(calls) == n_rows
+    assert all(c == batch_size for c in calls[:-1])  # only the tail is partial
+    if calls:
+        assert 0 < calls[-1] <= batch_size
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    defaults=st.dictionaries(st.sampled_from("abcd"), st.text("xyz", max_size=3)),
+    props=st.dictionaries(st.sampled_from("abcd"), st.text("xyz", max_size=3)),
+    cli=st.dictionaries(st.sampled_from("abcd"), st.text("xyz", min_size=1, max_size=3)),
+)
+def test_resolve_config_layering(defaults, props, cli):
+    args = [t for k, v in cli.items() for t in (f"--{k}", v)]
+    got = resolve_config(args=args, properties=props, defaults=defaults)
+    for k in set(defaults) | set(props) | set(cli):
+        expected = cli.get(k, props.get(k, defaults.get(k)))
+        assert got[k] == expected

@@ -64,6 +64,16 @@ def test_parser_missing_keys_stateless(spark):
     assert out[1]["dimensions"]["operation"] == "CreateTable"
 
 
+def test_parser_equals_token_semantics(spark):
+    """A '=' inside a value truncates at it — the reference's
+    line.split("=")[1] behavior (LogsToTimestreamPayloadFn.java:26-27),
+    not a join of the remaining tokens."""
+    rows = [Row(value="Operation=Get=Table\nAwsAccountId=12=34\nEndTime=1700000000000")]
+    out = parse_service_logs(spark.createDataFrame(rows)).collect()[0]
+    assert out["operation"] == "Get"
+    assert out["aws_account_id"] == "12"
+
+
 def test_gzip_decode(spark):
     blob = "Operation=GetTable\nTime=1.5 ms"
     payload = gzip.compress(blob.encode()).decode("latin-1")
