@@ -232,3 +232,61 @@ def exact_jaccard_pairs(
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list →
+    ``(node, cluster_rep)`` with rep = min node id in the component.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest representative among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are shallow).
+    Each round is one join + one aggregate — all distributed; the driver
+    loop is over ROUNDS, never rows. For adversarially deep graphs swap
+    the body for the large-star/small-star algorithm (same interface) —
+    it squares path lengths per round.
+
+    Used by dedup to resolve pairwise matches into keep/drop groups:
+    keep the representative, drop the rest.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .cache()
+    )
+    rep = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("rep", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(rep, und.b == rep.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("rep").alias("nmin"))
+        )
+        new_rep = (
+            rep.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("rep"), F.coalesce("nmin", F.col("rep"))).alias("rep"),
+            )
+            .cache()
+        )
+        changed = (
+            new_rep.alias("n")
+            .join(rep.alias("o"), "node")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        rep = new_rep
+        if changed == 0:
+            break
+    return rep.select(F.col("node"), F.col("rep").alias("cluster_rep"))

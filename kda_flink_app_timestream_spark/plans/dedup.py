@@ -211,3 +211,69 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py: lsh_bucket)."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(e, threshold=COSINE_THRESHOLD, block_col="label")
+
+
+from ..operators.dedup import connected_components  # noqa: E402
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+               x -> {sql_portable_hash64('x', 'jac')})) AS shingle
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM shared
+    JOIN sizes na ON doc_a = na.doc_id
+    JOIN sizes nb ON doc_b = nb.doc_id
+    WHERE round(shared / CAST(na.n + nb.n - shared AS DOUBLE), 4) >= {JACCARD_THRESHOLD}
+),
+und(a, b) AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+    SELECT a, b FROM und
+  UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+nodes(n) AS (SELECT a FROM und UNION SELECT b FROM und)
+SELECT n AS doc_id, least(n, min(r.b)) AS cluster_rep,
+       CAST(n > least(n, min(r.b)) AS BOOLEAN) AS is_duplicate
+FROM nodes LEFT JOIN reach r ON r.a = n
+GROUP BY n
+"""
+
+
+@query(
+    "dedup_cluster_representatives",
+    oracle=_CLUSTER_ORACLE,
+    tags=("dedup", "clusters", "connected-components"),
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup resolution: exact-Jaccard pairs ≥ 0.3 →
+    connected components → (doc_id, cluster_rep, is_duplicate). The
+    keep-list is ``is_duplicate = false``; everything else drops — the
+    final stage of a training-data dedup pipeline. Oracle: recursive-CTE
+    transitive closure (fine at oracle scale; Spark runs iterative min
+    propagation, O(diameter) distributed rounds)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(tokens(F.col("text"))) >= 3
+    )
+    pairs = exact_jaccard_pairs(d, threshold=JACCARD_THRESHOLD).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_rep",
+        (F.col("node") > F.col("cluster_rep")).alias("is_duplicate"),
+    )
