@@ -81,3 +81,43 @@ def topk_per_group(
     sort; the per-partition heap keeps memory at O(k) per group."""
     w = W.partitionBy(*group_cols).orderBy(*order_cols)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def interval_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 600,
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-interval join (``left.ts ∈ [right.start, right.end]``)
+    without an equi-key.
+
+    Naively this is a nested-loop join (quadratic — Spark plans BNLJ).
+    The scalable formulation manufactures an equi-key: time is cut into
+    fixed buckets; each interval EXPLODES onto every bucket it overlaps,
+    each point maps to its single bucket, and the join becomes a hash
+    join on (bucket, *extra_keys) with the exact BETWEEN as a residual
+    filter. Cost: interval replication ×(len/bucket + 1) — pick
+    ``bucket_seconds`` near the median interval length.
+    """
+    b = F.lit(bucket_seconds)
+    l_bucket = (F.unix_seconds(F.col(left_ts)) / b).cast("long")
+    r_from = (F.unix_seconds(F.col(right_start)) / b).cast("long")
+    r_to = (F.unix_seconds(F.col(right_end)) / b).cast("long")
+
+    l = left.withColumn("__bucket", l_bucket)
+    r = right.withColumn("__bucket", F.explode(F.sequence(r_from, r_to)))
+    cond = [F.col(f"l.__bucket") == F.col(f"r.__bucket")] + [
+        F.col(f"l.{k}") == F.col(f"r.{k}") for k in extra_keys
+    ]
+    joined = l.alias("l").join(r.alias("r"), cond)
+    within = (F.col(f"l.{left_ts}") >= F.col(f"r.{right_start}")) & (
+        F.col(f"l.{left_ts}") <= F.col(f"r.{right_end}")
+    )
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns if c not in left.columns
+    ]
+    return joined.filter(within).select(*keep)

@@ -153,3 +153,45 @@ def late_data_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(is_late, 1)).alias("n_late"),
         F.count(F.when(~is_late, 1)).alias("n_ontime"),
     )
+
+
+@query(
+    "interval_join_error_windows",
+    oracle="""
+    WITH errors AS (
+        SELECT event_id AS error_id,
+               CAST(ts AS TIMESTAMP) - INTERVAL '5 minutes' AS w_start,
+               CAST(ts AS TIMESTAMP) + INTERVAL '5 minutes' AS w_end
+        FROM events WHERE event_type = 'error'
+    ),
+    purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, e.error_id
+    FROM purchases p
+    JOIN errors e ON p.ts >= e.w_start AND p.ts <= e.w_end
+    """,
+    tags=("join", "interval", "timeseries"),
+)
+def interval_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join with NO equi-key: purchases landing inside
+    any ±5 min error window. Implemented with the bucketized interval
+    join (operators/relational.py: interval_join_bucketed) — a hash join
+    on manufactured time buckets instead of the quadratic nested-loop
+    the naive BETWEEN join plans. Oracle: the plain BETWEEN join."""
+    from ..operators.relational import interval_join_bucketed
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return interval_join_bucketed(
+        purchases, errors, left_ts="ts", right_start="w_start", right_end="w_end",
+        bucket_seconds=600,
+    ).select("event_id", "user_id", "error_id")
