@@ -286,7 +286,9 @@ def connected_components(
             .filter(F.col("n.rep") != F.col("o.rep"))
             .count()
         )
+        rep.unpersist()  # superseded per-round frame — don't pile up cache
         rep = new_rep
         if changed == 0:
             break
+    und.unpersist()
     return rep.select(F.col("node"), F.col("rep").alias("cluster_rep"))

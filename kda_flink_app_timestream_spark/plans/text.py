@@ -19,6 +19,7 @@ from ..functions.text import (
     language_id,
     quality_features,
     rolling_fingerprint,
+    sql_portable_hash64,
     sql_rolling_fingerprint,
     tokens,
     word_shingles,
@@ -236,4 +237,114 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("doc_id", "term", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@query(
+    "text_train_val_split",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id,
+               CASE WHEN {sql_portable_hash64("CAST(doc_id AS VARCHAR)", "split")} % 100 < 80
+                    THEN 'train'
+                    WHEN {sql_portable_hash64("CAST(doc_id AS VARCHAR)", "split")} % 100 < 90
+                    THEN 'val'
+                    ELSE 'test' END AS split,
+               n_chars
+        FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM tagged
+    GROUP BY split
+    """,
+    tags=("text", "sampling", "split"),
+)
+def text_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by portable hash of
+    the document id — the canonical leakage-safe dataset split: stable
+    across runs, engines, and repartitioning (never ``rand()``, which
+    reshuffles membership on every execution)."""
+    from ..functions.text import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id").cast("string"), "split") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "text_chunking",
+    oracle="""
+    WITH toked AS (
+        SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE doc_id < 100
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               array_to_string(toks[i * 40 + 1 : i * 40 + 50], ' ') AS chunk
+        FROM toked, unnest(range(0, CAST(ceil(len(toks) / 40.0) AS BIGINT))) AS t(i)
+    )
+    SELECT doc_id, chunk_idx, chunk,
+           CAST(len(str_split(chunk, ' ')) AS BIGINT) AS chunk_tokens
+    FROM chunks
+    """,
+    tags=("text", "chunking"),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training windows: 50-token chunks at a
+    40-token stride (10-token overlap), exploded one row per chunk —
+    context-window packing's first stage. Row-local: tokenize once,
+    slice per chunk index; downstream work parallelizes over chunks."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toked = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / 40.0).cast("long")
+    with_idx = toked.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.concat_ws(" ", F.slice(F.col("toks"), F.col("chunk_idx") * 40 + 1, 50))
+    return with_idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        chunk.alias("chunk"),
+        F.size(F.split(chunk, " ")).cast("long").alias("chunk_tokens"),
+    )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS normalized,
+           CAST(length(text) - length(
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS BIGINT) AS chars_removed
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("text", "normalize"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (lowercase → strip non-alphanumerics →
+    collapse runs of spaces → trim): the standard canonicalization
+    before exact/fuzzy dedup. Pure regexp expressions."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        normalized.alias("normalized"),
+        (F.length("text") - F.length(normalized)).cast("long").alias("chars_removed"),
     )
