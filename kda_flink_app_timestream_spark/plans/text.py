@@ -348,3 +348,54 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalized.alias("normalized"),
         (F.length("text") - F.length(normalized)).cast("long").alias("chars_removed"),
     )
+
+
+@query(
+    "text_context_packing",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048)
+                    AS BIGINT) AS pack_id
+        FROM sized
+    )
+    SELECT pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM packed
+    GROUP BY pack_id
+    """,
+    tags=("text", "packing"),
+)
+def text_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: documents assigned to 2048-token packs by
+    running token budget in doc_id order (next-fit packing — the
+    streaming-friendly approximation of bin packing). The global ordered
+    cumsum here is the oracle-checkable rendition; at 100 TB packing
+    runs per partition (pack_id = (partition_id, local_pack)) so no
+    global order is ever materialized — same operator, partition-local
+    window."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = sized.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("long"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
