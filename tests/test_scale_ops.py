@@ -83,3 +83,21 @@ def test_headline_plans_have_expected_operators(spark, sf_dir, name, expectation
     plan = _physical_plan(df)
     for token in expectations:
         assert token in plan, f"{name}: expected {token!r} in plan:\n{plan[:2000]}"
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date-partitioned parquet layout: a day-filtered read must show
+    PartitionFilters (whole directories skipped) — the dominant 100 TB
+    time-series access pattern the sink's output layout exists for."""
+    from kda_flink_app_timestream_spark.sources.batch import load_table
+
+    out = str(tmp_path / "events_by_day")
+    e = load_table(spark, sf_dir, "events")
+    e.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan, plan[:1500]
+    assert "(day#" in plan and "= 2024-01-05)" in plan
+    expected = e.filter(F.to_date("ts") == "2024-01-05").count()
+    assert back.count() == expected > 0
