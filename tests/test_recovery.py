@@ -134,3 +134,89 @@ def test_live_late_routing(spark, tmp_path):
     assert len(on_time_rows) >= 20
     assert len(late_rows) == 5
     assert all(r["measure_value"] == "9.9" for r in late_rows)
+
+
+def test_watermark_drops_are_counted(spark, tmp_path):
+    """Append-mode windowed agg with a tight watermark: a second drop of
+    stale records must be DROPPED BY THE ENGINE and show up in
+    stateOperators[].numRowsDroppedByWatermark (SURVEY §5.3 — the
+    observable for Flink's late-data accounting)."""
+    import time as _t
+
+    src = str(tmp_path / "src")
+    now_ms = int(_t.time() * 1000)
+    spark.createDataFrame(
+        [(f"Time=1 ms\nEndTime={now_ms + i}",) for i in range(10)], ["value"]
+    ).coalesce(1).write.mode("append").json(src)
+
+    agg = (
+        parse_service_logs(spark.readStream.schema("value string").json(src))
+        .withWatermark("time", "5 seconds")
+        .groupBy(F.window("time", "10 seconds"))
+        .count()
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_drop_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 60
+        # wait until the watermark advanced past the stale range
+        while _t.time() < deadline:
+            p = q.lastProgress
+            wm = (p or {}).get("eventTime", {}).get("watermark", "")
+            if wm and not wm.startswith("1970"):
+                break
+            _t.sleep(0.5)
+        # stale drop: one hour older than the watermark
+        spark.createDataFrame(
+            [(f"Time=1 ms\nEndTime={now_ms - 3_600_000 + i}",) for i in range(7)],
+            ["value"],
+        ).coalesce(1).write.mode("append").json(src)
+        dropped = 0
+        while _t.time() < deadline and dropped == 0:
+            # per-batch metric — idle batches overwrite lastProgress with
+            # zeros, so scan the retained history; the count is POST-
+            # partial-aggregation state rows (stale WINDOWS, not inputs):
+            # all 7 stale records share one 10 s window → 1 dropped row
+            for p in q.recentProgress:
+                for op in (p or {}).get("stateOperators", []):
+                    dropped = max(dropped, op.get("numRowsDroppedByWatermark", 0))
+            _t.sleep(0.5)
+        assert dropped >= 1, "stale window was not dropped by the watermark"
+        # and the stale window never reaches the sink
+        stale = spark.sql(
+            "SELECT * FROM wm_drop_test WHERE window.start < current_timestamp() - INTERVAL 30 MINUTES"
+        )
+        assert stale.count() == 0
+    finally:
+        q.stop()
+
+
+def test_throttled_source_yields_multiple_epochs(spark, tmp_path):
+    """maxFilesPerTrigger=1 (the poll-throttle analog of the reference's
+    SHARD_GETRECORDS tuning, StreamingJob.java:84-95): three file drops
+    must process as three separate micro-batches/epochs."""
+    src = str(tmp_path / "src")
+    for start in (0, 10, 20):
+        _write_blob_files(spark, src, start, 10)
+    sink_dir = str(tmp_path / "sink")
+    writer = BatchingForeachWriter(jsonl_dir=sink_dir, batch_size=50)
+    stream = spark.readStream.schema("value string").option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+    q = (
+        parse_service_logs(stream)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    epochs = {f.split("epoch=")[1].split("/")[0] for f in glob.glob(f"{sink_dir}/epoch=*/part=*.jsonl")}
+    assert len(epochs) == 3, f"expected 3 epochs, got {sorted(epochs)}"
+    assert len(_sink_records(sink_dir)) == 30
