@@ -416,3 +416,89 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
     )
+
+
+@query(
+    "scalar_from_json_struct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                      THEN 1 END) AS BIGINT) AS n_high_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json", "struct"),
+)
+def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: ``from_json`` with an explicit schema — ONE
+    parse into a prunable struct (the 100 TB-recommended path; repeated
+    ``get_json_object`` calls re-parse the string per extraction)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("props_t", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.when(F.col("props_t.k") > 50, 1)).alias("n_high_k"),
+        F.max("props_t.k").alias("max_k"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(count(*) OVER w AS BIGINT) AS n_nearby,
+           round(sum(o_totalprice) OVER w, 2) AS nearby_total
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY epoch(o_orderdate)
+        RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING
+    )
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per order, the count
+    and total of the same customer's orders within ±30 days — peers are
+    selected by ORDER-BY value distance, so ties share a frame."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        # orderdate is TIMESTAMP_NTZ in the parquet; unix_seconds wants
+        # TIMESTAMP (identity cast under the pinned UTC session zone)
+        .orderBy(F.unix_seconds(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-2_592_000, 2_592_000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("n_nearby"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_total"),
+    )
+
+
+@query(
+    "join_null_safe_equality",
+    oracle="""
+    WITH l AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status FROM orders),
+    r AS (SELECT DISTINCT NULLIF(o_orderstatus, 'O') AS status FROM orders)
+    SELECT r.status, CAST(count(*) AS BIGINT) AS n
+    FROM l JOIN r ON l.status IS NOT DISTINCT FROM r.status
+    GROUP BY r.status
+    """,
+    tags=("join", "null-semantics"),
+)
+def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` ≡ IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — three-valued-logic
+    coverage the ordinary equi-join can't express."""
+    o = load_table(spark, sf_dir, "orders")
+    l = o.select("o_orderkey", F.nullif("o_orderstatus", F.lit("O")).alias("status"))
+    r = l.select("status").distinct().withColumnRenamed("status", "r_status")
+    return (
+        l.join(r, l.status.eqNullSafe(r.r_status))
+        .groupBy(F.col("r_status").alias("status"))
+        .agg(F.count("*").alias("n"))
+    )
