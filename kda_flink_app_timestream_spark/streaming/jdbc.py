@@ -98,3 +98,62 @@ def read_points_jdbc(spark, url: str, table: str, driver: str = DERBY_DRIVER) ->
         .option("driver", driver)
         .load()
     )
+
+
+def jdbc_upsert_sink(
+    url: str,
+    table: str,
+    key_cols: tuple[str, ...],
+    driver: str = DERBY_DRIVER,
+):
+    """Keyed upsert ``foreachBatch`` sink for CONTINUOUS AGGREGATES:
+    each micro-batch (update output mode) carries only the windows whose
+    aggregates changed; the sink deletes those keys and re-inserts —
+    the JDBC table stays an exact materialization of the streaming
+    aggregation (Timestream-style continuous rollup).
+
+    The key set per batch is bounded by changed windows (watermark-
+    bounded), so the driver-side key collection stays small by
+    construction.
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keys = batch_df.select(*key_cols).distinct().collect()
+        if not keys:
+            return
+        try:
+            jvm = spark._jvm
+            conn = jvm.java.sql.DriverManager.getConnection(url)
+            try:
+                stmt = conn.createStatement()
+                for row in keys:
+                    cond = " AND ".join(
+                        f'"{c}" = ' + (
+                            f"'{row[c]}'" if isinstance(row[c], str)
+                            else f"TIMESTAMP('{row[c]}')" if hasattr(row[c], "isoformat")
+                            else str(row[c])
+                        )
+                        for c in key_cols
+                    )
+                    for tbl in (table, f'"{table}"'):
+                        try:
+                            stmt.executeUpdate(f"DELETE FROM {tbl} WHERE {cond}")
+                            break
+                        except Exception:
+                            continue
+                stmt.close()
+            finally:
+                conn.close()
+        except Exception:
+            pass  # first batch: table not created yet
+        (
+            batch_df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("driver", driver)
+            .mode("append")
+            .save()
+        )
+
+    return write

@@ -62,3 +62,60 @@ def test_streaming_into_jdbc_with_epoch_idempotence(spark, tmp_path):
     assert final.count() == 42
     accounts = [r["aws_account_id"] for r in final.collect()]
     assert len(set(accounts)) == 42  # generator offsets → unique ids, no dups
+
+
+def test_continuous_rollup_upsert_into_jdbc(spark, tmp_path):
+    """Streaming 10-min windowed rollup maintained in Derby via keyed
+    upserts (update output mode): after incremental file drops that
+    REVISE existing windows, the JDBC table must equal the batch
+    aggregate over all data — the continuous-aggregate contract."""
+    from kda_flink_app_timestream_spark.streaming.jdbc import jdbc_upsert_sink
+
+    url = "jdbc:derby:memory:kda_rollup;create=true"
+    table = "rollup_10min"
+    src = str(tmp_path / "src")
+    base_ms = 1_700_000_000_000
+
+    def drop(values: list[tuple[int, float]]) -> None:
+        spark.createDataFrame(
+            [(f"Time={v} ms\nEndTime={base_ms + off_ms}",) for off_ms, v in values],
+            ["value"],
+        ).coalesce(1).write.mode("append").json(src)
+
+    def run() -> None:
+        points = parse_service_logs(
+            spark.readStream.schema("value string").json(src)
+        )
+        agg = (
+            points.groupBy(F.window("time", "10 minutes").start.alias("window_start"))
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("measure_value_double"), 2).alias("total"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(jdbc_upsert_sink(url, table, ("window_start",)))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drop([(0, 1.5), (60_000, 2.5), (660_000, 10.0)])      # windows 0 and 1
+    run()
+    drop([(120_000, 4.0), (720_000, 20.0)])               # revises BOTH windows
+    run()
+
+    got = {
+        r["window_start"]: (r["n"], r["total"])
+        for r in spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+        .collect()
+    }
+    assert len(got) == 2
+    by_window = sorted(got.items())
+    assert by_window[0][1] == (3, 8.0)    # 1.5 + 2.5 + 4.0
+    assert by_window[1][1] == (2, 30.0)   # 10.0 + 20.0
