@@ -399,3 +399,39 @@ def text_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+@query(
+    "text_stratified_sample",
+    oracle=f"""
+    WITH sampled AS (
+        SELECT lang,
+               CASE WHEN lang = 'en'
+                    THEN {sql_portable_hash64("CAST(doc_id AS VARCHAR)", "strat")} % 100 < 50
+                    ELSE {sql_portable_hash64("CAST(doc_id AS VARCHAR)", "strat")} % 100 < 10
+               END AS keep
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_sampled
+    FROM sampled
+    GROUP BY lang
+    """,
+    tags=("text", "sampling", "stratified"),
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (50% of 'en', 10% of
+    everything else) by deterministic hash-bucket membership — the
+    language-rebalancing step of corpus curation, reproducible across
+    runs and engines (unlike ``df.sample``, which is seed+partition
+    dependent)."""
+    from ..functions.text import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id").cast("string"), "strat") % 100
+    keep = F.when(F.col("lang") == "en", bucket < 50).otherwise(bucket < 10)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(keep, 1)).alias("n_sampled"),
+    )

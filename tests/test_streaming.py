@@ -157,3 +157,31 @@ def test_reference_pipeline_end_to_end(spark, tmp_path):
     sample = recs[0]
     assert set(sample["dimensions"]) == {"callerservice", "operation", "awsaccountid"}
     assert float(sample["measure_value"]) > 0
+
+
+def test_corrupt_record_quarantine(spark, tmp_path):
+    """Malformed input quarantine: PERMISSIVE json parsing routes broken
+    lines to _corrupt_record instead of failing the job — the bad-record
+    path every 100 TB ingest needs (one poisoned file must not kill the
+    pipeline)."""
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"value": "Operation=GetTable\\nEndTime=1700000000000"}\n'
+        "{this is not json at all\n"
+        '{"value": "Operation=CreateTable\\nEndTime=1700000000001"}\n'
+        '{"value": 12, "unexpected": true\n'
+    )
+    df = (
+        spark.read.schema("value string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()  # Spark requires materialization before querying only
+        # the internal corrupt-record column
+    )
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 2
+    parsed = parse_service_logs(good)
+    assert parsed.count() == 2
+    assert {r["operation"] for r in parsed.collect()} == {"GetTable", "CreateTable"}
