@@ -502,3 +502,43 @@ def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_status").alias("status"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "lateral_top_nations_per_region",
+    oracle="""
+    SELECT r_name, t.n_name, CAST(t.n_customers AS BIGINT) AS n_customers
+    FROM region,
+    LATERAL (
+        SELECT n_name, count(*) AS n_customers
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        WHERE n_regionkey = r_regionkey
+        GROUP BY n_name
+        ORDER BY n_customers DESC, n_name
+        LIMIT 2
+    ) t
+    """,
+    tags=("join", "lateral", "subquery"),
+)
+def lateral_top_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery in FROM: per region, its top-2
+    nations by customer count — the per-row-subquery shape SQL users
+    reach for; Catalyst decorrelates it into joins (same plan family as
+    the window-function formulation)."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name, t.n_name, t.n_customers
+        FROM region,
+        LATERAL (
+            SELECT n_name, count(*) AS n_customers
+            FROM nation JOIN customer ON c_nationkey = n_nationkey
+            WHERE n_regionkey = r_regionkey
+            GROUP BY n_name
+            ORDER BY n_customers DESC, n_name
+            LIMIT 2
+        ) t
+        """
+    )
