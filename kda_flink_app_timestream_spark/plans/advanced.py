@@ -146,11 +146,15 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "subquery_above_customer_avg",
     oracle="""
-    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS o_totalprice
-    FROM orders o
-    WHERE o.o_totalprice > 1.5 * (
-        SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    WITH avgs AS (
+        SELECT o_custkey AS ck,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
     )
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o JOIN avgs ON o.o_custkey = avgs.ck
+    WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * 2 * n > 3 * sum_c
     """,
     tags=("subquery", "join"),
 )
@@ -159,13 +163,19 @@ def subquery_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     average. Spark-first: de-correlated into an aggregate + equi-join
     (what Catalyst rewrites the subquery to anyway — written directly so
     the plan is the scalable one by construction)."""
+    from ..functions.exact import cents
+
     o = load_table(spark, sf_dir, "orders")
     avgs = o.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.avg("o_totalprice").alias("avg_price")
+        F.sum(cents(F.col("o_totalprice"))).alias("sum_c"),
+        F.count("*").alias("n"),
     )
+    # exact integer inequality (price > 1.5·avg  ⇔  2n·price_c > 3·Σc):
+    # a float threshold can land exactly ON an order's price, where the
+    # engines' last-bit sums disagree on strict >
     return (
         o.join(avgs, o.o_custkey == avgs.ck)
-        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .filter(cents(F.col("o_totalprice")) * 2 * F.col("n") > 3 * F.col("sum_c"))
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
     )
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.exact import cents, floor_round, spark_div_round
 from ..sources.batch import load_table
 from .catalog import query
 
@@ -31,13 +32,18 @@ from .catalog import query
 @query(
     "events_tumbling_agg",
     oracle="""
-    SELECT time_bucket(INTERVAL '10 seconds', CAST(ts AS TIMESTAMP)) AS window_start,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS sum_value,
-           round(avg(value), 2) AS avg_value
-    FROM events
-    GROUP BY 1, 2
+    WITH agged AS (
+        SELECT time_bucket(INTERVAL '10 seconds', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events,
+           sum_cents / 100.0 AS sum_value,
+           ((sum_cents * 2 + n_events) // (n_events * 2)) / 100.0 AS avg_value
+    FROM agged
     """,
     tags=("window", "agg", "flagship"),
 )
@@ -52,16 +58,22 @@ def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     output partitions.
     """
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(
-            F.window("ts", "10 seconds").start.alias("window_start"),
-            "event_type",
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
-        )
+    agged = events.groupBy(
+        F.window("ts", "10 seconds").start.alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents(F.col("value"))).alias("sum_cents"),
+    )
+    # exact-integer aggregation + explicit half-up rounding: float sums
+    # round differently across engines at exact half-boundaries
+    # (functions/exact.py)
+    return agged.selectExpr(
+        "window_start",
+        "event_type",
+        "n_events",
+        "sum_cents / 100.0D AS sum_value",
+        f"({spark_div_round('sum_cents', 'n_events')}) / 100.0D AS avg_value",
     )
 
 
@@ -73,18 +85,33 @@ def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q1_pricing_summary",
     oracle="""
+    WITH ints AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+               CAST(round(l_discount * 100) AS BIGINT) AS dc,
+               CAST(round(l_tax * 100) AS BIGINT) AS tc
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    ),
+    agged AS (
+        SELECT l_returnflag, l_linestatus,
+               sum(qc) AS sum_qc, sum(pc) AS sum_pc, sum(dc) AS sum_dc,
+               sum(pc * (100 - dc)) AS s4,
+               sum(pc * (100 - dc) * (100 + tc)) AS s6,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ints GROUP BY 1, 2
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 2) AS avg_qty,
-           round(avg(l_extendedprice), 2) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
-           CAST(count(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-    GROUP BY l_returnflag, l_linestatus
+           sum_qc / 100.0 AS sum_qty,
+           sum_pc / 100.0 AS sum_base_price,
+           ((s4 * 2 + 100) // 200) / 100.0 AS sum_disc_price,
+           ((s6 * 2 + 10000) // 20000) / 100.0 AS sum_charge,
+           ((sum_qc * 2 + n) // (n * 2)) / 100.0 AS avg_qty,
+           ((sum_pc * 2 + n) // (n * 2)) / 100.0 AS avg_price,
+           ((sum_dc * 100 * 2 + n) // (n * 2)) / 10000.0 AS avg_disc,
+           n AS count_order
+    FROM agged
     """,
     tags=("agg", "scan", "filter"),
 )
@@ -95,42 +122,69 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 of 11 columns are read (check `PushedFilters`/`ReadSchema` in
     explain). Partial aggregation runs map-side; the shuffle carries only
     |groups| × 8 values per partition.
+
+    Money arithmetic runs on exact integer cents (functions/exact.py):
+    the disc-price/charge PRODUCTS have 4-6 exact decimals, and float
+    sums of them round differently across engines at half-boundaries.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-        F.count("*").alias("count_order"),
+    qc, pc = cents(F.col("l_quantity")), cents(F.col("l_extendedprice"))
+    dc, tc = cents(F.col("l_discount")), cents(F.col("l_tax"))
+    agged = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qc).alias("sum_qc"),
+        F.sum(pc).alias("sum_pc"),
+        F.sum(dc).alias("sum_dc"),
+        F.sum(pc * (100 - dc)).alias("s4"),
+        F.sum(pc * (100 - dc) * (100 + tc)).alias("s6"),
+        F.count("*").alias("n"),
+    )
+    return agged.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qc / 100.0D AS sum_qty",
+        "sum_pc / 100.0D AS sum_base_price",
+        "((s4 * 2 + 100) div 200) / 100.0D AS sum_disc_price",
+        "((s6 * 2 + 10000) div 20000) / 100.0D AS sum_charge",
+        f"({spark_div_round('sum_qc', 'n')}) / 100.0D AS avg_qty",
+        f"({spark_div_round('sum_pc', 'n')}) / 100.0D AS avg_price",
+        f"({spark_div_round('sum_dc * 100', 'n')}) / 10000.0D AS avg_disc",
+        "n AS count_order",
     )
 
 
 @query(
     "agg_distinct_users",
     oracle="""
-    SELECT event_type,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value) / count(DISTINCT user_id), 2) AS value_per_user
-    FROM events
-    GROUP BY event_type
+    WITH agged AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type, n_users, n_events,
+           ((sum_cents * 2 + n_users) // (n_users * 2)) / 100.0 AS value_per_user
+    FROM agged
     """,
     tags=("agg", "distinct"),
 )
 def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct aggregation (expand + two-phase agg in Spark's planner)."""
+    """Distinct aggregation (expand + two-phase agg in Spark's planner).
+    The per-user ratio rounds on exact integer cents (functions/exact.py)."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agged = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value") / F.countDistinct("user_id"), 2).alias("value_per_user"),
+        F.sum(cents(F.col("value"))).alias("sum_cents"),
+    )
+    return agged.selectExpr(
+        "event_type",
+        "n_users",
+        "n_events",
+        f"({spark_div_round('sum_cents', 'n_users')}) / 100.0D AS value_per_user",
     )
 
 
@@ -214,17 +268,23 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q3_shipping_priority",
     oracle="""
-    SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    WITH agged AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS s4,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+          AND l_shipdate > TIMESTAMP '1999-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    )
+    SELECT l_orderkey, ((s4 * 2 + 100) // 200) / 100.0 AS revenue,
            o_orderdate, o_orderpriority
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1999-01-01'
-      AND l_shipdate > TIMESTAMP '1999-01-01'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, l_orderkey
+    FROM agged
+    ORDER BY s4 DESC, l_orderkey
     LIMIT 10
     """,
     tags=("join", "agg", "topk"),
@@ -244,36 +304,50 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
     )
-    return (
+    pc = cents(F.col("l_extendedprice"))
+    dc = cents(F.col("l_discount"))
+    agged = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+        .agg(F.sum(pc * (100 - dc)).alias("s4"))
+    )
+    # exact-integer revenue: float product-sums round differently across
+    # engines at half-boundaries, and the top-10 cut must order on the
+    # exact value (functions/exact.py)
+    return (
+        agged.selectExpr(
+            "l_orderkey",
+            "((s4 * 2 + 100) div 200) / 100.0D AS revenue",
+            "o_orderdate",
+            "o_orderpriority",
+            "s4",
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .orderBy(F.desc("s4"), F.asc("l_orderkey"))
         .limit(10)
+        .drop("s4")
     )
 
 
 @query(
     "q5_region_revenue",
     oracle="""
-    SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o_orderdate <  TIMESTAMP '1998-01-01'
-    GROUP BY n_name
+    WITH agged AS (
+        SELECT n_name,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS s4
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    )
+    SELECT n_name, ((s4 * 2 + 100) // 200) / 100.0 AS revenue FROM agged
     """,
     tags=("join", "agg"),
 )
@@ -305,10 +379,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.sum(
+                cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+            ).alias("s4")
         )
+        .selectExpr("n_name", "((s4 * 2 + 100) div 200) / 100.0D AS revenue")
     )
 
 
@@ -596,17 +671,21 @@ def sort_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "setops_active_or_rich",
     oracle="""
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    UNION
-    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
-    INTERSECT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT * FROM (
+        (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders
+    )
     """,
     tags=("setop",),
 )
 def setops_active_or_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) then INTERSECT, mirroring SQL's left-to-right
-    set-op precedence for same-precedence operators."""
+    """UNION (distinct) then INTERSECT — parenthesized explicitly in the
+    oracle: SQL gives INTERSECT HIGHER precedence than UNION, so the
+    unparenthesized form means A ∪ (B ∩ C), not the (A ∪ B) ∩ C
+    this DataFrame chain computes."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -700,12 +779,17 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scalar_json_extract",
     oracle="""
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
-    FROM events
-    GROUP BY event_type
+    WITH agged AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS sum_k
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type, n, sum_k,
+           ((sum_k * 100 * 2 + n) // (n * 2)) / 100.0 AS avg_k
+    FROM agged
     """,
     tags=("scalar", "json", "agg"),
 )
@@ -718,24 +802,34 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
-    return e.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(k).alias("sum_k"),
-        F.round(F.avg(k), 2).alias("avg_k"),
+    agged = e.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum(k).alias("sum_k")
+    )
+    return agged.selectExpr(
+        "event_type",
+        "n",
+        "sum_k",
+        f"({spark_div_round('sum_k * 100', 'n')}) / 100.0D AS avg_k",
     )
 
 
 @query(
     "scalar_case_buckets",
     oracle="""
-    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
-                WHEN c_acctbal < 3000 THEN 'low'
-                WHEN c_acctbal < 7000 THEN 'mid'
-                ELSE 'high' END AS balance_bucket,
-           CAST(count(*) AS BIGINT) AS n_customers,
-           round(avg(c_acctbal), 2) AS avg_balance
-    FROM customer
-    GROUP BY 1
+    WITH agged AS (
+        SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 3000 THEN 'low'
+                    WHEN c_acctbal < 7000 THEN 'mid'
+                    ELSE 'high' END AS balance_bucket,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_cents
+        FROM customer
+        GROUP BY 1
+    )
+    SELECT balance_bucket, n_customers,
+           floor((sum_cents * 2 + n_customers) / (n_customers * 2.0)) / 100.0
+               AS avg_balance
+    FROM agged
     """,
     tags=("scalar", "conditional"),
 )
@@ -749,9 +843,18 @@ def scalar_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("high")
         .alias("balance_bucket")
     )
-    return c.groupBy(bucket).agg(
+    agged = c.groupBy(bucket).agg(
         F.count("*").alias("n_customers"),
-        F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+        F.sum(cents(F.col("c_acctbal"))).alias("sum_cents"),
+    )
+    # double-floor rounding: balances can be NEGATIVE, and integer `div`
+    # truncates toward zero (≠ floor) — functions/exact.py
+    return agged.select(
+        "balance_bucket",
+        "n_customers",
+        (floor_round(F.col("sum_cents"), F.col("n_customers")) / 100.0).alias(
+            "avg_balance"
+        ),
     )
 
 

@@ -157,3 +157,54 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionBy(cid) → a probe reads nprobe/16 of the data."""
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOP_K)
+
+
+_L2_NORM = "sqrt(list_dot_product(e.v, e.v))"
+
+_VECTOR_OPS_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100)
+SELECT vec_id,
+       round({_L2_NORM}, 6) AS l2_norm,
+       round(list_sum(list_transform(e.v, x -> x / {_L2_NORM})), 6) AS unit_sum,
+       CAST(list_sum(list_transform(e.v,
+            x -> CAST(round(greatest(-127, least(127, x * 127 / 0.25))) AS BIGINT)))
+            AS BIGINT) AS int8_sum
+FROM e
+"""
+
+
+@query("sim_vector_normalize_quantize", oracle=_VECTOR_OPS_ORACLE, tags=("similarity", "vector-ops"))
+def sim_vector_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector preprocessing: L2 norm, unit-normalized component sum, and
+    symmetric int8 quantization (clamp ±127 at scale 0.25) — the
+    embedding-pipeline steps before storage/ANN. All expression-level
+    (zip_with/transform/aggregate), checked component-for-component
+    against the oracle."""
+    from ..functions.vectors import as_double, dot
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = as_double(F.col("embedding"))
+    staged = e.select("vec_id", v.alias("v"))
+    norm = F.sqrt(dot(F.col("v"), F.col("v")))
+    with_norm = staged.select("vec_id", "v", norm.alias("n"))
+    unit_sum = F.aggregate(
+        F.transform(F.col("v"), lambda x: x / F.col("n")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    int8_sum = F.aggregate(
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(
+                F.greatest(F.lit(-127.0), F.least(F.lit(127.0), x * 127 / 0.25))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return with_norm.select(
+        "vec_id",
+        F.round(F.col("n"), 6).alias("l2_norm"),
+        F.round(unit_sum, 6).alias("unit_sum"),
+        int8_sum.alias("int8_sum"),
+    )

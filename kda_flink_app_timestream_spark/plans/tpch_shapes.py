@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.exact import cents
 from ..sources.batch import load_table
 from .catalog import query
 
@@ -56,9 +57,11 @@ def q2_min_price_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q7_nation_volume",
     oracle="""
+    WITH agged AS (
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
            CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS s4
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -69,6 +72,10 @@ def q2_min_price_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND n2.n_name IN ('NATION_1', 'NATION_2')
       AND n1.n_name <> n2.n_name
     GROUP BY 1, 2, 3
+    )
+    SELECT cust_nation, supp_nation, ship_year,
+           ((s4 * 2 + 100) // 200) / 100.0 AS volume
+    FROM agged
     """,
     tags=("join", "tpch"),
 )
@@ -101,9 +108,13 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "volume"
-            )
+            F.sum(
+                cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+            ).alias("s4")
+        )
+        .selectExpr(
+            "cust_nation", "supp_nation", "ship_year",
+            "((s4 * 2 + 100) div 200) / 100.0D AS volume",
         )
     )
 
@@ -113,9 +124,12 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
            round(sum(CASE WHEN n.n_name = 'NATION_3'
-                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
                           ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+                 / CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE),
+                 6) AS mkt_share
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -131,14 +145,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    national = F.when(F.col("n_name") == "NATION_3", rev).otherwise(F.lit(0.0))
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    national = F.when(F.col("n_name") == "NATION_3", rev).otherwise(F.lit(0))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
-        .agg(F.round(F.sum(national) / F.sum(rev), 6).alias("mkt_share"))
+        .agg(F.round(F.sum(national) / F.sum(rev).cast("double"), 6).alias("mkt_share"))
     )
 
 
@@ -213,7 +227,9 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT ((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) * 2 + 100) // 200)
+           / 100.0 AS revenue
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11
@@ -236,10 +252,14 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
         | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
     )
-    return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
+    return (
+        j.filter(cond)
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+            ).alias("s4")
         )
+        .selectExpr("((s4 * 2 + 100) div 200) / 100.0D AS revenue")
     )
 
 
