@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 import hashlib
 
 from ..functions.text import portable_hash64, tokens, word_shingles
+from ..functions.exact import floor_round
 from ..sources.batch import scatter
 
 NUM_MINHASHES = 8
@@ -225,11 +226,15 @@ def exact_jaccard_pairs(
     )
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    # explicit integer half-up rounding (functions/exact.py): the exact
+    # rational shared/union can end in 5 one digit past the scale, where
+    # float round() diverges across engines
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("shared")
+    jac = floor_round(F.col("shared"), union_sz, out_pow=4) / 10000.0
     return (
         shared.join(na, "doc_a")
         .join(nb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
