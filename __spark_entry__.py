@@ -32,10 +32,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["events_tumbling_agg"].fn(spark, SMOKE_SF_DIR)
 
 
+# Round-1's driver scored exactly the first 50 dict entries, leaving 39
+# registry queries without a CORRECTNESS row. Emit the dict in an explicit
+# verification-priority order: first the queries with no driver row yet,
+# then the ones whose implementation changed this round (need re-scoring),
+# then everything already driver-green in r1 — so a capped scoring window
+# always lands on the rows that need the signal most.
+_SCORE_FIRST = [
+    # --- no CORRECTNESS row in r1 (driver cap) ---
+    "setops_except_inactive", "scalar_string_funcs", "scalar_date_funcs",
+    "scalar_json_extract", "scalar_case_buckets", "pivot_daily_event_matrix",
+    "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk",
+    "sim_vector_normalize_quantize", "stream_tumbling_events",
+    "stream_sliding_events", "stream_session_windows", "stream_interval_join",
+    "stream_dedup_keys", "stream_stateful_running_counts",
+    "q2_min_price_per_part", "q7_nation_volume", "q8_market_share",
+    "q13_order_count_distribution", "q18_large_volume_orders",
+    "q19_disjunctive_revenue", "q22_global_sales_opportunity",
+    "text_language_id", "text_quality_scores", "text_token_counts",
+    "text_fingerprint", "text_ngram_doc_freq", "text_tfidf_top_terms",
+    "text_train_val_split", "text_chunking", "text_normalize",
+    "text_context_packing", "text_stratified_sample",
+    "timeseries_multi_rollup", "timeseries_gapfill",
+    "map_dimensions_long_form", "applyinpandas_zscore", "udtf_char_ngrams",
+    # --- changed in round 2, need a fresh driver row ---
+    "multimodal_byte_histogram", "dedup_embedding_pairs",
+    "dedup_ngram_jaccard_pairs", "dedup_minhash_pairs",
+    "dedup_cluster_representatives", "parse_service_logs_roundtrip",
+    # --- headline queries, keep inside any scoring window ---
+    "events_tumbling_agg", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_region_revenue", "asof_join_purchase_signup",
+]
+
+
+def _ordered_names() -> list[str]:
+    load_all_plans()
+    rank = {n: i for i, n in enumerate(_SCORE_FIRST)}
+    names = list(REGISTRY)
+    return sorted(names, key=lambda n: (rank.get(n, len(rank)), names.index(n)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     load_all_plans()
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -43,4 +83,8 @@ def oracle_sql() -> dict[str, str]:
     registered with ``oracle=None`` (non-SQL-expressible semantics) are
     omitted → the driver records the weaker rows-only check."""
     load_all_plans()
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }

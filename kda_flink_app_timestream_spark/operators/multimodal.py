@@ -62,25 +62,35 @@ def byte_histogram_features(
 ) -> DataFrame:
     """Deterministic fake 'feature extraction': 8-bin byte histogram per
     payload via Arrow-batched ``mapInPandas`` — the exact plumbing
-    (batch iterator, binary cells, array output schema) a real
-    embed/decode UDF uses."""
+    (batch iterator, binary cells, explicit output schema) a real
+    embed/decode UDF uses. The bins come back as scalar ``bin_0…bin_7``
+    columns (one histogram bucket each) rather than one array column:
+    scalar outputs sort/compare/downstream-aggregate without exploding,
+    which is what a feature table at 100 TB wants anyway."""
     n_bins = N_HIST_BINS
+    bin_cols = [f"bin_{i}" for i in range(n_bins)]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         shift = 8 - n_bins.bit_length() + 1  # bin = byte >> shift (256/n_bins)
         for pdf in batches:
-            feats = [
-                np.bincount(
-                    np.frombuffer(payload, dtype=np.uint8) >> shift,
-                    minlength=n_bins,
-                ).tolist()
-                for payload in pdf[payload_col]
-            ]
-            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+            feats = np.stack(
+                [
+                    np.bincount(
+                        np.frombuffer(payload, dtype=np.uint8) >> shift,
+                        minlength=n_bins,
+                    )
+                    for payload in pdf[payload_col]
+                ]
+            ) if len(pdf) else np.zeros((0, n_bins), dtype=np.int64)
+            out = {id_col: pdf[id_col]}
+            for i, c in enumerate(bin_cols):
+                out[c] = feats[:, i].astype("int64")
+            yield pd.DataFrame(out)
 
-    return scatter(df).mapInPandas(extract, schema=f"{id_col} long, features array<int>")
+    schema = f"{id_col} long, " + ", ".join(f"{c} long" for c in bin_cols)
+    return scatter(df).mapInPandas(extract, schema=schema)
 
 
 def frame_sample(

@@ -64,11 +64,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(d, stride=10)
 
 
-@query("multimodal_byte_histogram", oracle=None, tags=("multimodal", "pandas-udf"))
+# The payload is UTF-8 text and the corpus is pure ASCII (verified: zero
+# rows match [^\x00-\x7F] at sf0.1), so byte == ord(char) and the 8-bin
+# histogram (bin = byte >> 5) IS SQL-expressible: explode char positions,
+# bucket by ord()//32, pivot to scalar bins via FILTER.
+_HIST_ORACLE = """
+WITH b AS (
+    SELECT doc_id,
+           ord(substring(text, unnest(range(1, length(text) + 1)), 1)) // 32 AS bin
+    FROM documents
+)
+SELECT doc_id,
+       """ + ",\n       ".join(
+    f"CAST(count(*) FILTER (WHERE bin = {i}) AS BIGINT) AS bin_{i}" for i in range(8)
+) + """
+FROM b
+GROUP BY doc_id
+"""
+
+
+@query("multimodal_byte_histogram", oracle=_HIST_ORACLE, tags=("multimodal", "pandas-udf"))
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
-    (8-bin byte histogram — the deterministic decoder stand-in).
-    Rows-only check: byte-level Python isn't expressible in the SQL
-    oracle; correctness is pinned by tests/test_multimodal.py instead."""
+    (8-bin byte histogram — the deterministic decoder stand-in), emitted
+    as scalar ``bin_0…bin_7`` columns so the result canonicalizes like
+    any relational table."""
     d = load_table(spark, sf_dir, "documents")
     return byte_histogram_features(attach_payload(d))

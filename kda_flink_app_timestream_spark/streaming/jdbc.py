@@ -34,30 +34,60 @@ POINT_COLUMNS = (
 )
 
 
+# Derby SQLStates meaning "the object doesn't exist (yet)" — the ONLY
+# errors the idempotence deletes may swallow (first append creates the
+# table). Anything else (lock timeout, connection failure, syntax) must
+# fail the batch so the checkpoint retries it; swallowing those would
+# silently duplicate rows on replay (ADVICE r1).
+_MISSING_OBJECT_STATES = frozenset({"42X05", "42Y07", "42Y55", "X0X05"})
+
+
+def _sql_state(exc: Exception) -> str | None:
+    """Walk a py4j-wrapped java.sql.SQLException chain for its SQLState."""
+    je = getattr(exc, "java_exception", None)
+    while je is not None:
+        try:
+            state = je.getSQLState()
+        except Exception:
+            state = None
+        if state:
+            return str(state)
+        try:
+            je = je.getCause()
+        except Exception:
+            return None
+    return None
+
+
+def _is_missing_object(exc: Exception) -> bool:
+    return _sql_state(exc) in _MISSING_OBJECT_STATES
+
+
 def _delete_epoch(spark, url: str, table: str, epoch_id: int) -> None:
     """Row-level delete through the JVM's DriverManager (Spark's JDBC
-    data source has no delete path). Silently ignores a missing table —
-    the first append creates it."""
+    data source has no delete path), parameterized via PreparedStatement.
+    Tolerates ONLY a missing table (the first append creates it); every
+    other failure propagates and fails the micro-batch so the checkpoint
+    replays it — the exactly-once contract."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
-        jvm = spark._jvm
-        conn = jvm.java.sql.DriverManager.getConnection(url)
-        try:
-            stmt = conn.createStatement()
-            # Spark's JDBC writer creates QUOTED (case-sensitive) column
-            # identifiers; try quoted/unquoted table spellings in order
-            for tbl in (table, f'"{table}"'):
-                try:
-                    stmt.executeUpdate(
-                        f'DELETE FROM {tbl} WHERE "epoch_id" = {int(epoch_id)}'
-                    )
-                    break
-                except Exception:
-                    continue
-            stmt.close()
-        finally:
-            conn.close()
-    except Exception:
-        pass  # table doesn't exist yet / connect-mode session: append creates it
+        # Spark's JDBC writer creates the table name UNQUOTED (Derby
+        # folds to uppercase) but column names QUOTED; try unquoted then
+        # quoted table spellings for pre-existing targets.
+        for tbl in (table, f'"{table}"'):
+            try:
+                ps = conn.prepareStatement(f'DELETE FROM {tbl} WHERE "epoch_id" = ?')
+                ps.setLong(1, int(epoch_id))
+                ps.executeUpdate()
+                ps.close()
+                return
+            except Exception as exc:
+                if _is_missing_object(exc):
+                    continue  # first batch: append will create the table
+                raise
+    finally:
+        conn.close()
 
 
 def jdbc_point_sink(
@@ -112,41 +142,55 @@ def jdbc_upsert_sink(
     the JDBC table stays an exact materialization of the streaming
     aggregation (Timestream-style continuous rollup).
 
-    The key set per batch is bounded by changed windows (watermark-
-    bounded), so the driver-side key collection stays small by
-    construction.
+    Scale design (mirrors TimestreamSink.java:103-120's per-record
+    repair WITHOUT a driver loop): the changed keys are written
+    executor-parallel to a staging table through Spark's JDBC writer —
+    never ``collect()``-ed — then ONE set-based
+    ``DELETE … WHERE EXISTS (SELECT 1 FROM stage …)`` clears the stale
+    rows before the append. No values are ever string-interpolated into
+    SQL (keys travel through the JDBC writer's prepared inserts), and
+    only a missing-table error is tolerated; anything else fails the
+    batch so the checkpoint retries.
     """
+    stage = f"{table}_stage_keys"
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        keys = batch_df.select(*key_cols).distinct().collect()
-        if not keys:
-            return
+        # Executor-parallel staging of the (watermark-bounded) key set.
+        (
+            batch_df.select(*key_cols).distinct()
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", stage)
+            .option("driver", driver)
+            .mode("overwrite")
+            .save()
+        )
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
         try:
-            jvm = spark._jvm
-            conn = jvm.java.sql.DriverManager.getConnection(url)
-            try:
-                stmt = conn.createStatement()
-                for row in keys:
-                    cond = " AND ".join(
-                        f'"{c}" = ' + (
-                            f"'{row[c]}'" if isinstance(row[c], str)
-                            else f"TIMESTAMP('{row[c]}')" if hasattr(row[c], "isoformat")
-                            else str(row[c])
-                        )
-                        for c in key_cols
-                    )
-                    for tbl in (table, f'"{table}"'):
-                        try:
-                            stmt.executeUpdate(f"DELETE FROM {tbl} WHERE {cond}")
-                            break
-                        except Exception:
-                            continue
-                stmt.close()
-            finally:
-                conn.close()
-        except Exception:
-            pass  # first batch: table not created yet
+            # Spark's JDBC writer creates the TABLE name unquoted (Derby
+            # folds it to uppercase) but COLUMN names quoted (exact case)
+            # — so the stage reference is unquoted + quoted columns, and
+            # only the target table (possibly pre-existing with either
+            # spelling) gets the two-spelling fallback.
+            for tbl in (table, f'"{table}"'):
+                cond = " AND ".join(f's."{c}" = {tbl}."{c}"' for c in key_cols)
+                sql = (
+                    f"DELETE FROM {tbl} WHERE EXISTS "
+                    f"(SELECT 1 FROM {stage} s WHERE {cond})"
+                )
+                try:
+                    stmt = conn.createStatement()
+                    stmt.executeUpdate(sql)
+                    stmt.close()
+                    break
+                except Exception as exc:
+                    if _is_missing_object(exc):
+                        continue  # first batch: target not created yet
+                    raise
+        finally:
+            conn.close()
         (
             batch_df.write.format("jdbc")
             .option("url", url)

@@ -64,12 +64,26 @@ def test_streaming_into_jdbc_with_epoch_idempotence(spark, tmp_path):
     assert len(set(accounts)) == 42  # generator offsets → unique ids, no dups
 
 
-def test_continuous_rollup_upsert_into_jdbc(spark, tmp_path):
+_COLLECT_CALLS: list = []
+
+
+def test_continuous_rollup_upsert_into_jdbc(spark, tmp_path, monkeypatch):
     """Streaming 10-min windowed rollup maintained in Derby via keyed
     upserts (update output mode): after incremental file drops that
     REVISE existing windows, the JDBC table must equal the batch
     aggregate over all data — the continuous-aggregate contract."""
+    from pyspark.sql import DataFrame as _DF
+
     from kda_flink_app_timestream_spark.streaming.jdbc import jdbc_upsert_sink
+
+    _COLLECT_CALLS.clear()
+    orig_collect = _DF.collect
+
+    def spy(self):
+        _COLLECT_CALLS.append("collect")
+        return orig_collect(self)
+
+    monkeypatch.setattr(_DF, "collect", spy)
 
     url = "jdbc:derby:memory:kda_rollup;create=true"
     table = "rollup_10min"
@@ -107,15 +121,45 @@ def test_continuous_rollup_upsert_into_jdbc(spark, tmp_path):
     drop([(120_000, 4.0), (720_000, 20.0)])               # revises BOTH windows
     run()
 
-    got = {
-        r["window_start"]: (r["n"], r["total"])
-        for r in spark.read.format("jdbc")
+    # the stale-key clear is set-based through a staging table: at no
+    # point may the sink pull data rows to the driver
+    assert _COLLECT_CALLS == []
+
+    rows = (
+        spark.read.format("jdbc")
         .option("url", url).option("dbtable", table)
         .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         .load()
         .collect()
-    }
+    )
+    got = {r["window_start"]: (r["n"], r["total"]) for r in rows}
+    # exactly one row per window — a skipped stale-key delete would leave
+    # the superseded aggregates behind (and a dict would mask them)
+    assert len(rows) == 2
     assert len(got) == 2
     by_window = sorted(got.items())
     assert by_window[0][1] == (3, 8.0)    # 1.5 + 2.5 + 4.0
     assert by_window[1][1] == (2, 30.0)   # 10.0 + 20.0
+
+
+def test_upsert_delete_failure_fails_the_batch(spark):
+    """Only a MISSING TABLE may be tolerated by the stale-key delete;
+    any other SQL failure (here: the key column doesn't exist in a
+    pre-existing target) must propagate so the checkpoint retries the
+    batch instead of silently keeping duplicates (ADVICE r1)."""
+    import pytest
+
+    from kda_flink_app_timestream_spark.streaming.jdbc import jdbc_upsert_sink
+
+    url = "jdbc:derby:memory:kda_badtarget;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    stmt = conn.createStatement()
+    stmt.executeUpdate('CREATE TABLE "wrongshape" ("other_col" INT)')
+    stmt.close()
+    conn.close()
+
+    batch = spark.createDataFrame([(1, 2.0)], ["k", "v"])
+    write = jdbc_upsert_sink(url, "wrongshape", ("k",))
+    with pytest.raises(Exception, match="(?i)column|42X04"):
+        write(batch, 0)

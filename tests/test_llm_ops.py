@@ -140,7 +140,7 @@ def test_lsh_topk_bucket_consistency(spark, sf_dir):
 
 def test_byte_histogram_matches_python(spark, docs):
     out = {
-        r["doc_id"]: r["features"]
+        r["doc_id"]: [r[f"bin_{i}"] for i in range(8)]
         for r in byte_histogram_features(attach_payload(docs)).collect()
     }
     for row in docs.collect():
