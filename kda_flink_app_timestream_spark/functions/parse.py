@@ -30,7 +30,14 @@ KEPT_KEYS = ("callerservice", "operation", "awsaccountid", "endtime", "time")
 def _kv_map(value: Column) -> Column:
     """Lines → lowercase-key map. Mirrors the reference's per-line split
     on '=' (LogsToTimestreamPayloadFn.java:25-27) — lines without '='
-    (the dashed separator, 'EOE') are dropped; later duplicates win."""
+    (the dashed separator, 'EOE') are dropped; later duplicates win,
+    exactly like the reference's ``HashMap.put`` per line.
+
+    The last-wins dedup is EXPLICIT (fold: drop key from accumulator,
+    re-add with the new value): ``map_from_entries`` over raw entries
+    would throw DUPLICATE_MAP_KEY the moment a blob repeats a key with a
+    different value — one malformed record would fail the whole
+    micro-batch."""
     lines = F.filter(F.split(value, "\n"), lambda l: l.contains("="))
     # value is the SECOND '='-token, exactly like the reference's
     # line.split("=") → parts[1] (LogsToTimestreamPayloadFn.java:26-27):
@@ -42,7 +49,17 @@ def _kv_map(value: Column) -> Column:
             F.trim(F.split_part(l, F.lit("="), F.lit(2))).alias("value"),
         ),
     )
-    return F.map_from_entries(F.array_distinct(entries))
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    return F.aggregate(
+        entries,
+        empty,
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, _: k != e["key"]),
+            F.create_map(e["key"], e["value"]),
+        ),
+    )
 
 
 def parse_service_logs(df: DataFrame, value_col: str = "value") -> DataFrame:

@@ -11,8 +11,12 @@ exact n-gram Jaccard.
   exact Jaccard uses an inverted shingle index (shuffle on shingle →
   pairs only for docs sharing ≥1 shingle).
 - Hot shingles/bands (boilerplate text) are the skew risk: AQE skew-join
-  handles moderate skew; pathological shingles should be stop-listed
-  upstream (df.filter on shingle frequency — one extra agg).
+  handles moderate skew; pathological shingles are STOP-LISTED — one
+  document-frequency agg filters shingles above ``max_doc_freq`` out of
+  the inverted index before the self-join (exact_jaccard_pairs), and
+  ``lsh_candidate_pairs`` takes the same cap for band buckets. Scores
+  stay exact: candidates come from the filtered index, but |A∩B|/|A∪B|
+  is computed on the FULL shingle sets of each surviving pair.
 """
 
 from __future__ import annotations
@@ -43,8 +47,16 @@ def _coeff(tag: str, s: int, lo: int) -> int:
     return h % (MINHASH_PRIME - lo) + lo
 
 
-MINHASH_A = tuple(_coeff("a", s, 1) for s in range(NUM_MINHASHES))
-MINHASH_B = tuple(_coeff("b", s, 0) for s in range(NUM_MINHASHES))
+def minhash_coeffs(num_hashes: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """(A, B) coefficient vectors for any permutation count — the first
+    NUM_MINHASHES entries are the oracle-matched defaults."""
+    return (
+        tuple(_coeff("a", s, 1) for s in range(num_hashes)),
+        tuple(_coeff("b", s, 0) for s in range(num_hashes)),
+    )
+
+
+MINHASH_A, MINHASH_B = minhash_coeffs(NUM_MINHASHES)
 
 
 def minhash_signature(
@@ -65,9 +77,10 @@ def minhash_signature(
     sh = word_shingles(F.col("toks"), shingle_n)
     base = F.transform(sh, lambda x: portable_hash64(x, "mh") % MINHASH_PRIME)
     with_base = toked.select(F.col(id_col), base.alias("base"))
+    coeff_a, coeff_b = minhash_coeffs(num_hashes)
 
     def perm(s: int):
-        a, b = MINHASH_A[s], MINHASH_B[s]
+        a, b = coeff_a[s], coeff_b[s]
         return lambda h: (h * a + b) % MINHASH_PRIME
 
     sig = F.array(
@@ -83,11 +96,24 @@ def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = NUM_BANDS,
+    num_hashes: int = NUM_MINHASHES,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into bands, bucket by band
     value, emit distinct intra-bucket pairs. Shuffles on (band_idx,
-    band_key) — never all-pairs."""
-    num_hashes = NUM_MINHASHES
+    band_key) — never all-pairs.
+
+    ``num_hashes`` must match the signature layout the caller built
+    (``minhash_signature(..., num_hashes=...)``); a runtime guard fails
+    fast on width mismatch instead of silently banding a wrong layout.
+    ``max_band_freq`` (optional) stop-lists band buckets shared by more
+    than that many docs before the self-join — the skew escape hatch for
+    boilerplate-heavy corpora where one bucket would go quadratic.
+    """
+    if num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by num_bands ({num_bands})"
+        )
     rows_per_band = num_hashes // num_bands
     bands = F.array(
         *[
@@ -104,9 +130,29 @@ def lsh_candidate_pairs(
             for b in range(num_bands)
         ]
     )
-    exploded = sig_df.select(F.col(id_col), F.explode(bands).alias("band")).select(
+    guarded = sig_df.withColumn(
+        "__sig_ok",
+        F.assert_true(
+            F.size("sig") == num_hashes,
+            F.concat(
+                F.lit(f"lsh_candidate_pairs: expected {num_hashes}-wide sig, got "),
+                F.size("sig").cast("string"),
+            ),
+        ),
+    ).drop("__sig_ok")
+    exploded = guarded.select(F.col(id_col), F.explode(bands).alias("band")).select(
         id_col, "band.band_idx", "band.band_key"
     )
+    if max_band_freq is not None:
+        hot = (
+            exploded.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("__bf"))
+            .filter(F.col("__bf") > max_band_freq)
+            .select("band_idx", "band_key")
+        )
+        exploded = exploded.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -128,15 +174,25 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.3,
+    num_hashes: int = NUM_MINHASHES,
+    num_bands: int = NUM_BANDS,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with estimated Jaccard
     (fraction of agreeing signature positions) ≥ threshold.
 
+    ``num_hashes``/``num_bands`` default to the oracle-matched test
+    values (8/4); production corpora want e.g. 128/16 (see
+    plans/dedup.py for the session-config plumbing).
+
     Signatures are cached: they feed the band join AND both sides of the
     estimate join — without the cache the shingle+hash expression would
     re-evaluate three times."""
-    sig = minhash_signature(df, id_col, text_col).cache()
-    pairs = lsh_candidate_pairs(sig, id_col)
+    sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes).cache()
+    pairs = lsh_candidate_pairs(
+        sig, id_col, num_bands=num_bands, num_hashes=num_hashes,
+        max_band_freq=max_band_freq,
+    )
     sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (
@@ -146,7 +202,7 @@ def minhash_near_dup_pairs(
                 lambda m: m,
             )
         )
-        / float(NUM_MINHASHES)
+        / float(num_hashes)
     )
     return (
         pairs.join(sa, "doc_a")
@@ -186,15 +242,29 @@ def simhash(
     return with_hashes.select(F.col(id_col), value.cast("long").alias("simhash"))
 
 
+MAX_SHINGLE_DOC_FREQ = 128
+
+
 def exact_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.3,
     shingle_n: int = 3,
+    max_doc_freq: int | None = MAX_SHINGLE_DOC_FREQ,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted shingle index: pairs sharing ≥1
-    shingle get ``|A∩B| / |A∪B|``; others are never materialized.
+    *non-stop-listed* shingle get ``|A∩B| / |A∪B|``; others are never
+    materialized.
+
+    Skew control: shingles appearing in more than ``max_doc_freq`` docs
+    (boilerplate — a quadratic bomb in the index self-join: one shingle
+    in f docs emits f² candidate rows) are dropped from the INDEX by one
+    document-frequency aggregate + broadcast anti-join. Scores stay
+    exact because the intersection/union for each surviving candidate is
+    computed on the FULL hashed-shingle sets (array_intersect), not on
+    index rows — only pairs whose every common shingle is stop-listed
+    are lost, and those are boilerplate-only overlaps by construction.
 
     The index carries the 60-bit portable hash of the shingle, not the
     string — an 8-byte shuffle key instead of ~20 bytes, and a cheaper
@@ -207,12 +277,35 @@ def exact_jaccard_pairs(
         word_shingles(F.col("toks"), shingle_n),
         lambda x: portable_hash64(x, "jac"),
     )
-    # cached: the index feeds both sides of the self-join plus the size
-    # aggregate — uncached, the shingle+md5 pipeline would run 3×
+    # cached: the index feeds the self-join, the frequency agg, and the
+    # size projection — uncached, the shingle+md5 pipeline would re-run
     sh = toked.select(F.col(id_col), F.explode(hashed).alias("shingle")).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("shingle")
+        )
+        # the stop-list is tiny by construction (only pathological
+        # shingles) → broadcast anti/semi joins, no index re-shuffle
+        sh_cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # per-doc HOT shingles (short arrays, empty for most docs) let
+        # the score stay exact without joining the full shingle sets:
+        # shared = cold_shared + |hot_a ∩ hot_b|
+        hot_docs = (
+            sh.join(F.broadcast(hot), "shingle", "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_list("shingle").alias("hot_set"))
+        )
+    else:
+        sh_cold = sh
+        hot_docs = None
+
+    a = sh_cold.alias("a")
+    b = sh_cold.alias("b")
     shared = (
         a.join(
             b,
@@ -226,16 +319,23 @@ def exact_jaccard_pairs(
     )
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    scored = shared.join(na, "doc_a").join(nb, "doc_b")
+    if hot_docs is not None:
+        ha = hot_docs.select(F.col(id_col).alias("doc_a"), F.col("hot_set").alias("hot_a"))
+        hb = hot_docs.select(F.col(id_col).alias("doc_b"), F.col("hot_set").alias("hot_b"))
+        scored = scored.join(ha, "doc_a", "left").join(hb, "doc_b", "left")
+        shared_total = F.col("shared") + F.coalesce(
+            F.size(F.array_intersect("hot_a", "hot_b")), F.lit(0)
+        )
+    else:
+        shared_total = F.col("shared")
     # explicit integer half-up rounding (functions/exact.py): the exact
     # rational shared/union can end in 5 one digit past the scale, where
     # float round() diverges across engines
-    union_sz = F.col("n_a") + F.col("n_b") - F.col("shared")
-    jac = floor_round(F.col("shared"), union_sz, out_pow=4) / 10000.0
-    return (
-        shared.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    union_sz = F.col("n_a") + F.col("n_b") - shared_total
+    jac = floor_round(shared_total, union_sz, out_pow=4) / 10000.0
+    return scored.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -271,6 +371,7 @@ def connected_components(
         .withColumn("rep", F.col("node"))
         .cache()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             und.join(rep, und.b == rep.node)
@@ -296,4 +397,12 @@ def connected_components(
         if changed == 0:
             break
     und.unpersist()
+    if changed != 0:
+        # silently returning partial labels would make cluster
+        # representatives disagree with the true transitive closure
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or switch "
+            "to large-star/small-star for graphs with diameter > max_iter"
+        )
     return rep.select(F.col("node"), F.col("rep").alias("cluster_rep"))

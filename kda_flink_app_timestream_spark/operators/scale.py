@@ -55,7 +55,19 @@ def salted_join(
     ``salt_buckets`` reducers instead of one. Use when AQE's skew-join
     split isn't available (non-shuffle joins) or the skew is extreme;
     costs a ``salt_buckets``× blow-up of the right side.
+
+    Only left-preserving joins are legal: an unmatched RIGHT row exists
+    once per replica, so right/full outer (or right semi/anti) would
+    emit it ``salt_buckets`` times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "semi", "left_semi",
+               "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports only left-preserving joins {sorted(allowed)}; "
+            f"got how={how!r} — the replicated right side would duplicate "
+            "unmatched right rows"
+        )
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     l_salted = left.withColumn("__salt", salt.cast("int"))
     r_salted = right.withColumn(

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+import functools
 import hashlib
 
 from ..functions.vectors import as_double, cosine
@@ -42,21 +43,32 @@ def _plane_component(plane: int, d: int) -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
+@functools.lru_cache(maxsize=None)
+def plane_components(plane: int, dim: int = DIM) -> tuple[float, ...]:
+    """Components of hyperplane ``plane`` — any index, generated on
+    demand (banded blocking uses planes beyond the first N_PLANES)."""
+    return tuple(_plane_component(plane, d) for d in range(dim))
+
+
 HYPERPLANES: tuple[tuple[float, ...], ...] = tuple(
-    tuple(_plane_component(p, d) for d in range(DIM)) for p in range(N_PLANES)
+    plane_components(p) for p in range(N_PLANES)
 )
 
 
 def hyperplane(plane: int, dim: int = DIM) -> Column:
-    return F.array(*[F.lit(c) for c in HYPERPLANES[plane][:dim]])
+    return F.array(*[F.lit(c) for c in plane_components(plane, DIM)[:dim]])
 
 
-def lsh_bucket(vec: Column, n_planes: int = N_PLANES, dim: int = DIM) -> Column:
-    """Sign-concatenation bucket id in [0, 2^n_planes)."""
+def lsh_bucket(
+    vec: Column, n_planes: int = N_PLANES, dim: int = DIM, plane_offset: int = 0
+) -> Column:
+    """Sign-concatenation bucket id in [0, 2^n_planes), over planes
+    ``plane_offset … plane_offset + n_planes`` (banded blocking hashes
+    each band with its own plane slice)."""
     bucket = None
     for p in range(n_planes):
         d = F.aggregate(
-            F.zip_with(vec, hyperplane(p, dim), lambda x, y: x * y),
+            F.zip_with(vec, hyperplane(plane_offset + p, dim), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -128,31 +140,80 @@ def lsh_topk(
     )
 
 
+EMB_N_BANDS = 4
+EMB_PLANES_PER_BAND = 4
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    n_bands: int = EMB_N_BANDS,
+    planes_per_band: int = EMB_PLANES_PER_BAND,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs ≥ threshold, blocked by
-    ``block_col`` (metadata blocking — the classic scalable first cut;
-    swap in ``lsh_bucket`` for unlabeled corpora)."""
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        as_double(F.col(vec_col)).alias("va"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        as_double(F.col(vec_col)).alias("vb"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    )
-    cond = F.col("id_a") < F.col("id_b")
-    joined = a.join(b, (["blk"] if block_col else [])).filter(cond) if block_col else a.crossJoin(b).filter(cond)
+    """Embedding-cosine near-duplicate pairs ≥ threshold, blocked on the
+    COMPOUND key ``(block_col, band, lsh_bucket_band(vec))`` with OR-
+    amplification across ``n_bands`` sign-LSH bands.
+
+    Metadata blocking alone is a skew bomb: a label holding p·N vectors
+    costs (p·N)² comparisons. Sub-bucketing every label by a
+    ``planes_per_band``-bit sign bucket bounds each block at
+    ~|label| / 2^planes_per_band per band, so no block goes quadratic;
+    banding (pair is a candidate if ANY band agrees — same
+    OR-amplification as MinHash LSH, operators/dedup.py) restores the
+    recall a single bucket would lose: P[candidate] = 1-(1-(1-θ/π)^r)^b
+    ≈ 0.95 at cosine 0.9 with the 4×4 default. Candidates are distinct
+    (id_a, id_b) — the band join carries only (block, band, bucket, id),
+    ~24 bytes/row; vectors re-join AFTER candidate dedup, so the wide
+    embedding column never rides the band shuffle.
+
+    Pass ``block_col=None`` for unlabeled corpora (bucket-only
+    blocking), ``n_bands=0`` for exact within-label pairs (no
+    sub-bucketing — only safe when every label is small).
+    """
+    blk_cols = [c for c in [block_col] if c]
+    vecs = df.select(F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v"))
     sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    return joined.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
-        F.col("cosine_sim") >= threshold
+
+    if n_bands <= 0:
+        if not blk_cols:
+            raise ValueError("n_bands=0 requires a block_col (else all-pairs)")
+        a = df.select(F.col(id_col).alias("id_a"), *blk_cols)
+        b = df.select(F.col(id_col).alias("id_b"), *blk_cols)
+        cand = a.join(b, blk_cols).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        buckets = F.array(
+            *[
+                lsh_bucket(
+                    as_double(F.col(vec_col)),
+                    planes_per_band,
+                    plane_offset=band * planes_per_band,
+                )
+                for band in range(n_bands)
+            ]
+        )
+        banded = df.select(
+            F.col(id_col).alias("__id"),
+            *blk_cols,
+            F.posexplode(buckets).alias("band", "bkt"),
+        )
+        keys = blk_cols + ["band", "bkt"]
+        a = banded.select(F.col("__id").alias("id_a"), *keys)
+        b = banded.select(F.col("__id").alias("id_b"), *keys)
+        cand = (
+            a.join(b, keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    return (
+        cand.join(vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("va")), "id_a")
+        .join(vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb")), "id_b")
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import sql_portable_hash64, tokens
 from ..operators.dedup import (
+    MAX_SHINGLE_DOC_FREQ,
     MINHASH_A,
     MINHASH_B,
     MINHASH_PRIME,
@@ -107,16 +108,39 @@ def _minhash_oracle() -> str:
     """
 
 
+def _conf_int(spark: SparkSession, key: str, default: int) -> int:
+    return int(spark.conf.get(key, str(default)))
+
+
 @query("dedup_minhash_pairs", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8)+LSH(4 bands×2) near-dup pairs with estimated Jaccard ≥
-    0.3. Shingle→minhash is row-local; the only shuffles are the band
-    bucket join and the signature re-join — never all-pairs
-    (operators/dedup.py: minhash_near_dup_pairs)."""
+    """MinHash+LSH near-dup pairs with estimated Jaccard ≥ 0.3. Shingle→
+    minhash is row-local; the only shuffles are the band bucket join and
+    the signature re-join — never all-pairs (operators/dedup.py:
+    minhash_near_dup_pairs).
+
+    Parameters come from session config — defaults are the
+    oracle-matched test values; production corpora set e.g. 128/16
+    (NOTE: non-default values diverge from the static oracle SQL, which
+    is generated for the defaults):
+
+    - ``spark.kda.dedup.numMinhashes`` (default 8)
+    - ``spark.kda.dedup.numBands`` (default 4)
+    - ``spark.kda.dedup.maxBandFreq`` (default -1 = no band stop-list)
+    """
+    num_hashes = _conf_int(spark, "spark.kda.dedup.numMinhashes", NUM_MINHASHES)
+    num_bands = _conf_int(spark, "spark.kda.dedup.numBands", NUM_BANDS)
+    max_band_freq = _conf_int(spark, "spark.kda.dedup.maxBandFreq", -1)
     d = load_table(spark, sf_dir, "documents").filter(
         F.size(tokens(F.col("text"))) >= 3
     )
-    return minhash_near_dup_pairs(d, threshold=JACCARD_THRESHOLD)
+    return minhash_near_dup_pairs(
+        d,
+        threshold=JACCARD_THRESHOLD,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        max_band_freq=None if max_band_freq < 0 else max_band_freq,
+    )
 
 
 def _simhash_oracle() -> str:
@@ -143,6 +167,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d)
 
 
+# Candidate generation mirrors the operator's hot-shingle stop-list
+# (document-frequency cap before the index self-join); scores still come
+# from the FULL shingle sets of each candidate pair.
 _NGRAM_JACCARD_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id, str_split(text, ' ') AS t FROM documents
@@ -156,10 +183,21 @@ sh AS (
                x -> {sql_portable_hash64('x', 'jac')})) AS shingle
     FROM toks
 ),
+dfreq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+idx AS (
+    SELECT sh.doc_id, sh.shingle FROM sh
+    JOIN dfreq USING (shingle) WHERE dfreq.c <= {MAX_SHINGLE_DOC_FREQ}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 shared AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    SELECT c.doc_a, c.doc_b, count(*) AS shared
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -191,24 +229,63 @@ _EMBED_COSINE = (
     "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 )
 
-_EMBED_NEARDUP_ORACLE = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({_EMBED_COSINE}, 6) AS cosine_sim
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({_EMBED_COSINE}, 6) >= {COSINE_THRESHOLD}
-"""
+
+def _embed_neardup_oracle() -> str:
+    # Same compound banded blocking as the operator: (label, band,
+    # 4-bit sign bucket) with OR-amplification across 4 bands, using the
+    # identical inlined hyperplane constants (plans/similarity.py proves
+    # sign parity of list_dot_product vs Spark's sequential fold).
+    from ..operators.similarity import (
+        EMB_N_BANDS,
+        EMB_PLANES_PER_BAND,
+        plane_components,
+    )
+
+    def band_expr(band: int) -> str:
+        terms = []
+        for p in range(EMB_PLANES_PER_BAND):
+            comps = plane_components(band * EMB_PLANES_PER_BAND + p)
+            arr = "[" + ", ".join(repr(c) for c in comps) + "]::DOUBLE[]"
+            terms.append(
+                f"CASE WHEN list_dot_product(e.v, {arr}) > 0 THEN {1 << p} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    band_case = "CASE b.i " + " ".join(
+        f"WHEN {i} THEN ({band_expr(i)})" for i in range(EMB_N_BANDS)
+    ) + " END"
+    band_values = ", ".join(f"({i})" for i in range(EMB_N_BANDS))
+    return f"""
+    WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    bands AS (
+        SELECT e.vec_id, e.label, b.i AS band, {band_case} AS bkt
+        FROM e0 AS e CROSS JOIN (VALUES {band_values}) AS b(i)
+    ),
+    cand AS (
+        SELECT DISTINCT ba.vec_id AS id_a, bb.vec_id AS id_b
+        FROM bands ba JOIN bands bb
+          ON ba.label = bb.label AND ba.band = bb.band AND ba.bkt = bb.bkt
+         AND ba.vec_id < bb.vec_id
+    )
+    SELECT id_a, id_b, round({_EMBED_COSINE}, 6) AS cosine_sim
+    FROM cand
+    JOIN e0 a ON cand.id_a = a.vec_id
+    JOIN e0 b ON cand.id_b = b.vec_id
+    WHERE round({_EMBED_COSINE}, 6) >= {COSINE_THRESHOLD}
+    """
 
 
 @query(
     "dedup_embedding_pairs",
-    oracle=_EMBED_NEARDUP_ORACLE,
+    oracle=_embed_neardup_oracle(),
     tags=("dedup", "embedding", "cosine"),
 )
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ 0.3, label-blocked (swap the
-    block key for an LSH bucket on unlabeled corpora —
-    operators/similarity.py: lsh_bucket)."""
+    """Embedding-cosine near-dup pairs ≥ 0.3, blocked on the compound
+    key (label, band, sign-LSH bucket) with 4-band OR-amplification so
+    no block — even a dominant label — goes quadratic while high-cosine
+    pairs still surface (operators/similarity.py:
+    embedding_near_dup_pairs)."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(e, threshold=COSINE_THRESHOLD, block_col="label")
 
@@ -228,10 +305,21 @@ sh AS (
                x -> {sql_portable_hash64('x', 'jac')})) AS shingle
     FROM toks
 ),
+dfreq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+idx AS (
+    SELECT sh.doc_id, sh.shingle FROM sh
+    JOIN dfreq USING (shingle) WHERE dfreq.c <= {MAX_SHINGLE_DOC_FREQ}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 shared AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    SELECT c.doc_a, c.doc_b, count(*) AS shared
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
     GROUP BY 1, 2
 ),
 pairs AS (

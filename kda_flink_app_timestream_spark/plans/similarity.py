@@ -84,13 +84,18 @@ WHERE rk <= {TOP_K}
 
 @query("sim_lsh_topk", oracle=_LSH_ORACLE, tags=("similarity", "ann", "lsh"))
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via 8-hyperplane LSH buckets (256-way partition of the
+    """ANN top-5 via n-hyperplane LSH buckets (2^n-way partition of the
     corpus), exact re-rank within the bucket. The deterministic inlined
     hyperplanes make the index reproducible across engines with no
     stored state; at 100 TB the corpus is written bucket-partitioned so
-    a probe prunes to one partition."""
+    a probe prunes to one partition.
+
+    ``spark.kda.sim.numPlanes`` (default 8, the oracle-matched value)
+    trades recall vs bucket size; non-default values diverge from the
+    static oracle SQL."""
+    n_planes = int(spark.conf.get("spark.kda.sim.numPlanes", str(N_PLANES)))
     e = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOP_K)
+    return lsh_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOP_K, n_planes=n_planes)
 
 
 from ..operators.similarity import IVF_CENTROID_RANGE, IVF_NPROBE, ivf_topk  # noqa: E402

@@ -138,6 +138,137 @@ def test_lsh_topk_bucket_consistency(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_jaccard_stop_list_drops_hot_shingle_candidates(spark):
+    """A boilerplate shingle shared by every doc must not generate n²
+    candidates: with max_doc_freq below its frequency, pairs connected
+    ONLY through it disappear, while pairs sharing rare shingles keep
+    their EXACT full-set Jaccard scores."""
+    boiler = "subscribe to our newsletter today"
+    rows = (
+        # 10 unrelated docs that share ONLY the boilerplate prefix
+        [Row(doc_id=i, text=f"{boiler} unique{i} alpha{i} beta{i}") for i in range(10)]
+        # plus one genuine near-dup pair with rare-shingle overlap
+        + [
+            Row(doc_id=100, text="the quick brown fox jumps high"),
+            Row(doc_id=101, text="the quick brown fox jumps far"),
+        ]
+    )
+    df = spark.createDataFrame(rows)
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(df, threshold=0.01, max_doc_freq=None).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(df, threshold=0.01, max_doc_freq=5).collect()
+    }
+    # boilerplate-only pairs: present uncapped, gone with the cap
+    assert (0, 1) in uncapped and (0, 1) not in capped
+    # the genuine pair survives with an IDENTICAL exact score
+    assert capped[(100, 101)] == uncapped[(100, 101)]
+    # and nothing else from the boilerplate block leaked through
+    assert set(capped) == {(100, 101)}
+
+
+def test_lsh_banding_guards(spark, docs):
+    """Signature-width mismatch fails fast (not silent wrong banding);
+    indivisible band counts are rejected; a hot band can be stop-listed."""
+    from kda_flink_app_timestream_spark.operators.dedup import lsh_candidate_pairs
+
+    sig4 = minhash_signature(docs, num_hashes=4)
+    with pytest.raises(Exception):  # runtime assert_true on sig width
+        lsh_candidate_pairs(sig4, num_hashes=8).collect()
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_candidate_pairs(sig4, num_hashes=4, num_bands=3)
+    # docs 1+2 are exact dups → identical sigs → one hot band of size 2;
+    # capping band frequency at 1 removes every candidate
+    sig = minhash_signature(docs)
+    assert lsh_candidate_pairs(sig, num_hashes=8).count() > 0
+    assert lsh_candidate_pairs(sig, num_hashes=8, max_band_freq=1).count() == 0
+
+
+def test_minhash_recall_at_production_params(spark):
+    """128 hashes / 16 bands (8 rows per band) on a known-answer corpus:
+    every planted near-dup pair (Jaccard ≥ ~0.8) must surface, and the
+    estimate must sit near the true Jaccard."""
+    texts = {}
+    for i in range(10):
+        toks = [f"t{i}_{j}" for j in range(40)]
+        texts[i * 2] = " ".join(toks)
+        near = list(toks)
+        near[7] = "changed"                       # 3 of 38 shingles differ
+        texts[i * 2 + 1] = " ".join(near)
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_near_dup_pairs(
+            df, threshold=0.5, num_hashes=128, num_bands=16
+        ).collect()
+    }
+    for i in range(10):
+        pair = (i * 2, i * 2 + 1)
+        assert pair in got, f"planted near-dup {pair} missed at 128/16"
+        assert 0.7 <= got[pair] <= 1.0
+    # no cross-pair false positives (disjoint vocabularies)
+    assert set(got) == {(i * 2, i * 2 + 1) for i in range(10)}
+
+
+def test_embedding_pairs_compound_blocking_bounds_skewed_label(spark):
+    """One dominant label must NOT produce one quadratic block: the
+    compound (label, lsh_bucket) key sub-buckets it, and the emitted
+    pairs match a Python reference that applies the same blocking."""
+    import numpy as np
+
+    from kda_flink_app_timestream_spark.operators.similarity import (
+        EMB_N_BANDS,
+        EMB_PLANES_PER_BAND,
+        embedding_near_dup_pairs,
+        plane_components,
+    )
+
+    n, dim, thr = 200, 64, 0.5
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1.0, 1.0, size=(n, dim))
+    vecs[50] = vecs[40] * 1.7        # a genuine near-dup pair (cos = 1)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, label="same", embedding=[float(x) for x in vecs[i]]) for i in range(n)]
+    )
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=thr, block_col="label").collect()
+    }
+
+    def band_bucket(v, band):
+        return sum(
+            (1 << p)
+            for p in range(EMB_PLANES_PER_BAND)
+            if float(np.dot(np.array(plane_components(band * EMB_PLANES_PER_BAND + p)), v)) > 0
+        )
+
+    buckets = [[band_bucket(v, b) for b in range(EMB_N_BANDS)] for v in vecs]
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    expected = {
+        (i, j)
+        for i in range(n) for j in range(i + 1, n)
+        if any(buckets[i][b] == buckets[j][b] for b in range(EMB_N_BANDS))
+        and round(cos(vecs[i], vecs[j]), 6) >= thr
+    }
+    assert got == expected
+    assert (40, 50) in got           # identical-direction dups always collide
+
+    # the dominant label got sub-bucketed: no per-band block holds most rows
+    from collections import Counter
+    for b in range(EMB_N_BANDS):
+        assert max(Counter(bk[b] for bk in buckets).values()) < n / 2
+
+
 def test_byte_histogram_matches_python(spark, docs):
     out = {
         r["doc_id"]: [r[f"bin_{i}"] for i in range(8)]

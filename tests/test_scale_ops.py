@@ -68,6 +68,20 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_right_preserving_joins(spark):
+    """Replicating the right side once per salt would emit every
+    UNMATCHED right row salt_buckets times under right/full outer —
+    those join types must be refused, not silently corrupted."""
+    l = spark.createDataFrame([(1, "a")], ["k", "v"])
+    r = spark.createDataFrame([(2, "b")], ["k", "w"])
+    for how in ("right", "right_outer", "full", "full_outer", "outer", "cross"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(l, r, "k", salt_buckets=4, how=how)
+    # left-preserving forms still work
+    assert salted_join(l, r, "k", salt_buckets=4, how="left").count() == 1
+    assert salted_join(l, r, "k", salt_buckets=4, how="left_anti").count() == 1
+
+
 @pytest.mark.parametrize(
     "name,expectations",
     [

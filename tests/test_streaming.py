@@ -64,6 +64,22 @@ def test_parser_missing_keys_stateless(spark):
     assert out[1]["dimensions"]["operation"] == "CreateTable"
 
 
+def test_parser_repeated_key_last_wins(spark):
+    """A malformed blob repeating a key with DIFFERENT values must parse
+    (no DUPLICATE_MAP_KEY batch failure) with the LAST value winning —
+    the reference's per-line HashMap.put semantics
+    (LogsToTimestreamPayloadFn.java:25-27)."""
+    rows = [
+        Row(
+            value="Time=1.5 ms\nOperation=GetTable\nTime=99.5 ms\n"
+            "EndTime=1700000000000"
+        ),
+    ]
+    out = parse_service_logs(spark.createDataFrame(rows)).collect()[0]
+    assert out["measure_value_double"] == 99.5
+    assert out["dimensions"]["operation"] == "GetTable"
+
+
 def test_parser_equals_token_semantics(spark):
     """A '=' inside a value truncates at it — the reference's
     line.split("=")[1] behavior (LogsToTimestreamPayloadFn.java:26-27),
