@@ -377,28 +377,19 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: documents assigned to 2048-token packs by
     running token budget in doc_id order (next-fit packing — the
-    streaming-friendly approximation of bin packing). The global ordered
-    cumsum here is the oracle-checkable rendition; at 100 TB packing
-    runs per partition (pack_id = (partition_id, local_pack)) so no
-    global order is ever materialized — same operator, partition-local
-    window."""
-    from pyspark.sql import Window as W
+    streaming-friendly approximation of bin packing). This catalog query
+    uses the GLOBAL-order form (deterministic → oracle-checkable); the
+    production path is ``operators.packing.pack_contexts(
+    partition_local=True)`` — per-partition running sums keyed
+    ``(partition_id, local_pack)``, no global order materialized
+    (tests/test_llm_ops.py pins its packing guarantee)."""
+    from ..operators.packing import pack_contexts, pack_summary
 
     d = load_table(spark, sf_dir, "documents")
     sized = d.select(
         "doc_id", F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens")
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    packed = sized.withColumn(
-        "pack_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048).cast("long"),
-    )
-    return packed.groupBy("pack_id").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("pack_tokens"),
-        F.min("doc_id").cast("long").alias("first_doc"),
-        F.max("doc_id").cast("long").alias("last_doc"),
-    )
+    return pack_summary(pack_contexts(sized, partition_local=False))
 
 
 @query(

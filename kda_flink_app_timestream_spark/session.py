@@ -37,9 +37,15 @@ def build_spark(
     defaults (ParameterToolUtils.java:26-32 precedence model).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # local[N] executes all N task threads inside the driver JVM, whose
+    # default 1g heap OOMs well below the advertised machine size (seen
+    # at the 10× sf0.1 rehearsal) — size it for the harness box, env-
+    # overridable. Only effective when this call launches the JVM.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -42,7 +42,7 @@ def streaming_source(
     *,
     path: str | None = None,
     fmt: str = "parquet",
-    schema: T.StructType | None = None,
+    schema: T.StructType | str | None = None,
     stream_name: str | None = None,
     region: str | None = None,
     decode: str = "none",

@@ -1,0 +1,147 @@
+"""Build a scaled-up rehearsal dataset by replicating the driver's
+sf0.1 testdata K× with shifted keys (default K=10 ≈ "sf1").
+
+Purpose (VERDICT r1 #5): rehearse the bench + oracle suite one scale
+tier above the driver's sf0.1 — the tier that historically surfaces the
+next class of bugs (skewed bands, AQE behavior, memory pressure) —
+without touching /root/testdata (read-only).
+
+Semantics of the scaling:
+
+- ``region``/``nation`` are fixed-cardinality dimensions (as in TPC-H's
+  scale model) — copied once, never replicated.
+- Fact/entity tables get K copies with every primary/foreign key
+  shifted by ``copy * (max_key + 1)`` of the key's HOME table, so
+  referential integrity holds copy-by-copy.
+- ``events`` is replicated via pyarrow so ``ts`` keeps the driver
+  data's exact physical type TIMESTAMP(NANOS) — Spark's nanosAsLong
+  path AND DuckDB's ``CAST(ts AS TIMESTAMP)`` oracles behave
+  identically to sf0.1 (a Spark rewrite would demote ts to BIGINT and
+  break the DuckDB side). Timestamps are NOT shifted: K× the events per
+  window is exactly the load-growth profile wanted.
+- ``documents``/``embeddings`` copies keep identical text/vectors —
+  a dup-heavy corpus is the realistic (and adversarial) dedup workload:
+  shingle document frequencies grow K×, pushing hot shingles over the
+  stop-list cap, and every cross-copy pair is a true near-dup.
+
+Usage:
+    python scripts/make_scaled_sf.py [K] [SRC_SF_DIR] [OUT_DIR]
+    # defaults: 10 /root/testdata/sf0.1 /root/repo/.scratch/sf1
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DIM_TABLES = ("region", "nation")
+
+# table -> {key_column -> home table whose max value sets the shift stride}
+KEY_HOMES: dict[str, dict[str, tuple[str, str]]] = {
+    "customer": {"c_custkey": ("customer", "c_custkey")},
+    "orders": {
+        "o_orderkey": ("orders", "o_orderkey"),
+        "o_custkey": ("customer", "c_custkey"),
+    },
+    "lineitem": {
+        "l_orderkey": ("orders", "o_orderkey"),
+        "l_partkey": ("part", "p_partkey"),
+        "l_suppkey": ("supplier", "s_suppkey"),
+    },
+    "part": {"p_partkey": ("part", "p_partkey")},
+    "supplier": {"s_suppkey": ("supplier", "s_suppkey")},
+    "documents": {"doc_id": ("documents", "doc_id")},
+    "embeddings": {"vec_id": ("embeddings", "vec_id")},
+}
+
+
+def replicate(df: DataFrame, shifts: dict[str, int], k: int) -> DataFrame:
+    copies = []
+    for i in range(k):
+        c = df
+        for col, stride in shifts.items():
+            c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def replicate_events_arrow(src: str, out: str, k: int) -> int:
+    """Replicate events via pyarrow, preserving the TIMESTAMP(NANOS)
+    physical type Spark's writer cannot produce."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t0 = pq.read_table(f"{src}/events.parquet")
+    ev_stride = pc.max(t0["event_id"]).as_py() + 1
+    us_stride = pc.max(t0["user_id"]).as_py() + 1
+    parts = []
+    for i in range(k):
+        t = t0.set_column(
+            t0.schema.get_field_index("event_id"),
+            "event_id",
+            pc.add(t0["event_id"], i * ev_stride),
+        )
+        t = t.set_column(
+            t.schema.get_field_index("user_id"),
+            "user_id",
+            pc.add(t["user_id"], i * us_stride),
+        )
+        parts.append(t)
+    merged = pa.concat_tables(parts)
+    pq.write_table(merged, f"{out}/events.parquet")
+    return merged.num_rows
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch/sf1"
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", "24g")
+        .appName("make_scaled_sf")
+        .getOrCreate()
+    )
+
+    strides: dict[tuple[str, str], int] = {}
+    for homes in KEY_HOMES.values():
+        for home in homes.values():
+            if home not in strides:
+                tbl, col = home
+                mx = (
+                    spark.read.parquet(f"{src}/{tbl}.parquet")
+                    .agg(F.max(col))
+                    .first()[0]
+                )
+                strides[home] = int(mx) + 1
+
+    for t in DIM_TABLES:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+        print(f"{t}: copied (dimension)", flush=True)
+
+    for t, homes in KEY_HOMES.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        shifts = {col: strides[home] for col, home in homes.items()}
+        replicate(df, shifts, k).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        n = spark.read.parquet(f"{out}/{t}.parquet").count()
+        print(f"{t}: {n} rows ({k}x)", flush=True)
+
+    n = replicate_events_arrow(src, out, k)
+    print(f"events: {n} rows ({k}x, arrow ns-timestamps)", flush=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 
 import duckdb
 
@@ -32,9 +33,10 @@ TABLE_NAMES = (
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written table = directory of parts
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 

@@ -269,6 +269,31 @@ def test_embedding_pairs_compound_blocking_bounds_skewed_label(spark):
         assert max(Counter(bk[b] for bk in buckets).values()) < n / 2
 
 
+def test_partition_local_packing_guarantee(spark):
+    """The scale form of context packing (per-partition running sums —
+    no global-order shuffle) must keep every pack within
+    budget + one document, cover every doc exactly once, and its plan
+    must contain no unpartitioned Window."""
+    from kda_flink_app_timestream_spark.operators.packing import (
+        pack_contexts,
+        pack_summary,
+    )
+
+    budget, max_doc = 100, 40
+    df = spark.range(0, 1000, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(max_doc)) + 1).cast("long").alias("n_tokens"),
+    )
+    packed = pack_contexts(df, budget=budget, partition_local=True)
+    assert packed.count() == 1000                       # every doc kept
+    summary = pack_summary(packed).collect()
+    for r in summary:
+        assert r["pack_tokens"] <= budget + max_doc, r  # next-fit bound
+    # no single-partition window in the physical plan
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
 def test_byte_histogram_matches_python(spark, docs):
     out = {
         r["doc_id"]: [r[f"bin_{i}"] for i in range(8)]
