@@ -55,13 +55,14 @@ _SCORE_FIRST = [
     "text_context_packing", "text_stratified_sample",
     "timeseries_multi_rollup", "timeseries_gapfill",
     "map_dimensions_long_form", "applyinpandas_zscore", "udtf_char_ngrams",
+    # --- new in round 2, no driver row yet ---
+    "text_gopher_filters", "multimodal_thumbnail_plan",
     # --- changed in round 2, need a fresh driver row ---
     "multimodal_byte_histogram", "dedup_embedding_pairs",
     "dedup_ngram_jaccard_pairs", "dedup_minhash_pairs",
     "dedup_cluster_representatives", "parse_service_logs_roundtrip",
     # --- headline queries, keep inside any scoring window ---
     "events_tumbling_agg", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_region_revenue", "asof_join_purchase_signup",
 ]
 
 

@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "q7_nation_volume",
     "q18_large_volume_orders",
     "timeseries_multi_rollup",
+    "text_gopher_filters",
+    "multimodal_thumbnail_plan",
 ]
 
 

@@ -93,6 +93,61 @@ def byte_histogram_features(
     return scatter(df).mapInPandas(extract, schema=schema)
 
 
+THUMB_STRIDE = 8
+
+
+def thumbnail_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    stride: int = THUMB_STRIDE,
+) -> DataFrame:
+    """'Resize' stand-in with REAL data movement: strided byte
+    downsample of the payload (every ``stride``-th byte) plus the
+    metadata update a real thumbnailer performs (width/height ÷ stride,
+    new byte count, content checksum). The Arrow ``mapInPandas``
+    plumbing — binary in, scalar feature columns out, per-batch numpy —
+    is exactly what a PIL/opencv ``resize`` drops into; only the inner
+    two lines change.
+
+    Emits the checksum rather than the thumb bytes so the result
+    canonicalizes as a relational table; the bytes themselves are
+    ``arr.tobytes()`` away."""
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            thumb_n, checksum = [], []
+            for payload in pdf[payload_col]:
+                arr = np.frombuffer(payload, dtype=np.uint8)[::stride]
+                thumb_n.append(len(arr))
+                checksum.append(int(arr.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "thumb_w": pdf["width"] // stride,
+                    "thumb_h": pdf["height"] // stride,
+                    "thumb_n_bytes": pd.Series(thumb_n, dtype="int64"),
+                    "thumb_checksum": pd.Series(checksum, dtype="int64"),
+                }
+            )
+
+    staged = scatter(df).select(
+        F.col(id_col),
+        F.col(payload_col),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    schema = (
+        f"{id_col} long, width int, height int, thumb_w int, thumb_h int, "
+        "thumb_n_bytes long, thumb_checksum long"
+    )
+    return staged.mapInPandas(shrink, schema=schema)
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "doc_id",

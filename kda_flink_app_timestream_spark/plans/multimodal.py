@@ -9,9 +9,11 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     FORMATS,
+    THUMB_STRIDE,
     attach_payload,
     byte_histogram_features,
     frame_sample,
+    thumbnail_plan,
 )
 from ..sources.batch import load_table
 from .catalog import query
@@ -81,6 +83,38 @@ SELECT doc_id,
 FROM b
 GROUP BY doc_id
 """
+
+
+# Strided byte downsample is SQL-expressible on the ASCII payload:
+# sampled positions are range(1, n+1, stride) (1-based == numpy [::stride]).
+_THUMB_ORACLE = f"""
+WITH s AS (
+    SELECT doc_id,
+           (doc_id % 64 + 1) * 16 AS width,
+           (doc_id % 48 + 1) * 16 AS height,
+           ord(substring(text, unnest(range(1, length(text) + 1, {THUMB_STRIDE})), 1)) AS b
+    FROM documents
+)
+SELECT doc_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(width // {THUMB_STRIDE} AS INT) AS thumb_w,
+       CAST(height // {THUMB_STRIDE} AS INT) AS thumb_h,
+       CAST(count(*) AS BIGINT) AS thumb_n_bytes,
+       CAST(sum(b) AS BIGINT) AS thumb_checksum
+FROM s
+GROUP BY doc_id, width, height
+"""
+
+
+@query("multimodal_thumbnail_plan", oracle=_THUMB_ORACLE, tags=("multimodal", "resize"))
+def multimodal_thumbnail_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail stage: strided byte downsample of every payload
+    (real Arrow-batched data movement — the deterministic stand-in for a
+    PIL resize) with the metadata update (dims ÷ stride, new byte
+    count) and a content checksum proving WHICH bytes were kept."""
+    d = load_table(spark, sf_dir, "documents")
+    return thumbnail_plan(attach_payload(d))
 
 
 @query("multimodal_byte_histogram", oracle=_HIST_ORACLE, tags=("multimodal", "pandas-udf"))

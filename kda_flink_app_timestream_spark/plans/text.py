@@ -97,6 +97,91 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *[feats[k].alias(k) for k in feats])
 
 
+# Gopher-style rule thresholds (Rae et al. 2021, table A1 — adapted to
+# this corpus's short synthetic docs). Shared by the Spark expressions
+# and the generated oracle so both engines apply identical rules.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 5, 1000
+GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN = 2.0, 12.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_TOP_WORD_RATIO = 0.2
+
+_GOPHER_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, str_split(text, ' ') AS words,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           round((n_chars - (len(words) - 1)) / CAST(len(words) AS DOUBLE), 4)
+               AS mean_word_len,
+           round(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+                 / CAST(len(words) AS DOUBLE), 4) AS alpha_word_frac,
+           round(list_max(list_transform(list_distinct(words),
+                     u -> len(list_filter(words, x -> x = u))))
+                 / CAST(len(words) AS DOUBLE), 4) AS top_word_ratio
+    FROM w
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, top_word_ratio,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+       AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN})
+       AND alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}
+       AND top_word_ratio <= {GOPHER_MAX_TOP_WORD_RATIO} AS keep
+FROM feats
+"""
+
+
+@query("text_gopher_filters", oracle=_GOPHER_ORACLE, tags=("text", "quality", "gopher"))
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape filters (word-count bounds, mean
+    word length bounds, alphabetic-word fraction, top-word repetition
+    ratio) → per-doc signals + keep verdict. All row-local expressions
+    (the per-doc top-word count is O(distinct²) over ≤~10² tokens — CPU
+    inside whole-stage codegen, never a shuffle), so the filter runs at
+    scan speed at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    staged = d.select(
+        "doc_id",
+        words.alias("words"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    n_words = F.size("words").cast("long")
+    mean_wlen = F.round(
+        (F.col("n_chars") - (n_words - 1)) / n_words.cast("double"), 4
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(F.col("words"), lambda x: x.rlike("[a-zA-Z]")))
+        / n_words.cast("double"),
+        4,
+    )
+    top_ratio = F.round(
+        F.array_max(
+            F.transform(
+                F.array_distinct("words"),
+                lambda u: F.size(F.filter(F.col("words"), lambda x: x == u)),
+            )
+        )
+        / n_words.cast("double"),
+        4,
+    )
+    feats = staged.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        top_ratio.alias("top_word_ratio"),
+    )
+    keep = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("top_word_ratio") <= GOPHER_MAX_TOP_WORD_RATIO)
+    )
+    return feats.withColumn("keep", keep)
+
+
 _TOKEN_COUNT_ORACLE = f"""
 SELECT doc_id,
        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

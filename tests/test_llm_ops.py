@@ -307,6 +307,50 @@ def test_byte_histogram_matches_python(spark, docs):
         assert out[row["doc_id"]] == expected
 
 
+def test_thumbnail_plan_matches_python(spark, docs):
+    from kda_flink_app_timestream_spark.operators.multimodal import (
+        THUMB_STRIDE,
+        thumbnail_plan,
+    )
+
+    out = {r["doc_id"]: r for r in thumbnail_plan(attach_payload(docs)).collect()}
+    for row in docs.collect():
+        payload = row["text"].encode()
+        sampled = payload[::THUMB_STRIDE]
+        r = out[row["doc_id"]]
+        assert r["thumb_n_bytes"] == len(sampled)
+        assert r["thumb_checksum"] == sum(sampled)
+        assert r["thumb_w"] == r["width"] // THUMB_STRIDE
+        assert r["thumb_h"] == r["height"] // THUMB_STRIDE
+
+
+def test_gopher_filters_boundaries(spark):
+    """Known-answer fixture spanning each rule: too short, too
+    repetitive, non-alphabetic, and a clean doc."""
+    from kda_flink_app_timestream_spark.plans.text import text_gopher_filters  # noqa: F401
+    from kda_flink_app_timestream_spark.plans import REGISTRY, load_all_plans
+
+    load_all_plans()
+    rows = [
+        Row(doc_id=1, text="too short"),                           # n_words < 5
+        Row(doc_id=2, text="spam spam spam spam spam spam ok"),    # top ratio
+        Row(doc_id=3, text="1 2 3 4 5 6 7 8 9 10"),                # no alpha
+        Row(doc_id=4, text="the quick brown fox jumps over a lazy dog today"),
+    ]
+    df = spark.createDataFrame(rows)
+    df.createOrReplaceTempView("gopher_fixture")
+    # drive the operator body directly on the fixture
+    import kda_flink_app_timestream_spark.plans.text as tx
+
+    orig = tx.load_table
+    tx.load_table = lambda s, sf, name: df
+    try:
+        got = {r["doc_id"]: r["keep"] for r in REGISTRY["text_gopher_filters"].fn(spark, "unused").collect()}
+    finally:
+        tx.load_table = orig
+    assert got == {1: False, 2: False, 3: False, 4: True}
+
+
 def test_frame_sample_explodes(spark):
     df = spark.createDataFrame([Row(doc_id=1, n_frames=25), Row(doc_id=2, n_frames=5)])
     got = frame_sample(df, stride=10).collect()
