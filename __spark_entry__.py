@@ -57,12 +57,14 @@ _SCORE_FIRST = [
     "map_dimensions_long_form", "applyinpandas_zscore", "udtf_char_ngrams",
     # --- new in round 2, no driver row yet ---
     "text_gopher_filters", "multimodal_thumbnail_plan",
-    # --- changed in round 2, need a fresh driver row ---
+    "q4_order_priority", "q6_revenue_forecast", "q10_returned_items",
+    "q12_late_lines_by_priority", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    # --- output changed in round 2, r1 row no longer valid ---
     "multimodal_byte_histogram", "dedup_embedding_pairs",
-    "dedup_ngram_jaccard_pairs", "dedup_minhash_pairs",
-    "dedup_cluster_representatives", "parse_service_logs_roundtrip",
-    # --- headline queries, keep inside any scoring window ---
-    "events_tumbling_agg", "q1_pricing_summary", "q3_shipping_priority",
+    # (dedup_ngram/minhash/cluster + parse were reworked in r2 but their
+    # sf0.01 output is verified IDENTICAL to the r1-green rows, so they
+    # yield their window slots to never-scored queries)
 ]
 
 

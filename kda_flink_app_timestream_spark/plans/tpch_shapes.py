@@ -299,3 +299,293 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY 1
+    """,
+    tags=("semi", "subquery", "tpch"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (correlated EXISTS → left-semi join): orders in a
+    one-year window having at least one line shipped >30 days after the
+    order date (the commit/receipt lateness test adapted to this
+    schema's columns), counted per priority."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) * 2 + 100) // 200)
+           / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND round(l_discount * 100) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+    tags=("filter", "agg", "tpch"),
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table predicate + product aggregate — the purest
+    pushdown test (filters reach the parquet scan; no joins, one partial
+    agg). Exact integer 10^-4-dollar units end-rounded half-up."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & cents(F.col("l_discount")).between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    return (
+        sel.agg(
+            F.sum(cents(F.col("l_extendedprice")) * cents(F.col("l_discount"))).alias("s4")
+        )
+        .selectExpr("((s4 * 2 + 100) div 200) / 100.0D AS revenue")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    WITH agged AS (
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               round(c.c_acctbal, 2) AS c_acctbal,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS s4
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           ((s4 * 2 + 100) // 200) / 100.0 AS revenue
+    FROM agged
+    ORDER BY s4 DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "topk", "tpch"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer for a
+    quarter, top 20. Ranked on the EXACT integer revenue (not the
+    rounded double) with custkey tie-break → deterministic LIMIT."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    agged = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy(
+            "c_custkey", "c_name", "n_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .agg(F.sum(rev).alias("s4"))
+    )
+    return (
+        agged.orderBy(F.desc("s4"), F.asc("c_custkey"))
+        .limit(20)
+        .selectExpr(
+            "c_custkey", "c_name", "n_name", "c_acctbal",
+            "((s4 * 2 + 100) div 200) / 100.0D AS revenue",
+        )
+    )
+
+
+@query(
+    "q12_late_lines_by_priority",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q12_late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts of high- vs low-priority
+    orders among LATE lineitems (>60 days ship lag — the ship-mode
+    lateness test adapted to this schema), grouped by return flag."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                  ELSE 0 END)
+             / CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE),
+             6) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotional revenue share for one month — conditional
+    ratio over a broadcast part join, integer-exact numerator and
+    denominator with one final double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo) / F.sum(rev).cast("double"), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS s4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           ((r.s4 * 2 + 100) // 200) / 100.0 AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.s4 = (SELECT max(s4) FROM revenue)
+    """,
+    tags=("join", "subquery", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) achieving maximum quarterly revenue —
+    view-style aggregate reused for both the per-supplier rows and the
+    global max (a broadcast 1-row join), compared on EXACT integers so
+    ties match the oracle bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).alias("s4"))
+    )
+    mx = revenue.agg(F.max("s4").alias("mx"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("s4") == F.col("mx"))
+        .selectExpr(
+            "s_suppkey", "s_name",
+            "((s4 * 2 + 100) div 200) / 100.0D AS total_revenue",
+        )
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qc,
+               count(*) AS cnt
+        FROM lineitem GROUP BY 1
+    )
+    SELECT ((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) * 100 * 2 + 700)
+            // (700 * 2)) / 100.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN pq ON l.l_partkey = pq.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND p.p_size <= 3
+      AND 5 * CAST(round(l.l_quantity * 100) AS BIGINT) * pq.cnt < pq.sum_qc
+    """,
+    tags=("join", "subquery", "agg", "tpch"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines below 20%% of their part's average
+    quantity (correlated avg → one aggregate + join-back; the comparison
+    is cross-multiplied to EXACT integers: 5·q·cnt < Σq), summed and
+    divided by 7 with integer half-up rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 3)
+    )
+    qc = cents(F.col("l_quantity"))
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(qc).alias("sum_qc"), F.count("*").alias("cnt")
+    )
+    sel = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pq, "l_partkey")
+        .filter(5 * qc * F.col("cnt") < F.col("sum_qc"))
+    )
+    return sel.agg(F.sum(cents(F.col("l_extendedprice"))).alias("sc")).selectExpr(
+        "((sc * 100 * 2 + 700) div (700 * 2)) / 100.0D AS avg_yearly"
+    )
