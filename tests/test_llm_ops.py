@@ -364,3 +364,113 @@ def test_frame_sample_explodes(spark):
 def test_decode_image_is_honest_stub(spark, docs):
     with pytest.raises(NotImplementedError):
         decode_image(attach_payload(docs))
+
+
+# --- curation operators ------------------------------------------------------
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from kda_flink_app_timestream_spark.operators.curation import (
+        decontaminate_overlap,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the secret benchmark answer is forty two"),
+            Row(doc_id=11, text="completely unrelated training text here"),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=99, text="we ask if the secret benchmark answer holds")]
+    )
+    got = {r["doc_id"]: r["n_shared_ngrams"] for r in decontaminate_overlap(corpus, bench, n=3).collect()}
+    # doc 10 shares 'the secret benchmark', 'secret benchmark answer'; doc 11 none
+    assert got == {10: 2}
+
+
+def test_duplicated_span_stats_counts(spark, docs):
+    from kda_flink_app_timestream_spark.operators.curation import (
+        duplicated_span_stats,
+    )
+
+    got = {r["doc_id"]: r for r in duplicated_span_stats(docs, n=3).collect()}
+    # docs 1 and 2 are identical: every 3-gram duplicated
+    assert got[1]["dup_permille"] == 1000
+    assert got[2]["dup_permille"] == 1000
+    # doc 3 shares the first five 3-grams of six with 1/2 ('f g x' differs)
+    assert got[3]["n_ngrams"] == 6
+    assert got[3]["n_dup_ngrams"] == 5
+    assert got[3]["dup_permille"] == 833  # 5000/6 = 833.33 -> half-up 833
+    # doc 4 shares nothing
+    assert got[4]["n_dup_ngrams"] == 0
+    # doc 5 has no 3-grams at all -> absent (no rows to group)
+    assert 5 not in got
+
+
+def test_rarity_scores_threshold(spark):
+    from kda_flink_app_timestream_spark.operators.curation import rarity_scores
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common common rare1"),
+            Row(doc_id=2, text="common common rare2 rare2"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in rarity_scores(df, max_corpus_count=2).collect()}
+    # 'common' appears 5x (not rare); rare1 1x, rare2 2x (both rare)
+    assert got[1]["n_tokens"] == 4 and got[1]["n_rare"] == 1
+    assert got[2]["n_tokens"] == 4 and got[2]["n_rare"] == 2
+    assert got[1]["rare_permille"] == 250
+    assert got[2]["rare_permille"] == 500
+
+
+def test_redact_pii_roundtrip(spark):
+    from kda_flink_app_timestream_spark.operators.curation import (
+        EMAIL_PATTERN,
+        PHONE_PATTERN,
+        redact_pii,
+    )
+    import re
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail a.b_c%x+1@sub.example.co.uk or +44-123-4567 ok"),
+            Row(doc_id=2, text="no pii at all"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert "<EMAIL>" in got[1]["redacted"] and "<PHONE>" in got[1]["redacted"]
+    assert not re.search(EMAIL_PATTERN, got[1]["redacted"])
+    assert not re.search(PHONE_PATTERN, got[1]["redacted"])
+    assert got[2]["redacted"] == "no pii at all"
+
+
+def test_weighted_mix_copy_counts(spark):
+    from kda_flink_app_timestream_spark.functions.text import portable_hash64  # noqa: F401
+    from kda_flink_app_timestream_spark.operators.curation import weighted_mix
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    # 1.5 epochs: every row kept once, ~half kept twice, deterministically
+    mixed = weighted_mix(df, F.lit(150)).collect()
+    by_id = {}
+    for r in mixed:
+        by_id.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    assert set(by_id) == set(range(200))  # floor(1.5) >= 1 keeps everyone
+    n_twice = sum(1 for v in by_id.values() if len(v) == 2)
+    assert all(sorted(v) == list(range(len(v))) for v in by_id.values())
+    assert 60 <= n_twice <= 140  # hash-bucket ~50% of 200
+    # deterministic: second run identical
+    again = weighted_mix(df, F.lit(150)).collect()
+    assert sorted((r["doc_id"], r["copy_idx"]) for r in again) == sorted(
+        (r["doc_id"], r["copy_idx"]) for r in mixed
+    )
+
+
+def test_weighted_mix_zero_weight_drops(spark):
+    from kda_flink_app_timestream_spark.operators.curation import weighted_mix
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(10)])
+    assert weighted_mix(df, F.lit(0)).count() == 0
