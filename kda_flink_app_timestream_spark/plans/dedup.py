@@ -365,3 +365,102 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         "cluster_rep",
         (F.col("node") > F.col("cluster_rep")).alias("is_duplicate"),
     )
+
+
+def _lineage_recursive_sql(pairs_rel: str) -> str:
+    """The recursive lineage computation, IDENTICAL text for both
+    engines (only the pairs relation name differs): primary parent =
+    min near-dup predecessor (doc_a < doc_b makes the edge set a DAG,
+    and the parent function a forest — so UNION ALL recursion
+    terminates with zero path blow-up), then each doc's lineage root
+    and chain depth."""
+    return f"""
+parent AS (
+    SELECT doc_b AS node, min(doc_a) AS parent
+    FROM {pairs_rel} GROUP BY doc_b
+),
+chain(node, anc, depth) AS (
+    SELECT node, parent, 1 FROM parent
+    UNION ALL
+    SELECT c.node, p.parent, c.depth + 1
+    FROM chain c JOIN parent p ON p.node = c.anc
+),
+nodes AS (
+    SELECT DISTINCT doc_a AS n FROM {pairs_rel}
+    UNION
+    SELECT DISTINCT doc_b FROM {pairs_rel}
+)
+SELECT n AS doc_id,
+       CAST(coalesce(min(c.anc), n) AS BIGINT) AS lineage_root,
+       CAST(coalesce(max(c.depth), 0) AS INT) AS depth
+FROM nodes LEFT JOIN chain c ON c.node = n
+GROUP BY n
+"""
+
+
+_LINEAGE_ORACLE = f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+               x -> {sql_portable_hash64('x', 'jac')})) AS shingle
+    FROM toks
+),
+dfreq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+idx AS (
+    SELECT sh.doc_id, sh.shingle FROM sh
+    JOIN dfreq USING (shingle) WHERE dfreq.c <= {MAX_SHINGLE_DOC_FREQ}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS shared
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM shared
+    JOIN sizes na ON doc_a = na.doc_id
+    JOIN sizes nb ON doc_b = nb.doc_id
+    WHERE round(shared / CAST(na.n + nb.n - shared AS DOUBLE), 4) >= {JACCARD_THRESHOLD}
+),
+{_lineage_recursive_sql('pairs').lstrip()}
+"""
+
+_LINEAGE_VIEW = "dup_pairs_lineage_tmp"
+
+
+@query(
+    "dedup_lineage_recursive",
+    oracle=_LINEAGE_ORACLE,
+    tags=("dedup", "recursive-cte", "lineage"),
+)
+def dedup_lineage_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-provenance lineage via Spark's native ``WITH
+    RECURSIVE`` (SQL:1999 recursion, new in Spark 4.x): near-dup pairs
+    (exact Jaccard >= 0.3, a < b so the edge set is a DAG) collapse to a
+    primary-parent forest (parent = min predecessor), then recursion
+    walks each doc to its lineage root with chain depth. Both engines
+    run the TEXT-IDENTICAL recursive SQL — only the pair generation
+    differs (Spark: the inverted-index operator; DuckDB: CTEs from the
+    same constants). The forest guarantees UNION ALL recursion visits
+    each (node, ancestor) exactly once — no transitive-closure row
+    explosion; at 100 TB each recursion step is one hash join on the
+    8-byte node key."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(tokens(F.col("text"))) >= 3
+    )
+    pairs = exact_jaccard_pairs(d, threshold=JACCARD_THRESHOLD).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView(_LINEAGE_VIEW)
+    return spark.sql("WITH RECURSIVE " + _lineage_recursive_sql(_LINEAGE_VIEW).lstrip())

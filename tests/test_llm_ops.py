@@ -474,3 +474,20 @@ def test_weighted_mix_zero_weight_drops(spark):
 
     df = spark.createDataFrame([Row(doc_id=i) for i in range(10)])
     assert weighted_mix(df, F.lit(0)).count() == 0
+
+
+def test_lineage_recursive_forest_semantics(spark):
+    """Known-answer DAG: parent(3)=min(1,2)=1, parent(4)=3, parent(5)=2;
+    roots/depths follow the primary-parent chains."""
+    from kda_flink_app_timestream_spark.plans.dedup import _lineage_recursive_sql
+
+    spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4), (2, 5)], "doc_a long, doc_b long"
+    ).createOrReplaceTempView("lineage_fixture_pairs")
+    got = {
+        r["doc_id"]: (r["lineage_root"], r["depth"])
+        for r in spark.sql(
+            "WITH RECURSIVE " + _lineage_recursive_sql("lineage_fixture_pairs").lstrip()
+        ).collect()
+    }
+    assert got == {1: (1, 0), 2: (2, 0), 3: (1, 1), 4: (1, 2), 5: (2, 1)}
