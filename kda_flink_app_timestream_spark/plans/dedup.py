@@ -367,33 +367,32 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _lineage_recursive_sql(pairs_rel: str) -> str:
+def _lineage_recursive_sql(parent_rel: str, nodes_rel: str) -> str:
     """The recursive lineage computation, IDENTICAL text for both
-    engines (only the pairs relation name differs): primary parent =
-    min near-dup predecessor (doc_a < doc_b makes the edge set a DAG,
-    and the parent function a forest — so UNION ALL recursion
-    terminates with zero path blow-up), then each doc's lineage root
-    and chain depth."""
+    engines (only the two relation names differ): over a primary-parent
+    forest (parent = min near-dup predecessor; doc_a < doc_b makes the
+    edge set a DAG and the parent function a forest, so UNION ALL
+    recursion terminates with zero path blow-up), walk each doc to its
+    lineage root with chain depth.
+
+    The parent/nodes inputs MUST be materialized relations, not lazy
+    views over the pair-generation pipeline: each recursion level
+    re-evaluates its inputs, so recursing directly over the shingle
+    explode + inverted-index joins re-runs (and re-broadcasts) that
+    whole pipeline per level — the 10× rehearsal OOMed exactly there.
+    Materialized, each level is one hash join against a tiny forest
+    table."""
     return f"""
-parent AS (
-    SELECT doc_b AS node, min(doc_a) AS parent
-    FROM {pairs_rel} GROUP BY doc_b
-),
 chain(node, anc, depth) AS (
-    SELECT node, parent, 1 FROM parent
+    SELECT node, parent, 1 FROM {parent_rel}
     UNION ALL
     SELECT c.node, p.parent, c.depth + 1
-    FROM chain c JOIN parent p ON p.node = c.anc
-),
-nodes AS (
-    SELECT DISTINCT doc_a AS n FROM {pairs_rel}
-    UNION
-    SELECT DISTINCT doc_b FROM {pairs_rel}
+    FROM chain c JOIN {parent_rel} p ON p.node = c.anc
 )
 SELECT n AS doc_id,
        CAST(coalesce(min(c.anc), n) AS BIGINT) AS lineage_root,
        CAST(coalesce(max(c.depth), 0) AS INT) AS depth
-FROM nodes LEFT JOIN chain c ON c.node = n
+FROM {nodes_rel} LEFT JOIN chain c ON c.node = n
 GROUP BY n
 """
 
@@ -435,10 +434,20 @@ pairs AS (
     JOIN sizes nb ON doc_b = nb.doc_id
     WHERE round(shared / CAST(na.n + nb.n - shared AS DOUBLE), 4) >= {JACCARD_THRESHOLD}
 ),
-{_lineage_recursive_sql('pairs').lstrip()}
+parent AS (
+    SELECT doc_b AS node, min(doc_a) AS parent
+    FROM pairs GROUP BY doc_b
+),
+nodes AS (
+    SELECT DISTINCT doc_a AS n FROM pairs
+    UNION
+    SELECT DISTINCT doc_b FROM pairs
+),
+{_lineage_recursive_sql('parent', 'nodes').lstrip()}
 """
 
-_LINEAGE_VIEW = "dup_pairs_lineage_tmp"
+_LINEAGE_PARENT_VIEW = "dup_lineage_parent_tmp"
+_LINEAGE_NODES_VIEW = "dup_lineage_nodes_tmp"
 
 
 @query(
@@ -454,13 +463,34 @@ def dedup_lineage_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     walks each doc to its lineage root with chain depth. Both engines
     run the TEXT-IDENTICAL recursive SQL — only the pair generation
     differs (Spark: the inverted-index operator; DuckDB: CTEs from the
-    same constants). The forest guarantees UNION ALL recursion visits
-    each (node, ancestor) exactly once — no transitive-closure row
-    explosion; at 100 TB each recursion step is one hash join on the
-    8-byte node key."""
+    same constants).
+
+    The forest and node set are PERSISTED before the recursion: each
+    recursion level re-evaluates its inputs, so recursing over the lazy
+    pair pipeline re-runs the shingle explode + inverted-index joins
+    per level (the 10× rehearsal OOMed its broadcasts under a default
+    driver heap). Materialized, every level is one hash join against a
+    tiny forest table, and the forest guarantees UNION ALL recursion
+    visits each (node, ancestor) exactly once — no transitive-closure
+    row explosion."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.size(tokens(F.col("text"))) >= 3
     )
     pairs = exact_jaccard_pairs(d, threshold=JACCARD_THRESHOLD).select("doc_a", "doc_b")
-    pairs.createOrReplaceTempView(_LINEAGE_VIEW)
-    return spark.sql("WITH RECURSIVE " + _lineage_recursive_sql(_LINEAGE_VIEW).lstrip())
+    parent = (
+        pairs.groupBy(F.col("doc_b").alias("node"))
+        .agg(F.min("doc_a").alias("parent"))
+        .persist()
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("n"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+        .persist()
+    )
+    parent.createOrReplaceTempView(_LINEAGE_PARENT_VIEW)
+    nodes.createOrReplaceTempView(_LINEAGE_NODES_VIEW)
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _lineage_recursive_sql(_LINEAGE_PARENT_VIEW, _LINEAGE_NODES_VIEW).lstrip()
+    )

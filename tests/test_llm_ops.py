@@ -484,10 +484,20 @@ def test_lineage_recursive_forest_semantics(spark):
     spark.createDataFrame(
         [(1, 3), (2, 3), (3, 4), (2, 5)], "doc_a long, doc_b long"
     ).createOrReplaceTempView("lineage_fixture_pairs")
+    spark.sql(
+        "SELECT doc_b AS node, min(doc_a) AS parent FROM lineage_fixture_pairs GROUP BY doc_b"
+    ).createOrReplaceTempView("lineage_fixture_parent")
+    spark.sql(
+        "SELECT DISTINCT doc_a AS n FROM lineage_fixture_pairs "
+        "UNION SELECT DISTINCT doc_b FROM lineage_fixture_pairs"
+    ).createOrReplaceTempView("lineage_fixture_nodes")
     got = {
         r["doc_id"]: (r["lineage_root"], r["depth"])
         for r in spark.sql(
-            "WITH RECURSIVE " + _lineage_recursive_sql("lineage_fixture_pairs").lstrip()
+            "WITH RECURSIVE "
+            + _lineage_recursive_sql(
+                "lineage_fixture_parent", "lineage_fixture_nodes"
+            ).lstrip()
         ).collect()
     }
     assert got == {1: (1, 0), 2: (2, 0), 3: (1, 1), 4: (1, 2), 5: (2, 1)}
