@@ -740,3 +740,123 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+        SELECT n.n_name AS nation, l.l_partkey,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS s4
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    w AS (SELECT *, sum(s4) OVER (PARTITION BY nation) AS tot FROM v)
+    SELECT nation, l_partkey, ((s4 * 2 + 100) // 200) / 100.0 AS part_value
+    FROM w
+    WHERE s4 * 200 > tot
+    ORDER BY nation, part_value DESC, l_partkey
+    """,
+    tags=("agg", "having", "tpch"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (grouped value with a HAVING against a fraction
+    of a total): per (supplier nation, part) shipped value, keeping
+    parts above 0.5%% of their nation's total — adapted to this schema
+    (no partsupp; lineitem is the supplier-part fact, and the single
+    hardcoded nation becomes a per-nation grouping so every scale
+    factor has qualifying rows).
+
+    Spark-first scale note: the nation totals are a 25-row aggregate,
+    so they're computed as a separate tiny agg and BROADCAST back —
+    NOT a ``sum over (partition by nation)`` window, which would sort
+    the full (nation, part) relation into 25 giant partitions at
+    100 TB. The oracle uses the window form (identical semantics;
+    DuckDB materializes it fine at oracle scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "l_partkey")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+            ).alias("s4")
+        )
+    )
+    tot = v.groupBy("nation").agg(F.sum("s4").alias("tot"))
+    return (
+        v.join(F.broadcast(tot), "nation")
+        .filter(F.col("s4") * 200 > F.col("tot"))
+        .selectExpr(
+            "nation", "l_partkey", "((s4 * 2 + 100) div 200) / 100.0D AS part_value"
+        )
+        .orderBy("nation", F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH f AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        GROUP BY 1, 2
+    ),
+    w AS (SELECT *, sum(sq) OVER (PARTITION BY l_partkey) AS tq FROM f)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS dominant_parts
+    FROM w
+    JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    WHERE w.sq * 2 > w.tq
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("join", "semi", "window", "tpch"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-join against a correlated aggregate
+    threshold): suppliers who shipped MORE THAN HALF of a qualifying
+    part's total 1997 volume, with the count of parts they dominate —
+    adapted to this schema (no partsupp availqty; "excess stock"
+    becomes "majority of shipped quantity", the same
+    compare-my-slice-to-the-group-total pattern).
+
+    Spark-first: the part-name filter is a broadcast LEFT SEMI before
+    the aggregate (prunes the fact scan's groups); the per-part total
+    is a ``sum over (partition by l_partkey)`` window — safe at scale
+    because partition width is bounded by suppliers-per-part, not data
+    volume; quantities aggregate as exact integer centi-units."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    f = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("sq"))
+    )
+    w = W.partitionBy("l_partkey")
+    return (
+        f.withColumn("tq", F.sum("sq").over(w))
+        .filter(F.col("sq") * 2 > F.col("tq"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("dominant_parts"))
+        .orderBy("s_name")
+    )
