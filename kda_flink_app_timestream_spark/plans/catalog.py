@@ -72,6 +72,7 @@ def load_all_plans() -> dict[str, Query]:
     if not _LOADED:
         from . import (  # noqa: F401
             advanced,
+            clustering,
             curation,
             dedup,
             multimodal,

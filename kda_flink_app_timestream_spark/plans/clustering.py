@@ -1,0 +1,180 @@
+"""Clustering queries: distributed k-means over the embedding corpus
+(the IVF codebook trainer) and SemDeDup-style semantic deduplication —
+cluster first, then near-dup search only WITHIN a cluster, so the
+expensive pairwise stage is bounded by cluster geometry instead of
+corpus size (Abbas et al. 2023, "SemDeDup", the public recipe this
+mirrors).
+
+Both queries are oracle-checked: the exact-integer quantization in
+operators/clustering.py makes every k-means intermediate (distances,
+centroid means, assignments) bit-identical across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.clustering import (
+    KMEANS_ITERS,
+    KMEANS_K,
+    KMEANS_SCALE,
+    kmeans_assign,
+)
+from ..operators.similarity import (
+    EMB_N_BANDS,
+    EMB_PLANES_PER_BAND,
+    embedding_near_dup_pairs,
+    plane_components,
+)
+from ..sources.batch import load_table
+from .catalog import query
+from .dedup import COSINE_THRESHOLD
+
+_DIM = 64
+
+
+def _kmeans_ctes() -> str:
+    """The shared k-means CTE chain (k=KMEANS_K, KMEANS_ITERS assignment
+    rounds), ending in ``asg(pid, cid, dist_sq)`` — the DuckDB twin of
+    operators/clustering.py:kmeans_assign."""
+    assert KMEANS_ITERS == 2, "oracle CTE chain is unrolled for 2 rounds"
+    return f"""
+    pts AS (
+        SELECT vec_id AS pid,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * {float(KMEANS_SCALE)}) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    u AS (
+        SELECT pid, p.pos AS pos, qv[p.pos] AS v
+        FROM pts, (SELECT unnest(range(1, {_DIM + 1})) AS pos) p
+    ),
+    c0 AS (SELECT pid AS cid, pos, v AS cv FROM u WHERE pid < {KMEANS_K}),
+    d1 AS (
+        SELECT u.pid, c.cid,
+               CAST(sum((u.v - c.cv) * (u.v - c.cv)) AS BIGINT) AS dist_sq
+        FROM u JOIN c0 c ON u.pos = c.pos
+        GROUP BY u.pid, c.cid
+    ),
+    a1 AS (
+        SELECT pid, cid FROM (
+            SELECT pid, cid,
+                   row_number() OVER (PARTITION BY pid ORDER BY dist_sq, cid) AS rn
+            FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT a.cid, u.pos, CAST(sum(u.v) // count(*) AS BIGINT) AS cv
+        FROM u JOIN a1 a USING (pid)
+        GROUP BY a.cid, u.pos
+    ),
+    d2 AS (
+        SELECT u.pid, c.cid,
+               CAST(sum((u.v - c.cv) * (u.v - c.cv)) AS BIGINT) AS dist_sq
+        FROM u JOIN c1 c ON u.pos = c.pos
+        GROUP BY u.pid, c.cid
+    ),
+    asg AS (
+        SELECT pid, cid, dist_sq FROM (
+            SELECT pid, cid, dist_sq,
+                   row_number() OVER (PARTITION BY pid ORDER BY dist_sq, cid) AS rn
+            FROM d2) WHERE rn = 1
+    )"""
+
+
+_KMEANS_ORACLE = f"""
+WITH {_kmeans_ctes()}
+SELECT pid AS vec_id, cid AS cluster_id, dist_sq FROM asg
+"""
+
+
+@query("sim_kmeans_clusters", oracle=_KMEANS_ORACLE, tags=("clustering", "kmeans", "iterative"))
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, two assignment rounds) over the
+    embedding corpus: broadcast-centroid assignment (corpus never
+    shuffles), tree-aggregated centroid update (shuffle is O(k·dim)
+    cells after map-side combine), exact-integer arithmetic throughout."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _semantic_prune_oracle() -> str:
+    # Banded sign-LSH sub-bucketing within each learned cluster — the
+    # same compound-key blocking (and identical inlined hyperplanes) as
+    # plans/dedup.py:_embed_neardup_oracle, with the metadata label
+    # replaced by the k-means cluster id.
+    def band_expr(band: int) -> str:
+        terms = []
+        for p in range(EMB_PLANES_PER_BAND):
+            comps = plane_components(band * EMB_PLANES_PER_BAND + p)
+            arr = "[" + ", ".join(repr(c) for c in comps) + "]::DOUBLE[]"
+            terms.append(
+                f"CASE WHEN list_dot_product(e.v, {arr}) > 0 THEN {1 << p} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    band_case = "CASE b.i " + " ".join(
+        f"WHEN {i} THEN ({band_expr(i)})" for i in range(EMB_N_BANDS)
+    ) + " END"
+    band_values = ", ".join(f"({i})" for i in range(EMB_N_BANDS))
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+    WITH {_kmeans_ctes()},
+    e0 AS (
+        SELECT e.vec_id, a.cid AS cluster_id, e.embedding::DOUBLE[] AS v
+        FROM embeddings e JOIN asg a ON e.vec_id = a.pid
+    ),
+    bands AS (
+        SELECT e.vec_id, e.cluster_id, b.i AS band, {band_case} AS bkt
+        FROM e0 AS e CROSS JOIN (VALUES {band_values}) AS b(i)
+    ),
+    cand AS (
+        SELECT DISTINCT ba.vec_id AS id_a, bb.vec_id AS id_b
+        FROM bands ba JOIN bands bb
+          ON ba.cluster_id = bb.cluster_id AND ba.band = bb.band AND ba.bkt = bb.bkt
+         AND ba.vec_id < bb.vec_id
+    ),
+    pruned AS (
+        SELECT DISTINCT id_b AS vec_id
+        FROM cand
+        JOIN e0 a ON cand.id_a = a.vec_id
+        JOIN e0 b ON cand.id_b = b.vec_id
+        WHERE round({cos}, 6) >= {COSINE_THRESHOLD}
+    )
+    SELECT a.pid AS vec_id, a.cid AS cluster_id,
+           (p.vec_id IS NOT NULL) AS pruned
+    FROM asg a LEFT JOIN pruned p ON a.pid = p.vec_id
+    """
+
+
+@query(
+    "dedup_semantic_prune",
+    oracle=_semantic_prune_oracle(),
+    tags=("dedup", "clustering", "semdedup"),
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means clusters the corpus, then
+    cosine near-dup pairs are searched only within a cluster (further
+    sub-bucketed by banded sign-LSH so no cluster goes quadratic);
+    of each near-dup pair the smaller vec_id survives. Output is the
+    full corpus with its learned cluster and a ``pruned`` verdict —
+    exactly the keep/drop table a curation pipeline feeds downstream."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_assign(e, k=KMEANS_K, iters=KMEANS_ITERS).cache()
+    with_cluster = e.join(asg.select("vec_id", "cluster_id"), "vec_id")
+    pairs = embedding_near_dup_pairs(
+        with_cluster, threshold=COSINE_THRESHOLD, block_col="cluster_id"
+    )
+    pruned = (
+        pairs.select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__pruned", F.lit(True))
+    )
+    return asg.select("vec_id", "cluster_id").join(pruned, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(F.col("__pruned"), F.lit(False)).alias("pruned"),
+    )

@@ -511,3 +511,46 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         F.count(F.when(keep, 1)).alias("n_sampled"),
     )
+
+
+DOMAIN_CAP = 20
+
+
+@query(
+    "text_domain_caps",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(rank_in_source AS INT) AS rank_in_source,
+           rank_in_source <= {DOMAIN_CAP} AS kept
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rank_in_source
+        FROM documents
+    )
+    """,
+    tags=("text", "curation", "domain-cap"),
+)
+def text_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps (domain balancing, the C4/RefinedWeb
+    "no domain dominates" rule): rank each source's documents by a
+    deterministic quality proxy (length desc, doc_id tie-break) and keep
+    the top ``DOMAIN_CAP``.
+
+    Scale note: the per-domain ``row_number`` sorts each domain on one
+    reducer — fine while the largest domain fits a partition (AQE skew
+    split does not apply inside window sort). For a common-crawl-scale
+    hot domain, pre-prune with a per-partition partial top-cap
+    (``sortWithinPartitions`` + local rank) before the global window so
+    the skewed reducer sees ≤ cap·partitions rows, not the whole
+    domain."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("int").alias("rank_in_source"),
+    ).withColumn("kept", F.col("rank_in_source") <= DOMAIN_CAP)

