@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "timeseries_multi_rollup",
     "text_gopher_filters",
     "multimodal_thumbnail_plan",
+    "sim_kmeans_clusters",
+    "dedup_semantic_prune",
 ]
 
 

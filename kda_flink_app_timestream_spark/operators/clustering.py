@@ -3,19 +3,23 @@ the IVF index defers to (operators/similarity.py:229 calls it "an
 offline iterative job") and the clustering stage of SemDeDup-style
 semantic deduplication (cluster, then near-dup only within a cluster).
 
-Spark-first shape (the same one MLlib's KMeans uses, expressed in pure
-DataFrame ops):
+Spark-first shape — the same one MLlib's KMeans uses, expressed in
+DataFrame ops:
 
-- **Assignment is broadcast-side.** The centroid table is k rows; it
-  broadcasts, so assigning N vectors is a narrow map over the corpus —
-  the corpus NEVER shuffles for assignment, at any scale.
-- **Update is a tree-aggregate.** Recomputing centroids is a
-  ``groupBy(cluster, dim).sum`` over the exploded vectors: map-side
-  partial aggregation collapses each partition to ≤ k·dim cells before
-  the shuffle, so the update shuffle moves O(partitions · k · dim)
-  rows, independent of N.
-- **The driver loop is over iterations, not rows** — a handful of
-  rounds, each a fixed-size plan.
+- **Centroids are model state, not data.** k·dim integers live on the
+  driver and are inlined into the plan each round (MLlib ships them as
+  a broadcast variable; at literal-unfriendly k·dim, switch to a
+  broadcast-DataFrame join + ``min_by`` — same semantics, one extra
+  shuffle). The corpus itself NEVER moves.
+- **Assignment is a pure projection.** Nearest centroid =
+  ``array_min`` over a ``transform`` of the inlined centroid array —
+  no join, no window, no shuffle, whole-stage-codegen friendly.
+- **Update is a tree-aggregate.** ``posexplode`` + ``groupBy(cid,
+  pos).sum`` collapses, via map-side partial aggregation, to
+  ≤ partitions · k · dim cells before the single shuffle; the k·dim
+  result rows come back to the driver to seed the next round.
+- **The driver loop is over iterations, not rows** — each round is one
+  fixed-size job.
 
 Cross-engine determinism: float centroid averaging is order-dependent
 in the last bits (Spark's partial-agg order ≠ DuckDB's), so vectors are
@@ -31,7 +35,6 @@ distance ≤ dim · 2^44 ≪ 2^63.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .similarity import as_double
@@ -57,36 +60,55 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def _assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest centroid per point (ties → smaller cluster id).
-
-    ``crossJoin(broadcast(k rows))`` + a per-point row_number over k
-    candidates: narrow over the corpus; the window partitions by point
-    id with exactly k rows each — no skew possible."""
-    w = W.partitionBy("pid").orderBy("dist_sq", "cid")
-    return (
-        pts.crossJoin(F.broadcast(cents))
-        .withColumn("dist_sq", _sq_dist(F.col("qv"), F.col("cv")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("pid", "qv", F.col("cid"), "dist_sq")
+def _centroid_literal(cents: list[tuple[int, list[int]]]) -> Column:
+    """``array<struct<dist-placeholder…>>`` — the k centroids inlined as
+    an ``array<struct<cid, cv>>`` literal (k·dim integer literals)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(int(v)).cast("long") for v in cv]).alias("cv"),
+            )
+            for cid, cv in cents
+        ]
     )
 
 
-def _update(assigned: DataFrame, dim: int) -> DataFrame:
-    """New centroid per cluster: element-wise integer mean of members
-    (``sum div count`` — truncating division, the portable semantics).
-    An emptied cluster simply disappears (deterministically on both
-    engines)."""
-    long_form = assigned.select("cid", F.posexplode("qv").alias("pos", "v"))
-    per_dim = long_form.groupBy("cid", "pos").agg(
-        F.expr("sum(v) div count(*)").alias("cv_el")
+def _assign(pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest centroid per point (ties → smaller cluster id) as a pure
+    narrow projection: ``array_min`` over (dist_sq, cid) structs orders
+    lexicographically, so the min is the closest centroid with the
+    smallest id breaking ties. Zero shuffle at any corpus size."""
+    cand = F.transform(
+        _centroid_literal(cents),
+        lambda c: F.struct(
+            _sq_dist(F.col("qv"), c["cv"]).alias("dist_sq"),
+            c["cid"].alias("cid"),
+        ),
     )
-    return per_dim.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cv_el"))),
-            lambda s: s["cv_el"],
-        ).alias("cv")
+    best = F.array_min(cand)
+    return pts.select(
+        "pid", "qv", best["cid"].alias("cid"), best["dist_sq"].alias("dist_sq")
+    )
+
+
+def _update(assigned: DataFrame) -> list[tuple[int, list[int]]]:
+    """New centroids: element-wise integer mean of each cluster's
+    members (``sum div count`` — truncating division, the portable
+    semantics), tree-aggregated to k·dim cells and assembled on the
+    driver. An emptied cluster simply disappears (deterministically on
+    both engines)."""
+    per_dim = (
+        assigned.select("cid", F.posexplode("qv").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.expr("sum(v) div count(*)").alias("cv_el"))
+        .collect()
+    )
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in per_dim:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cv_el"]
+    return sorted(
+        (cid, [dims[p] for p in sorted(dims)]) for cid, dims in by_cid.items()
     )
 
 
@@ -96,7 +118,6 @@ def kmeans_assign(
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
 ) -> DataFrame:
     """Lloyd's k-means: ``iters`` assignment rounds with ``iters - 1``
     centroid updates between them; returns the final assignment
@@ -105,17 +126,17 @@ def kmeans_assign(
     Init is deterministic: the k vectors with the smallest ids seed the
     centroids (k-means++ would trade determinism for quality; for a
     reproducible pipeline stage, fixed seeding wins). The quantized
-    corpus is cached — every round re-reads it, and at 100 TB the
-    long-form explode would otherwise re-run per iteration."""
+    corpus is cached — every update round re-scans it."""
     pts = df.select(
         F.col(id_col).alias("pid"), quantize_vec(F.col(vec_col)).alias("qv")
     ).cache()
-    cents = pts.filter(F.col("pid") < k).select(
-        F.col("pid").alias("cid"), F.col("qv").alias("cv")
+    cents = sorted(
+        (r["pid"], list(r["qv"]))
+        for r in pts.filter(F.col("pid") < k).collect()
     )
     assigned = _assign(pts, cents)
     for _ in range(iters - 1):
-        cents = _update(assigned, dim)
+        cents = _update(assigned)
         assigned = _assign(pts, cents)
     return assigned.select(
         F.col("pid").alias(id_col),

@@ -21,12 +21,7 @@ from ..operators.clustering import (
     KMEANS_SCALE,
     kmeans_assign,
 )
-from ..operators.similarity import (
-    EMB_N_BANDS,
-    EMB_PLANES_PER_BAND,
-    embedding_near_dup_pairs,
-    plane_components,
-)
+from ..operators.similarity import embedding_near_dup_pairs
 from ..sources.batch import load_table
 from .catalog import query
 from .dedup import COSINE_THRESHOLD
@@ -99,24 +94,9 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_prune_oracle() -> str:
-    # Banded sign-LSH sub-bucketing within each learned cluster — the
-    # same compound-key blocking (and identical inlined hyperplanes) as
-    # plans/dedup.py:_embed_neardup_oracle, with the metadata label
-    # replaced by the k-means cluster id.
-    def band_expr(band: int) -> str:
-        terms = []
-        for p in range(EMB_PLANES_PER_BAND):
-            comps = plane_components(band * EMB_PLANES_PER_BAND + p)
-            arr = "[" + ", ".join(repr(c) for c in comps) + "]::DOUBLE[]"
-            terms.append(
-                f"CASE WHEN list_dot_product(e.v, {arr}) > 0 THEN {1 << p} ELSE 0 END"
-            )
-        return " + ".join(terms)
-
-    band_case = "CASE b.i " + " ".join(
-        f"WHEN {i} THEN ({band_expr(i)})" for i in range(EMB_N_BANDS)
-    ) + " END"
-    band_values = ", ".join(f"({i})" for i in range(EMB_N_BANDS))
+    # Within-cluster pairwise cosine — the published SemDeDup shape
+    # (no banding: the k-means cluster IS the blocking key, and its
+    # size is bounded by the choice of k).
     cos = (
         "list_dot_product(a.v, b.v) / "
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
@@ -127,21 +107,10 @@ def _semantic_prune_oracle() -> str:
         SELECT e.vec_id, a.cid AS cluster_id, e.embedding::DOUBLE[] AS v
         FROM embeddings e JOIN asg a ON e.vec_id = a.pid
     ),
-    bands AS (
-        SELECT e.vec_id, e.cluster_id, b.i AS band, {band_case} AS bkt
-        FROM e0 AS e CROSS JOIN (VALUES {band_values}) AS b(i)
-    ),
-    cand AS (
-        SELECT DISTINCT ba.vec_id AS id_a, bb.vec_id AS id_b
-        FROM bands ba JOIN bands bb
-          ON ba.cluster_id = bb.cluster_id AND ba.band = bb.band AND ba.bkt = bb.bkt
-         AND ba.vec_id < bb.vec_id
-    ),
     pruned AS (
-        SELECT DISTINCT id_b AS vec_id
-        FROM cand
-        JOIN e0 a ON cand.id_a = a.vec_id
-        JOIN e0 b ON cand.id_b = b.vec_id
+        SELECT DISTINCT b.vec_id
+        FROM e0 a JOIN e0 b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
         WHERE round({cos}, 6) >= {COSINE_THRESHOLD}
     )
     SELECT a.pid AS vec_id, a.cid AS cluster_id,
@@ -157,16 +126,23 @@ def _semantic_prune_oracle() -> str:
 )
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means clusters the corpus, then
-    cosine near-dup pairs are searched only within a cluster (further
-    sub-bucketed by banded sign-LSH so no cluster goes quadratic);
-    of each near-dup pair the smaller vec_id survives. Output is the
-    full corpus with its learned cluster and a ``pruned`` verdict —
-    exactly the keep/drop table a curation pipeline feeds downstream."""
+    cosine near-dup pairs are searched only WITHIN a cluster — the
+    published algorithm, where the quadratic term is bounded because k
+    is chosen so clusters stay worker-sized (k ∝ N). Of each near-dup
+    pair the smaller vec_id survives. Output is the full corpus with
+    its learned cluster and a ``pruned`` verdict — exactly the
+    keep/drop table a curation pipeline feeds downstream.
+
+    (Banded sign-LSH sub-bucketing — ``n_bands > 0`` — is NOT used
+    here: learned clusters are cohesive, so their members collapse into
+    the same sign buckets and banding only adds a no-op shuffle +
+    distinct. For metadata blocks of unbounded size, use
+    ``dedup_embedding_pairs``'s compound banded blocking instead.)"""
     e = load_table(spark, sf_dir, "embeddings")
     asg = kmeans_assign(e, k=KMEANS_K, iters=KMEANS_ITERS).cache()
     with_cluster = e.join(asg.select("vec_id", "cluster_id"), "vec_id")
     pairs = embedding_near_dup_pairs(
-        with_cluster, threshold=COSINE_THRESHOLD, block_col="cluster_id"
+        with_cluster, threshold=COSINE_THRESHOLD, block_col="cluster_id", n_bands=0
     )
     pruned = (
         pairs.select(F.col("id_b").alias("vec_id"))

@@ -561,6 +561,6 @@ def test_semantic_prune_keeps_min_id_of_pair(spark):
     asg = kmeans_assign(df, k=2, iters=2)
     with_cluster = df.join(asg.select("vec_id", "cluster_id"), "vec_id")
     pairs = embedding_near_dup_pairs(
-        with_cluster, threshold=0.99, block_col="cluster_id"
+        with_cluster, threshold=0.99, block_col="cluster_id", n_bands=0
     ).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
