@@ -429,6 +429,34 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS balance_cents
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("scan", "orc"),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink: write customer to ORC, read back, aggregate in
+    exact integer cents. DuckDB cannot read ORC, so the oracle runs the
+    same aggregate off the parquet original — equality proves the ORC
+    transit was lossless (the same contract as the CSV/JSON roundtrips,
+    covering the third columnar-interchange format Spark ships)."""
+    c = load_table(spark, sf_dir, "customer")
+    path = _roundtrip_dir(sf_dir, "orc")
+    c.select("c_custkey", "c_mktsegment", "c_acctbal").write.mode(
+        "overwrite"
+    ).orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("balance_cents"),
+    )
+
+
+@query(
     "scalar_from_json_struct",
     oracle="""
     SELECT event_type,

@@ -58,6 +58,40 @@ def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udaf_price_median",
+    oracle="""
+    SELECT o_orderpriority, median(o_totalprice) AS median_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("udf", "udaf", "grouped-agg", "pandas"),
+)
+def udaf_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF (series → scalar): exact median order
+    price per priority class. Median is UDAF-worthy — no decomposable
+    built-in computes it exactly — and parity-safe: both engines sort
+    and interpolate ``(a + b) / 2`` on the same doubles, with no
+    order-dependent summation anywhere.
+
+    Scale note: a grouped-agg pandas UDF materializes each group as one
+    Arrow batch on one worker — right for bounded group counts like the
+    5 priority classes here, wrong for huge groups; at 100 TB use
+    ``approx_percentile`` (t-digest, partial-aggregable) and accept the
+    approximation, or a two-pass exact selection."""
+    import numpy as np
+
+    o = load_table(spark, sf_dir, "orders")
+
+    @F.pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    return o.groupBy("o_orderpriority").agg(
+        median_udaf("o_totalprice").alias("median_price")
+    )
+
+
+@query(
     "udtf_char_ngrams",
     oracle="""
     SELECT doc_id,
