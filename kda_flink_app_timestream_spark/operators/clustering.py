@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.batch import scatter
 from .similarity import as_double
 
 KMEANS_K = 8
@@ -127,8 +128,8 @@ def kmeans_assign(
     centroids (k-means++ would trade determinism for quality; for a
     reproducible pipeline stage, fixed seeding wins). The quantized
     corpus is cached — every update round re-scans it."""
-    pts = df.select(
-        F.col(id_col).alias("pid"), quantize_vec(F.col(vec_col)).alias("qv")
+    pts = scatter(
+        df.select(F.col(id_col).alias("pid"), quantize_vec(F.col(vec_col)).alias("qv"))
     ).cache()
     cents = sorted(
         (r["pid"], list(r["qv"]))
