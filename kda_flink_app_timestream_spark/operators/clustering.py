@@ -62,17 +62,20 @@ def _sq_dist(a: Column, b: Column) -> Column:
 
 
 def _centroid_literal(cents: list[tuple[int, list[int]]]) -> Column:
-    """``array<struct<dist-placeholder…>>`` — the k centroids inlined as
-    an ``array<struct<cid, cv>>`` literal (k·dim integer literals)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).cast("long").alias("cid"),
-                F.array(*[F.lit(int(v)).cast("long") for v in cv]).alias("cv"),
-            )
-            for cid, cv in cents
-        ]
+    """The k centroids inlined as an ``array<struct<cid, cv>>`` literal.
+
+    Built as ONE ``F.expr`` SQL string instead of nested
+    ``F.array``/``F.lit`` calls: k·dim literals via the Column API cost
+    a py4j round-trip each (~1.5 s for 8×64 at local latency, and the
+    assignment plan is rebuilt every Lloyd round), while a single SQL
+    parse of the same tree is milliseconds on the JVM."""
+    structs = ", ".join(
+        f"named_struct('cid', {int(cid)}L, 'cv', array("
+        + ", ".join(f"{int(v)}L" for v in cv)
+        + "))"
+        for cid, cv in cents
     )
+    return F.expr(f"array({structs})")
 
 
 def _assign(pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:

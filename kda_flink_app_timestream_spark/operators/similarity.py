@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 import functools
 import hashlib
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot_unrolled, norm_unrolled
 
 N_PLANES = 8  # 256 buckets
 DIM = 64
@@ -60,11 +60,28 @@ def hyperplane(plane: int, dim: int = DIM) -> Column:
 
 
 def lsh_bucket(
-    vec: Column, n_planes: int = N_PLANES, dim: int = DIM, plane_offset: int = 0
+    vec: Column | str, n_planes: int = N_PLANES, dim: int = DIM, plane_offset: int = 0
 ) -> Column:
     """Sign-concatenation bucket id in [0, 2^n_planes), over planes
     ``plane_offset … plane_offset + n_planes`` (banded blocking hashes
-    each band with its own plane slice)."""
+    each band with its own plane slice).
+
+    Pass the vector as a column NAME (of an already-DOUBLE array) to
+    get the unrolled single-``expr`` form: per-plane dot products as
+    literal-weighted ``element_at`` chains that stay inside whole-stage
+    codegen, vs the interpreted zip_with/aggregate fallback for
+    arbitrary Column inputs. Same doubles in the same order either way
+    (left-assoc ``+`` ≡ the sequential fold; plane components inline
+    via shortest-repr literals, which round-trip exactly)."""
+    if isinstance(vec, str):
+        plane_terms = []
+        for p in range(n_planes):
+            comps = plane_components(plane_offset + p, dim)
+            d = " + ".join(
+                f"(element_at({vec}, {i + 1}) * {c!r}D)" for i, c in enumerate(comps[:dim])
+            )
+            plane_terms.append(f"(CASE WHEN ({d}) > 0D THEN {1 << p} ELSE 0 END)")
+        return F.expr(" + ".join(plane_terms)).cast("long")
     bucket = None
     for p in range(n_planes):
         d = F.aggregate(
@@ -89,11 +106,13 @@ def brute_force_topk(
     tie-break → fully deterministic output."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm_unrolled("qv", DIM))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    ).withColumn("cn", norm_unrolled("cv", DIM))
+    # norms precomputed per VECTOR (not per pair) — same doubles, ~3x
+    # less arithmetic on the quadratic stage, all inside codegen
+    sim = F.round(dot_unrolled("qv", "cv", DIM) / (F.col("qn") * F.col("cn")), 6)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -118,15 +137,23 @@ def lsh_topk(
     """ANN top-k: candidates restricted to the query's LSH bucket, then
     exact cosine re-rank within the bucket (approximate — a neighbor in
     another bucket is missed; that's the ANN trade)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), n_planes))
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("bucket", lsh_bucket("qv", n_planes))
+        .withColumn("qn", norm_unrolled("qv", DIM))
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("bucket", lsh_bucket("cv", n_planes))
+        .withColumn("cn", norm_unrolled("cv", DIM))
+    )
+    sim = F.round(dot_unrolled("qv", "cv", DIM) / (F.col("qn") * F.col("cn")), 6)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -174,8 +201,12 @@ def embedding_near_dup_pairs(
     sub-bucketing — only safe when every label is small).
     """
     blk_cols = [c for c in [block_col] if c]
-    vecs = df.select(F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    vecs = df.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", norm_unrolled("__v", DIM))
+    sim = F.round(
+        dot_unrolled("va", "vb", DIM) / (F.col("na") * F.col("nb")), 6
+    )
 
     if n_bands <= 0:
         if not blk_cols:
@@ -186,16 +217,14 @@ def embedding_near_dup_pairs(
     else:
         buckets = F.array(
             *[
-                lsh_bucket(
-                    as_double(F.col(vec_col)),
-                    planes_per_band,
-                    plane_offset=band * planes_per_band,
-                )
+                lsh_bucket("__v", planes_per_band, plane_offset=band * planes_per_band)
                 for band in range(n_bands)
             ]
         )
         banded = df.select(
-            F.col(id_col).alias("__id"),
+            F.col(id_col).alias("__id"), *blk_cols, as_double(F.col(vec_col)).alias("__v")
+        ).select(
+            "__id",
             *blk_cols,
             F.posexplode(buckets).alias("band", "bkt"),
         )
@@ -210,8 +239,18 @@ def embedding_near_dup_pairs(
         )
 
     return (
-        cand.join(vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("va")), "id_a")
-        .join(vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb")), "id_b")
+        cand.join(
+            vecs.select(
+                F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("__id").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
+            ),
+            "id_b",
+        )
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -239,7 +278,7 @@ def ivf_centroids(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "emb
 def _argmax_centroids(vectors: DataFrame, cents: DataFrame, vec_expr: str, k: int) -> DataFrame:
     """Top-k nearest centroids per vector (broadcast codebook — the
     corpus never shuffles for assignment)."""
-    sim = cosine(F.col(vec_expr), F.col("centroid"))
+    sim = cosine(F.col(vec_expr), F.col("centroid"))  # k·|corpus| pairs, k small
     w = W.partitionBy("__vid").orderBy(F.desc("__csim"), F.asc("cid"))
     return (
         vectors.crossJoin(F.broadcast(cents))
@@ -274,7 +313,7 @@ def ivf_topk(
     probed = _argmax_centroids(q, cents, "qv", nprobe).select(
         F.col("__vid").alias("query_id"), "qv", "cid"
     )
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    sim = F.round(dot_unrolled("qv", "cv", DIM) / (norm_unrolled("qv", DIM) * norm_unrolled("cv", DIM)), 6)
     scored = (
         assigned.join(F.broadcast(probed), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
