@@ -78,6 +78,7 @@ def load_all_plans() -> dict[str, Query]:
             multimodal,
             reference,
             relational,
+            scale_queries,
             similarity,
             streaming_queries,
             tpch_shapes,

@@ -115,3 +115,30 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "(day#" in plan and "= 2024-01-05)" in plan
     expected = e.filter(F.to_date("ts") == "2024-01-05").count()
     assert back.count() == expected > 0
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The reason salting exists: a hot key's rows must land on MANY
+    reducers after salting, not one. events.event_type has 5 distinct
+    values, so unsalted hash partitioning puts each key in exactly one
+    partition; salted, each key must occupy > 1 (spread over up to
+    salt_buckets)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    joined = salted_join(ev, dim.hint("shuffle_hash"), "event_type", salt_buckets=8)
+    # AQE would re-coalesce this test-scale shuffle into one partition
+    # and hide the spread being asserted (at 100 TB it has no reason to)
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        spread = (
+            joined.withColumn("part", F.spark_partition_id())
+            .groupBy("event_type")
+            .agg(F.countDistinct("part").alias("n_parts"))
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    assert spread, "no rows joined"
+    for row in spread:
+        assert row["n_parts"] > 1, f"hot key {row['event_type']} on one reducer"
