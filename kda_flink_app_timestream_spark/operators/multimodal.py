@@ -163,3 +163,57 @@ def frame_sample(
         F.col(n_frames_col),
         F.explode(idx).alias("frame_idx"),
     )
+
+
+AUDIO_FRAME = 256
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame: int = AUDIO_FRAME,
+) -> DataFrame:
+    """Audio feature extraction stand-in with REAL per-frame math: the
+    payload bytes are read as unsigned 8-bit PCM samples, split into
+    ``frame``-sample frames (last frame ragged), and each frame emits
+    its length and energy — sum of squared deviation from the 128
+    midpoint, the integer core of an RMS/VAD stage. A real codec
+    (librosa/soundfile decode, mel filterbank) drops into the same
+    ``mapInPandas`` loop without touching the plumbing: binary in,
+    exploded (clip, frame) rows out, so downstream work parallelizes
+    over frames rather than clips — the skew fix for hour-long audio.
+
+    Exact integer energies make the stage oracle-checkable and
+    engine-portable (no float accumulation order to disagree on)."""
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, lens, engs = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                if n == 0:
+                    continue
+                d2 = (arr - 128) ** 2
+                starts = np.arange(0, n, frame)
+                per_frame = np.add.reduceat(d2, starts)
+                n_frames = len(starts)
+                ids.extend([doc_id] * n_frames)
+                idxs.extend(range(n_frames))
+                full, rem = divmod(n, frame)
+                lens.extend([frame] * full + ([rem] if rem else []))
+                engs.extend(int(x) for x in per_frame)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "energy": pd.Series(engs, dtype="int64"),
+                }
+            )
+
+    schema = f"{id_col} long, frame_idx long, frame_len long, energy long"
+    return scatter(df).mapInPandas(energies, schema=schema)

@@ -8,9 +8,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
+    AUDIO_FRAME,
     FORMATS,
     THUMB_STRIDE,
     attach_payload,
+    audio_frame_energy,
     byte_histogram_features,
     frame_sample,
     thumbnail_plan,
@@ -115,6 +117,36 @@ def multimodal_thumbnail_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     count) and a content checksum proving WHICH bytes were kept."""
     d = load_table(spark, sf_dir, "documents")
     return thumbnail_plan(attach_payload(d))
+
+
+# The payload is pure-ASCII UTF-8 (see _HIST_ORACLE note), so the
+# "PCM samples" are ord(char) and per-frame integer energy is
+# SQL-expressible: bucket 1-based positions by (pos-1)//frame.
+_AUDIO_ORACLE = f"""
+WITH s AS (
+    SELECT doc_id,
+           (p.pos - 1) // {AUDIO_FRAME} AS frame_idx,
+           ord(substring(text, p.pos, 1)) AS b
+    FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS pos) p
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(count(*) AS BIGINT) AS frame_len,
+       CAST(sum((b - 128) * (b - 128)) AS BIGINT) AS energy
+FROM s
+GROUP BY doc_id, frame_idx
+"""
+
+
+@query("multimodal_audio_energy", oracle=_AUDIO_ORACLE, tags=("multimodal", "audio", "pandas-udf"))
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio energy (256-sample frames over the byte payload
+    read as 8-bit PCM): Arrow-batched ``mapInPandas`` exploding each
+    clip into (frame_idx, frame_len, energy) rows — the VAD/feature
+    stage of an audio curation pipeline, with exact-integer energies so
+    the whole stage hash-matches the SQL oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return audio_frame_energy(attach_payload(d))
 
 
 @query("multimodal_byte_histogram", oracle=_HIST_ORACLE, tags=("multimodal", "pandas-udf"))

@@ -324,6 +324,24 @@ def test_thumbnail_plan_matches_python(spark, docs):
         assert r["thumb_h"] == r["height"] // THUMB_STRIDE
 
 
+def test_audio_frame_energy_matches_python(spark, docs):
+    from kda_flink_app_timestream_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        audio_frame_energy,
+    )
+
+    out = {}
+    for r in audio_frame_energy(attach_payload(docs)).collect():
+        out[(r["doc_id"], r["frame_idx"])] = (r["frame_len"], r["energy"])
+    for row in docs.collect():
+        payload = row["text"].encode()
+        for i in range(0, len(payload), AUDIO_FRAME):
+            chunk = payload[i : i + AUDIO_FRAME]
+            got_len, got_energy = out[(row["doc_id"], i // AUDIO_FRAME)]
+            assert got_len == len(chunk)
+            assert got_energy == sum((b - 128) ** 2 for b in chunk)
+
+
 def test_gopher_filters_boundaries(spark):
     """Known-answer fixture spanning each rule: too short, too
     repetitive, non-alphabetic, and a clean doc."""
