@@ -326,3 +326,66 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk"))
     )
+
+
+# --- Product quantization (PQ) ----------------------------------------------
+
+PQ_N_SUB = 4                      # 64 dims -> 4 subspaces of 16
+PQ_CODEBOOK_RANGE = (100, 108)    # 8 fixed corpus vectors as codewords
+PQ_SCALE = 1 << 20                # same exact-integer grid as k-means
+
+
+def pq_codes(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = PQ_N_SUB,
+    dim: int = DIM,
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``n_sub``
+    subvectors and store only the id of the nearest codeword per
+    subspace — 64 floats (256 B) become 4 codes (4 B), the compression
+    that makes billion-vector ANN fit in memory at 100 TB scale
+    (Jégou et al. 2011, the public PQ recipe).
+
+    Spark-first shape mirrors k-means assignment
+    (operators/clustering.py): the codebook is MODEL STATE — 8 vectors
+    collected once on the driver and inlined into the plan — while the
+    corpus never shuffles; encoding is a pure narrow projection built
+    as one parsed SQL expression per subspace (unrolled integer
+    element_at chains → whole-stage codegen, no interpreted
+    higher-order functions on the hot path).
+
+    Exactness: vectors are quantized to ``floor(x · 2^20)`` bigints, so
+    squared distances, argmin ties (→ smaller code id) and the summed
+    reconstruction error are bit-identical across engines. Codewords
+    are a fixed corpus slice (same reproducible-codebook trick as IVF;
+    a trained codebook would come from ``kmeans_assign`` per subspace
+    and changes nothing downstream)."""
+    sub_dim = dim // n_sub
+    lo, hi = PQ_CODEBOOK_RANGE
+    q = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.floor(x * F.lit(float(PQ_SCALE))).cast("long"),
+    )
+    pts = corpus.select(F.col(id_col).alias("__pid"), q.alias("qv"))
+    codebook = sorted(
+        (r["__pid"], list(r["qv"]))
+        for r in pts.filter((F.col("__pid") >= lo) & (F.col("__pid") < hi)).collect()
+    )
+    cols = [F.col("__pid").alias(id_col)]
+    err_terms = []
+    for s in range(n_sub):
+        entries = []
+        for code, w in codebook:
+            terms = " + ".join(
+                f"(element_at(qv, {s * sub_dim + i + 1}) - {int(w[s * sub_dim + i])}L) * "
+                f"(element_at(qv, {s * sub_dim + i + 1}) - {int(w[s * sub_dim + i])}L)"
+                for i in range(sub_dim)
+            )
+            entries.append(f"named_struct('d', {terms}, 'c', {int(code)}L)")
+        best = f"array_min(array({', '.join(entries)}))"
+        cols.append(F.expr(f"{best}.c").alias(f"code_{s}"))
+        err_terms.append(f"{best}.d")
+    cols.append(F.expr(" + ".join(err_terms)).alias("recon_err"))
+    return pts.select(*cols)

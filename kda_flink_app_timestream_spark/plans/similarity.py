@@ -213,3 +213,65 @@ def sim_vector_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(unit_sum, 6).alias("unit_sum"),
         int8_sum.alias("int8_sum"),
     )
+
+
+from ..operators.similarity import (  # noqa: E402
+    PQ_CODEBOOK_RANGE,
+    PQ_N_SUB,
+    PQ_SCALE,
+    pq_codes,
+)
+
+_PQ_SUB_DIM = 64 // PQ_N_SUB
+
+
+def _pq_oracle() -> str:
+    lo, hi = PQ_CODEBOOK_RANGE
+    code_cols = ",\n       ".join(
+        f"CAST(max(CASE WHEN sub = {s} THEN code END) AS BIGINT) AS code_{s}"
+        for s in range(PQ_N_SUB)
+    )
+    return f"""
+WITH pts AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * {float(PQ_SCALE)}) AS BIGINT)) AS qv
+    FROM embeddings
+),
+u AS (
+    SELECT vec_id, p.pos AS pos, qv[p.pos] AS v
+    FROM pts, (SELECT unnest(range(1, 65)) AS pos) p
+),
+cb AS (
+    SELECT vec_id AS code, pos, (pos - 1) // {_PQ_SUB_DIM} AS sub, v AS w
+    FROM u WHERE vec_id >= {lo} AND vec_id < {hi}
+),
+d AS (
+    SELECT u.vec_id, cb.sub, cb.code,
+           CAST(sum((u.v - cb.w) * (u.v - cb.w)) AS BIGINT) AS dist
+    FROM u JOIN cb ON u.pos = cb.pos
+    GROUP BY u.vec_id, cb.sub, cb.code
+),
+a AS (
+    SELECT vec_id, sub, code, dist FROM (
+        SELECT vec_id, sub, code, dist,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        FROM d) WHERE rn = 1
+)
+SELECT vec_id,
+       {code_cols},
+       CAST(sum(dist) AS BIGINT) AS recon_err
+FROM a
+GROUP BY vec_id
+"""
+
+
+@query("sim_pq_codes", oracle=_pq_oracle(), tags=("similarity", "pq", "compression"))
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embedding corpus: 4 codes +
+    exact reconstruction error per vector (256 B of floats → 4 B of
+    codes — the storage-side compression a billion-vector ANN index
+    needs). Encoding is a narrow codegen projection against the inlined
+    8-codeword codebook; the corpus never shuffles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(e)
