@@ -142,3 +142,46 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     assert spread, "no rows joined"
     for row in spread:
         assert row["n_parts"] > 1, f"hot key {row['event_type']} on one reducer"
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime semi-join reduction: a selective filter on the build side
+    should inject a bloom filter into the probe side's scan stage, so
+    at 100 TB the fact table drops non-qualifying rows BEFORE the join
+    shuffle. Spark only injects when the probe side looks expensive
+    (applicationSideScanSizeThreshold defaults to 10 GB), so the
+    thresholds are pinned here to what a real deployment would see."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in optimized.lower(), optimized[:2000]
+        expected = (
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders").filter(
+                    F.col("o_orderpriority") == "1-URGENT"
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert j.count() == expected > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
