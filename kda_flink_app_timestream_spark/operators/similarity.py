@@ -100,19 +100,21 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = DIM,
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector the k nearest corpus
     vectors (self-matches excluded). Rank on rounded similarity with id
-    tie-break → fully deterministic output."""
+    tie-break → fully deterministic output. ``dim`` must match the
+    embedding width (the unrolled arithmetic is fixed-dim by design)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm_unrolled("qv", DIM))
+    ).withColumn("qn", norm_unrolled("qv", dim))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm_unrolled("cv", DIM))
+    ).withColumn("cn", norm_unrolled("cv", dim))
     # norms precomputed per VECTOR (not per pair) — same doubles, ~3x
     # less arithmetic on the quadratic stage, all inside codegen
-    sim = F.round(dot_unrolled("qv", "cv", DIM) / (F.col("qn") * F.col("cn")), 6)
+    sim = F.round(dot_unrolled("qv", "cv", dim) / (F.col("qn") * F.col("cn")), 6)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -133,6 +135,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    dim: int = DIM,
 ) -> DataFrame:
     """ANN top-k: candidates restricted to the query's LSH bucket, then
     exact cosine re-rank within the bucket (approximate — a neighbor in
@@ -142,18 +145,18 @@ def lsh_topk(
             F.col(id_col).alias("query_id"),
             as_double(F.col(vec_col)).alias("qv"),
         )
-        .withColumn("bucket", lsh_bucket("qv", n_planes))
-        .withColumn("qn", norm_unrolled("qv", DIM))
+        .withColumn("bucket", lsh_bucket("qv", n_planes, dim))
+        .withColumn("qn", norm_unrolled("qv", dim))
     )
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("cv"),
         )
-        .withColumn("bucket", lsh_bucket("cv", n_planes))
-        .withColumn("cn", norm_unrolled("cv", DIM))
+        .withColumn("bucket", lsh_bucket("cv", n_planes, dim))
+        .withColumn("cn", norm_unrolled("cv", dim))
     )
-    sim = F.round(dot_unrolled("qv", "cv", DIM) / (F.col("qn") * F.col("cn")), 6)
+    sim = F.round(dot_unrolled("qv", "cv", dim) / (F.col("qn") * F.col("cn")), 6)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

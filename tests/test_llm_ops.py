@@ -100,7 +100,7 @@ def test_brute_force_topk_ordering(spark):
         Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),  # opposite
     ]
     df = spark.createDataFrame(rows)
-    got = brute_force_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    got = brute_force_topk(df, df.filter("vec_id = 0"), k=3, dim=3).collect()
     assert [r["neighbor_id"] for r in got] == [1, 2, 3]
     assert got[0]["cosine_sim"] > 0.99
     assert got[-1]["cosine_sim"] == -1.0
