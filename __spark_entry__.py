@@ -36,10 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry queries without a CORRECTNESS row. Emit the dict in an explicit
 # verification-priority order: first the queries with no driver row yet,
 # then the ones whose implementation changed this round (need re-scoring),
-# then everything already driver-green in r1 — so a capped scoring window
-# always lands on the rows that need the signal most.
+# then new round-2 queries ranked by inventory visibility, then everything
+# already driver-green in r1 — so a capped scoring window always lands on
+# the rows that need the signal most. Queries past slot 50 this round
+# rotate to the front next round.
 _SCORE_FIRST = [
-    # --- no CORRECTNESS row in r1 (driver cap) ---
+    # --- tier 1: no CORRECTNESS row in r1 (driver cap) ---
     "setops_except_inactive", "scalar_string_funcs", "scalar_date_funcs",
     "scalar_json_extract", "scalar_case_buckets", "pivot_daily_event_matrix",
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk",
@@ -55,16 +57,25 @@ _SCORE_FIRST = [
     "text_context_packing", "text_stratified_sample",
     "timeseries_multi_rollup", "timeseries_gapfill",
     "map_dimensions_long_form", "applyinpandas_zscore", "udtf_char_ngrams",
-    # --- new in round 2, no driver row yet ---
-    "text_gopher_filters", "multimodal_thumbnail_plan",
-    "q4_order_priority", "q6_revenue_forecast", "q10_returned_items",
-    "q12_late_lines_by_priority", "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    # --- output changed in round 2, r1 row no longer valid ---
+    # --- tier 1b: r1 row exists but is invalid (err / output changed) ---
     "multimodal_byte_histogram", "dedup_embedding_pairs",
     # (dedup_ngram/minhash/cluster + parse were reworked in r2 but their
     # sf0.01 output is verified IDENTICAL to the r1-green rows, so they
     # yield their window slots to never-scored queries)
+    # --- tier 2: new in round 2, ranked — the TPC-H sweep completions
+    #     first (slots 42+), then the new LLM-pipeline ops ---
+    "q4_order_priority", "q6_revenue_forecast", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock",
+    "q12_late_lines_by_priority", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "text_gopher_filters", "multimodal_thumbnail_plan",
+    "sim_kmeans_clusters", "dedup_semantic_prune", "scan_orc_roundtrip",
+    "udaf_price_median", "sim_pq_codes",
+    "text_decontaminate_overlap", "text_pii_redaction",
+    "text_duplicate_spans", "text_rarity_score", "text_domain_caps",
+    "text_dataset_mixing", "multimodal_audio_energy", "join_salted_skew",
+    "dedup_lineage_recursive",
 ]
 
 
