@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.time import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -104,9 +106,9 @@ def interval_join_bucketed(
     ``bucket_seconds`` near the median interval length.
     """
     b = F.lit(bucket_seconds)
-    l_bucket = (F.unix_seconds(F.col(left_ts)) / b).cast("long")
-    r_from = (F.unix_seconds(F.col(right_start)) / b).cast("long")
-    r_to = (F.unix_seconds(F.col(right_end)) / b).cast("long")
+    l_bucket = (epoch_seconds(F.col(left_ts)) / b).cast("long")
+    r_from = (epoch_seconds(F.col(right_start)) / b).cast("long")
+    r_to = (epoch_seconds(F.col(right_end)) / b).cast("long")
 
     l = left.withColumn("__bucket", l_bucket)
     r = right.withColumn("__bucket", F.explode(F.sequence(r_from, r_to)))

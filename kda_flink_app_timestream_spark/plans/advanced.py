@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.time import epoch_micros
 from ..sources.batch import load_table
 from .catalog import query
 
@@ -283,7 +284,7 @@ def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands = flagged.withColumn("session_id", F.sum("is_new").over(w2))
     sessions = islands.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        (epoch_micros(F.max("ts")) - epoch_micros(F.min("ts"))).alias("duration_us"),
     )
     return sessions.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),

@@ -11,6 +11,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.parse import build_service_log_text, parse_service_logs
+from ..functions.time import epoch_millis
 from ..operators.relational import asof_join
 from ..sources.batch import load_table, scatter
 from .catalog import query
@@ -46,7 +47,7 @@ def parse_service_logs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             operation=F.col("event_type"),
             aws_account_id=F.lpad(F.col("user_id").cast("string"), 12, "0"),
             latency=F.col("value").cast("string"),
-            end_time_millis=F.unix_millis(F.col("ts")),
+            end_time_millis=epoch_millis(F.col("ts")),
             caller_service=F.lit("GLUE"),
         ).alias("value")
     )

@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import cents, floor_round, spark_div_round
+from ..functions.time import epoch_micros
 from ..sources.batch import load_table
 from .catalog import query
 
@@ -602,7 +603,7 @@ def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead analytics: per-user inter-event gap (µs) and next event."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_micros(F.col("ts"))
     return e.select(
         "event_id",
         "user_id",

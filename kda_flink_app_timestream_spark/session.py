@@ -54,8 +54,10 @@ def build_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
-        # parquet reader rejects; read as long and convert (sources/batch.py)
+        # round-1 testdata stored events.ts as TIMESTAMP(NANOS), which
+        # Spark's parquet reader rejects without this flag (read as long,
+        # normalized in functions/time.py). Harmless for the current
+        # timestamp[us] layout; kept so either layout loads.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in extra_conf.items():
