@@ -12,6 +12,10 @@ there; this module just re-exports it in the driver's shape.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from kda_flink_app_timestream_spark.plans import REGISTRY, load_all_plans
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,58 +37,78 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["events_tumbling_agg"].fn(spark, SMOKE_SF_DIR)
 
 
-# Round-1's driver scored exactly the first 50 dict entries, leaving 39
-# registry queries without a CORRECTNESS row. Emit the dict in an explicit
-# verification-priority order: first the queries with no driver row yet,
-# then the ones whose implementation changed this round (need re-scoring),
-# then new round-2 queries ranked by inventory visibility, then everything
-# already driver-green in r1 — so a capped scoring window always lands on
-# the rows that need the signal most. Queries past slot 50 this round
-# rotate to the front next round.
-_SCORE_FIRST = [
-    # --- tier 1: no CORRECTNESS row in r1 (driver cap) ---
-    "setops_except_inactive", "scalar_string_funcs", "scalar_date_funcs",
-    "scalar_json_extract", "scalar_case_buckets", "pivot_daily_event_matrix",
-    "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk",
-    "sim_vector_normalize_quantize", "stream_tumbling_events",
-    "stream_sliding_events", "stream_session_windows", "stream_interval_join",
-    "stream_dedup_keys", "stream_stateful_running_counts",
-    "q2_min_price_per_part", "q7_nation_volume", "q8_market_share",
-    "q13_order_count_distribution", "q18_large_volume_orders",
-    "q19_disjunctive_revenue", "q22_global_sales_opportunity",
-    "text_language_id", "text_quality_scores", "text_token_counts",
-    "text_fingerprint", "text_ngram_doc_freq", "text_tfidf_top_terms",
-    "text_train_val_split", "text_chunking", "text_normalize",
-    "text_context_packing", "text_stratified_sample",
-    "timeseries_multi_rollup", "timeseries_gapfill",
-    "map_dimensions_long_form", "applyinpandas_zscore", "udtf_char_ngrams",
-    # --- tier 1b: r1 row exists but is invalid (err / output changed) ---
-    "multimodal_byte_histogram", "dedup_embedding_pairs",
-    # (dedup_ngram/minhash/cluster + parse were reworked in r2 but their
-    # sf0.01 output is verified IDENTICAL to the r1-green rows, so they
-    # yield their window slots to never-scored queries)
-    # --- tier 2: new in round 2, ranked — the TPC-H sweep completions
-    #     first (slots 42+), then the new LLM-pipeline ops ---
-    "q4_order_priority", "q6_revenue_forecast", "q9_product_profit",
-    "q10_returned_items", "q11_important_stock",
-    "q12_late_lines_by_priority", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q20_dominant_suppliers", "q21_waiting_suppliers",
-    "text_gopher_filters", "multimodal_thumbnail_plan",
-    "sim_kmeans_clusters", "dedup_semantic_prune", "scan_orc_roundtrip",
-    "udaf_price_median", "sim_pq_codes",
-    "text_decontaminate_overlap", "text_pii_redaction",
-    "text_duplicate_spans", "text_rarity_score", "text_domain_caps",
-    "text_dataset_mixing", "multimodal_audio_energy", "join_salted_skew",
-    "dedup_lineage_recursive",
-]
+# The driver scores only the FIRST ~50 dict entries each round, so dict
+# order decides which queries get a fresh CORRECTNESS row. Rounds 1-2
+# hand-curated this list, which under-rotated twice (r1 left 39 queries
+# unscored; r2 left 19 and demoted every past-green permanently, so green
+# regressions could never be re-detected — ADVICE r2). The ordering is
+# now DERIVED from the committed CORRECTNESS_r{N}.json history:
+#
+#   tier 0 — never scored by any round (need their first row)
+#   tier 1 — latest row invalid (err / row-count / schema / hash mismatch)
+#            or rows-only while the query now registers a real oracle
+#   tier 2 — implementation changed since the last green row
+#            (_RESCORE_NOW, maintained per round — the r2 lesson: a
+#            "verified identical offline" claim is not a driver row)
+#   tier 3 — green: oldest green round first, so every green query
+#            rotates back through the window for re-verification
+#
+# Ties break on registry (definition) order for determinism.
+
+# Queries whose code changed this round after their last green row.
+# r3: the events.ts normalization rewrote the time handling of these
+# four r1-green queries (the other five ts casualties are tier 1
+# already via their failed r2 rows).
+_RESCORE_NOW = {
+    "parse_service_logs_roundtrip",
+    "window_lag_event_gaps",
+    "batch_sessionization",
+    "interval_join_error_windows",
+}
+
+
+def _correctness_history() -> dict[int, dict]:
+    """All committed driver scoring rows, keyed by round number."""
+    rounds: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rounds[int(m.group(1))] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+    return rounds
+
+
+def _priority(name: str, history: dict[int, dict]) -> tuple[int, int]:
+    rows = [(rnd, history[rnd][name]) for rnd in sorted(history) if name in history[rnd]]
+    if not rows:
+        return (0, 0)
+    last_round, last = rows[-1]
+    rows_only = last.get("err") == "no_oracle"
+    if rows_only and REGISTRY[name].oracle is not None:
+        return (1, -last_round)  # oracle added since: needs a real row
+    green = (
+        last.get("err") is None
+        and last.get("rows_match") is True
+        and last.get("schema_match") is True
+        and last.get("hash_match") is True
+    ) or rows_only  # rows-only by design: nothing stronger to chase
+    if not green:
+        return (1, -last_round)
+    if name in _RESCORE_NOW:
+        return (2, last_round)
+    return (3, last_round)  # oldest green first → rotating canary slots
 
 
 def _ordered_names() -> list[str]:
     load_all_plans()
-    rank = {n: i for i, n in enumerate(_SCORE_FIRST)}
+    history = _correctness_history()
     names = list(REGISTRY)
-    return sorted(names, key=lambda n: (rank.get(n, len(rank)), names.index(n)))
+    definition_order = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (*_priority(n, history), definition_order[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
