@@ -258,17 +258,25 @@ def exact_jaccard_pairs(
     materialized.
 
     Skew control: shingles appearing in more than ``max_doc_freq`` docs
-    (boilerplate — a quadratic bomb in the index self-join: one shingle
-    in f docs emits f² candidate rows) are dropped from the INDEX by one
-    document-frequency aggregate + broadcast anti-join. Scores stay
-    exact because the intersection/union for each surviving candidate is
-    computed on the FULL hashed-shingle sets (array_intersect), not on
-    index rows — only pairs whose every common shingle is stop-listed
-    are lost, and those are boilerplate-only overlaps by construction.
+    (boilerplate — a quadratic bomb in candidate generation: one shingle
+    in f docs implies f² candidate rows) are stop-listed by one
+    count-only document-frequency aggregate (map-side combinable, never
+    materializes a posting list for a hot shingle) + broadcast
+    anti-join. Scores stay exact because each surviving candidate's
+    shared count is corrected with the per-doc HOT shingle sets — only
+    pairs whose every common shingle is stop-listed are lost, and those
+    are boilerplate-only overlaps by construction.
+
+    Candidate pairs come from exploding per-shingle POSTING LISTS
+    (groupBy shingle → sorted doc-id array ≤ max_doc_freq → ordered
+    2-combinations as a narrow projection), not from joining the index
+    with itself: one shuffle of the index replaces the self-join's two
+    shuffle sides, and the pair explosion is codegen-stage work. (This
+    un-did a 1.9× regression the r2 stop-list introduced.)
 
     The index carries the 60-bit portable hash of the shingle, not the
     string — an 8-byte shuffle key instead of ~20 bytes, and a cheaper
-    join compare. (Distinct-ness is preserved: the hash is applied after
+    group compare. (Distinct-ness is preserved: the hash is applied after
     array_distinct, and 60-bit collisions within a doc's ~10³ shingles
     are negligible — and identical in the oracle, which hashes the same
     way.)"""
@@ -277,20 +285,26 @@ def exact_jaccard_pairs(
         word_shingles(F.col("toks"), shingle_n),
         lambda x: portable_hash64(x, "jac"),
     )
-    # cached: the index feeds the self-join, the frequency agg, and the
-    # size projection — uncached, the shingle+md5 pipeline would re-run
-    sh = toked.select(F.col(id_col), F.explode(hashed).alias("shingle")).cache()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    # cache the COMPACT per-doc hash arrays (one row per doc), not the
+    # exploded index: every downstream consumer derives narrowly from
+    # this, and set size is a free F.size() instead of a groupBy(id)
+    # shuffle over the whole index
+    docs = toked.select(F.col(id_col), hashed.alias("hs")).cache()
+    sizes = docs.select(F.col(id_col), F.size("hs").alias("n_shingles"))
+    sh = docs.select(F.col(id_col), F.explode("hs").alias("shingle"))
 
     if max_doc_freq is not None:
+        # count-only frequency agg: map-side combinable, never builds a
+        # posting list for a hot shingle (the OOM vector at 100 TB).
+        # Cached — it feeds two broadcast joins and is tiny by
+        # construction (only pathological shingles)
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("__df"))
             .filter(F.col("__df") > max_doc_freq)
             .select("shingle")
+            .cache()
         )
-        # the stop-list is tiny by construction (only pathological
-        # shingles) → broadcast anti/semi joins, no index re-shuffle
         sh_cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
         # per-doc HOT shingles (short arrays, empty for most docs) let
         # the score stay exact without joining the full shingle sets:
@@ -304,17 +318,24 @@ def exact_jaccard_pairs(
         sh_cold = sh
         hot_docs = None
 
-    a = sh_cold.alias("a")
-    b = sh_cold.alias("b")
+    # posting lists are bounded at max_doc_freq entries (hot shingles
+    # are already gone), so collect_list is skew-safe by construction
+    posting = sh_cold.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
