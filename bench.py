@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "multimodal_thumbnail_plan",
     "sim_kmeans_clusters",
     "dedup_semantic_prune",
+    "dedup_semantic_prune_scaled",
     "sim_pq_codes",
     "multimodal_audio_energy",
     "join_salted_skew",

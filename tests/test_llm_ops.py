@@ -582,3 +582,67 @@ def test_semantic_prune_keeps_min_id_of_pair(spark):
         with_cluster, threshold=0.99, block_col="cluster_id", n_bands=0
     ).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+
+def test_scaled_k_grows_with_corpus():
+    """The production SemDeDup k is ∝ N (VERDICT r2 item 9: fixed k=8
+    makes clusters grow to N/8 — quadratic within-cluster work at 100×)."""
+    from kda_flink_app_timestream_spark.plans.clustering import (
+        KMEANS_K,
+        TARGET_CLUSTER_SIZE,
+        scaled_k,
+    )
+
+    assert scaled_k(100) == KMEANS_K  # floor: never fewer than the base k
+    assert scaled_k(10 * TARGET_CLUSTER_SIZE) == 10
+    assert scaled_k(10 * TARGET_CLUSTER_SIZE + 1) == 11  # ceiling division
+    # 1000× the corpus ⇒ 1000× the clusters ⇒ cluster size stays flat
+    assert scaled_k(1_000_000 * TARGET_CLUSTER_SIZE) == 1_000_000
+
+
+def test_banded_blocking_bounds_skewed_cluster_pairs(spark):
+    """Worst-case SemDeDup skew: EVERY vector lands in ONE cluster. The
+    banded sub-bucketing must keep the candidate-pair count well below
+    the all-pairs quadratic bound — this is the property that makes the
+    scaled path survive a 100 TB corpus with a runaway cluster."""
+    from kda_flink_app_timestream_spark.operators.similarity import (
+        EMB_N_BANDS,
+        EMB_PLANES_PER_BAND,
+        as_double,
+        lsh_bucket,
+    )
+
+    m, dim = 400, 64
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[((_py_hash("skew", i * dim + d) % 2001) - 1000) / 1000.0
+                       for d in range(dim)],
+            cluster_id=0,  # the skew: one giant cluster
+        )
+        for i in range(m)
+    ]
+    df = spark.createDataFrame(rows)
+    vecs = df.select("vec_id", "cluster_id", as_double(F.col("embedding")).alias("v"))
+    # the operator's exact blocking keys: (cluster, band, sign-bucket)
+    buckets = F.array(
+        *[
+            lsh_bucket("v", EMB_PLANES_PER_BAND, plane_offset=b * EMB_PLANES_PER_BAND)
+            for b in range(EMB_N_BANDS)
+        ]
+    )
+    block_sizes = (
+        vecs.select("cluster_id", F.posexplode(buckets).alias("band", "bkt"))
+        .groupBy("cluster_id", "band", "bkt")
+        .count()
+        .collect()
+    )
+    all_pairs = m * (m - 1) // 2
+    candidate_bound = sum(r["count"] * (r["count"] - 1) // 2 for r in block_sizes)
+    max_block = max(r["count"] for r in block_sizes)
+    # no per-task block anywhere near the full cluster...
+    assert max_block < m / 2, f"a (band, bucket) block holds {max_block} of {m}"
+    # ...and total candidates far below all-pairs (4 bands ⇒ ~m²/8 expected)
+    assert candidate_bound < all_pairs / 2, (
+        f"banded candidates {candidate_bound} vs all-pairs {all_pairs}"
+    )
