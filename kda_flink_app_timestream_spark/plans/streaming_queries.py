@@ -278,14 +278,26 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("stream_stateful_running_counts", oracle=None, tags=("streaming", "stateful"))
+@query(
+    "stream_stateful_running_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
 def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom keyed state via applyInPandasWithState: per-user running
     (count, sum) — the general ProcessFunction-style capability (the
     reference's closest analog is its checkpointed sink buffer,
-    TimestreamSink.java:150-172). Rows-only: emission cadence depends on
-    micro-batch boundaries; final-state correctness is asserted against
-    the batch aggregate in tests/test_streaming.py."""
+    TimestreamSink.java:150-172). A key may emit once per micro-batch;
+    the projection below keeps each key's LATEST state (n_events is
+    monotone, so max-struct selects it), and because the state sums
+    exact integer cents the final rows are independent of batch
+    boundaries — equal to the batch GROUP BY the oracle runs."""
     from ..streaming.stateful import running_counts
 
     out = running_counts(_events_stream(spark, sf_dir))
