@@ -66,22 +66,19 @@ def lsh_bucket(
     ``plane_offset … plane_offset + n_planes`` (banded blocking hashes
     each band with its own plane slice).
 
-    Pass the vector as a column NAME (of an already-DOUBLE array) to
-    get the unrolled single-``expr`` form: per-plane dot products as
-    literal-weighted ``element_at`` chains that stay inside whole-stage
-    codegen, vs the interpreted zip_with/aggregate fallback for
-    arbitrary Column inputs. Same doubles in the same order either way
-    (left-assoc ``+`` ≡ the sequential fold; plane components inline
-    via shortest-repr literals, which round-trip exactly)."""
+    Implementation note (r3, measured): an UNROLLED element_at-chain
+    form of the plane dots (n_planes·dim product terms in one
+    expression) breaks whole-stage codegen — Janino fails on the
+    >64 KB method, logs ``Failed to compile the generated Java code``,
+    re-attempts the compile on EVERY execution (~2-3 s each), and then
+    evaluates interpreted anyway. The zip_with/aggregate fold here is
+    ~10× faster end-to-end at bench scale and identical in value
+    (``0.0 + x == x`` makes the fold's double sequence equal the
+    left-assoc chain, and the plane components are the same literals),
+    so the oracles are unaffected. String input is accepted for
+    call-site convenience and evaluates the same way."""
     if isinstance(vec, str):
-        plane_terms = []
-        for p in range(n_planes):
-            comps = plane_components(plane_offset + p, dim)
-            d = " + ".join(
-                f"(element_at({vec}, {i + 1}) * {c!r}D)" for i, c in enumerate(comps[:dim])
-            )
-            plane_terms.append(f"(CASE WHEN ({d}) > 0D THEN {1 << p} ELSE 0 END)")
-        return F.expr(" + ".join(plane_terms)).cast("long")
+        vec = F.col(vec)
     bucket = None
     for p in range(n_planes):
         d = F.aggregate(
