@@ -350,18 +350,21 @@ def pq_codes(
 
     Spark-first shape mirrors k-means assignment
     (operators/clustering.py): the codebook is MODEL STATE — 8 vectors
-    collected once on the driver and inlined into the plan — while the
-    corpus never shuffles; encoding is a pure narrow projection built
-    as one parsed SQL expression per subspace (unrolled integer
-    element_at chains → whole-stage codegen, no interpreted
-    higher-order functions on the hot path).
+    collected once on the driver and inlined into the plan as a small
+    literal array — while the corpus never shuffles; encoding is a pure
+    narrow projection: per subspace, ``array_min`` over (dist, code)
+    structs computed by a zip_with/aggregate integer fold. (An earlier
+    unrolled element_at-chain form put ~2000 terms in one projection,
+    which breaks Janino/JIT compilation — see
+    functions/vectors.py:dot_unrolled for the measurements.)
 
     Exactness: vectors are quantized to ``floor(x · 2^20)`` bigints, so
     squared distances, argmin ties (→ smaller code id) and the summed
-    reconstruction error are bit-identical across engines. Codewords
-    are a fixed corpus slice (same reproducible-codebook trick as IVF;
-    a trained codebook would come from ``kmeans_assign`` per subspace
-    and changes nothing downstream)."""
+    reconstruction error are bit-identical across engines — integer
+    sums are order-independent, unlike floats. Codewords are a fixed
+    corpus slice (same reproducible-codebook trick as IVF; a trained
+    codebook would come from ``kmeans_assign`` per subspace and changes
+    nothing downstream)."""
     sub_dim = dim // n_sub
     lo, hi = PQ_CODEBOOK_RANGE
     q = F.transform(
@@ -373,19 +376,42 @@ def pq_codes(
         (r["__pid"], list(r["qv"]))
         for r in pts.filter((F.col("__pid") >= lo) & (F.col("__pid") < hi)).collect()
     )
-    cols = [F.col("__pid").alias(id_col)]
-    err_terms = []
+
+    def sub_codebook_literal(s: int) -> Column:
+        structs = ", ".join(
+            f"named_struct('c', {int(code)}L, 'cv', array("
+            + ", ".join(f"{int(w[s * sub_dim + i])}L" for i in range(sub_dim))
+            + "))"
+            for code, w in codebook
+        )
+        return F.expr(f"array({structs})")
+
+    def sq_dist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def best(s: int) -> Column:
+        sub = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
+        cand = F.transform(
+            sub_codebook_literal(s),
+            lambda e: F.struct(sq_dist(sub, e["cv"]).alias("d"), e["c"].alias("c")),
+        )
+        return F.array_min(cand)
+
+    # two-step select so each subspace's argmin struct is computed once
+    # and shared by its code column AND the reconstruction error
+    staged = pts.select(
+        "__pid", *[best(s).alias(f"__b{s}") for s in range(n_sub)]
+    )
+    recon = None
     for s in range(n_sub):
-        entries = []
-        for code, w in codebook:
-            terms = " + ".join(
-                f"(element_at(qv, {s * sub_dim + i + 1}) - {int(w[s * sub_dim + i])}L) * "
-                f"(element_at(qv, {s * sub_dim + i + 1}) - {int(w[s * sub_dim + i])}L)"
-                for i in range(sub_dim)
-            )
-            entries.append(f"named_struct('d', {terms}, 'c', {int(code)}L)")
-        best = f"array_min(array({', '.join(entries)}))"
-        cols.append(F.expr(f"{best}.c").alias(f"code_{s}"))
-        err_terms.append(f"{best}.d")
-    cols.append(F.expr(" + ".join(err_terms)).alias("recon_err"))
-    return pts.select(*cols)
+        d = F.col(f"__b{s}")["d"]
+        recon = d if recon is None else recon + d
+    return staged.select(
+        F.col("__pid").alias(id_col),
+        *[F.col(f"__b{s}")["c"].alias(f"code_{s}") for s in range(n_sub)],
+        recon.alias("recon_err"),
+    )
