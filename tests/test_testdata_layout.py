@@ -93,3 +93,75 @@ def test_loader_normalizes_events_ts(spark) -> None:
         f"events.ts year range [{row.lo}, {row.hi}] is implausible — "
         "timestamp unit mis-normalized"
     )
+
+
+def test_normalize_ts_col_all_layouts(spark):
+    """Unit-pin every branch of the layout normalizer: today's testdata
+    only exercises the NTZ path, but the nanos-as-long path must keep
+    working in case the driver flips back (it already flipped once)."""
+    import datetime
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kda_flink_app_timestream_spark.functions.time import normalize_ts_col
+
+    base_us = 1_700_000_000_123_456  # 2023-11-14T22:13:20.123456 UTC
+
+    # epoch-nanos long (r1 physical layout via nanosAsLong)
+    long_df = spark.createDataFrame([Row(ts=base_us * 1000)], "ts long")
+    got = normalize_ts_col(long_df).first()["ts"]
+    assert got == datetime.datetime(2023, 11, 14, 22, 13, 20, 123456)
+
+    # TIMESTAMP_NTZ (r2+ layout)
+    ntz_df = spark.createDataFrame(
+        [Row(ts=datetime.datetime(2023, 11, 14, 22, 13, 20, 123456))],
+        T.StructType([T.StructField("ts", T.TimestampNTZType())]),
+    )
+    out = normalize_ts_col(ntz_df)
+    assert isinstance(out.schema["ts"].dataType, T.TimestampType)
+    assert out.first()["ts"] == datetime.datetime(2023, 11, 14, 22, 13, 20, 123456)
+
+    # already-normalized TimestampType: no-op
+    ts_df = spark.createDataFrame(
+        [Row(ts=datetime.datetime(2023, 11, 14, 22, 13, 20, 123456))],
+        T.StructType([T.StructField("ts", T.TimestampType())]),
+    )
+    assert normalize_ts_col(ts_df) is ts_df
+
+    # absent column: pass-through; unknown type: loud failure
+    assert normalize_ts_col(long_df, "nope") is long_df
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="unsupported physical type"):
+        normalize_ts_col(spark.createDataFrame([Row(ts="x")], "ts string"))
+
+
+def test_epoch_helpers_accept_ntz(spark):
+    """epoch_seconds/millis/micros must not raise on TIMESTAMP_NTZ input
+    (the r2 failure mode) and must agree with the UTC epoch."""
+    import datetime
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kda_flink_app_timestream_spark.functions.time import (
+        epoch_micros,
+        epoch_millis,
+        epoch_seconds,
+    )
+
+    ntz_df = spark.createDataFrame(
+        [Row(ts=datetime.datetime(2023, 11, 14, 22, 13, 20, 123456))],
+        T.StructType([T.StructField("ts", T.TimestampNTZType())]),
+    )
+    r = ntz_df.select(
+        epoch_seconds("ts").alias("s"),
+        epoch_millis("ts").alias("ms"),
+        epoch_micros(F.col("ts")).alias("us"),
+    ).first()
+    assert r["s"] == 1_700_000_000
+    assert r["ms"] == 1_700_000_000_123
+    assert r["us"] == 1_700_000_000_123_456
