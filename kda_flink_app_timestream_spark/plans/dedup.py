@@ -54,7 +54,11 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def minhash_sig_ctes() -> str:
+    """Shared DuckDB CTE chain ``docs → sh → bases → sig → bands`` — the
+    SQL twin of operators/dedup.py:minhash_signature + the band-key
+    layout of lsh_candidate_pairs. Reused by the batch pair oracle below
+    and the streaming band-dedup oracle (plans/streaming_queries.py)."""
     rows_per_band = NUM_MINHASHES // NUM_BANDS
     base = sql_portable_hash64("x", "mh")
     mh = ", ".join(
@@ -67,12 +71,8 @@ def _minhash_oracle() -> str:
         f"CAST(sig[{rows_per_band} * b.i + {r + 1}] AS VARCHAR)"
         for r in range(rows_per_band)
     )
-    matches = " + ".join(
-        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
-        for i in range(NUM_MINHASHES)
-    )
     return f"""
-    WITH docs AS (
+    docs AS (
         SELECT doc_id, str_split(text, ' ') AS t FROM documents
         WHERE len(str_split(text, ' ')) >= 3
     ),
@@ -91,7 +91,16 @@ def _minhash_oracle() -> str:
     bands AS (
         SELECT doc_id, b.i AS band_idx, {key_parts} AS band_key
         FROM sig CROSS JOIN (VALUES {band_values}) AS b(i)
-    ),
+    )"""
+
+
+def _minhash_oracle() -> str:
+    matches = " + ".join(
+        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(NUM_MINHASHES)
+    )
+    return f"""
+    WITH {minhash_sig_ctes()},
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
         FROM bands a

@@ -251,6 +251,86 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over documents.parquet (schema from a batch
+    read of the same file — the layout-drift-proof pattern of
+    ``_events_stream``)."""
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    stage = os.path.join(tempfile.gettempdir(), f"docs_stream_{abs(hash(src))}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    file_schema = spark.read.parquet(src).schema
+    return spark.readStream.format("parquet").schema(file_schema).load(stage)
+
+
+def _minhash_band_dedup_oracle() -> str:
+    from .dedup import minhash_sig_ctes
+
+    return f"""
+    WITH {minhash_sig_ctes()}
+    SELECT DISTINCT CAST(band_idx AS INT) AS band, band_key FROM bands
+    """
+
+
+@query(
+    "stream_dedup_minhash_bands",
+    oracle=_minhash_band_dedup_oracle(),
+    tags=("streaming", "dedup", "minhash", "llm"),
+)
+def stream_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup INDEX build: MinHash signatures computed
+    per-row on a document stream (pure expressions — streaming-safe),
+    exploded to LSH (band, band_key) buckets, deduplicated across
+    micro-batches with keyed state. The emitted set is every distinct
+    band bucket the corpus occupies — the incremental index a streaming
+    curation pipeline probes to flag an arriving document as a near-dup
+    candidate the moment ANY of its bands hits a claimed bucket (the
+    streaming twin of ``dedup_minhash_pairs``' candidate stage).
+
+    Emitting the distinct BUCKET SET (not first-claimant doc ids) keeps
+    the output independent of arrival order, so the batch oracle is
+    exact: same signatures, same bands, DISTINCT."""
+    from ..functions.text import tokens
+    from ..operators.dedup import NUM_BANDS, NUM_MINHASHES, minhash_signature
+
+    rows_per_band = NUM_MINHASHES // NUM_BANDS
+    docs = _documents_stream(spark, sf_dir).filter(
+        F.size(tokens(F.col("text"))) >= 3
+    )
+    sig = minhash_signature(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col("sig")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(NUM_BANDS)
+        ]
+    )
+    banded = sig.select(F.explode(band_structs).alias("bb")).select(
+        F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
+    )
+    dedup = banded.dropDuplicates(["band", "band_key"])
+    name = f"stream_result_{next(_mem_counter)}"
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @query(
     "stream_dedup_keys",
     oracle="""
