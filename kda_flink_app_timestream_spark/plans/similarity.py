@@ -275,3 +275,79 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-codeword codebook; the corpus never shuffles."""
     e = load_table(spark, sf_dir, "embeddings")
     return pq_codes(e)
+
+
+# --- sparse random projection (Achlioptas) -----------------------------------
+
+RP_OUT_DIM = 16
+_RP_IN_DIM = 64
+
+
+def _rp_component(j: int, d: int) -> int:
+    """Deterministic sparse-RP entry ∈ {+1, 0, -1} with the Achlioptas
+    distribution (1/6, 2/3, 1/6) — md5-derived like the LSH hyperplanes,
+    so the identical matrix inlines into BOTH engines with no stored
+    model (Achlioptas 2003, the public database-friendly RP recipe)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"rp|j{j}d{d}".encode()).hexdigest()[:15], 16) % 6
+    return 1 if h == 0 else (-1 if h == 1 else 0)
+
+
+def _rp_rows() -> list[list[int]]:
+    return [
+        [_rp_component(j, d) for d in range(_RP_IN_DIM)] for j in range(RP_OUT_DIM)
+    ]
+
+
+def _rp_oracle() -> str:
+    rows = _rp_rows()
+
+    def arr(r: list[int]) -> str:
+        return "[" + ", ".join(f"{x}.0" for x in r) + "]::DOUBLE[]"
+
+    proj_case = "CASE p.i " + " ".join(
+        f"WHEN {j} THEN round(list_dot_product(e.v, {arr(rows[j])}), 6)"
+        for j in range(RP_OUT_DIM)
+    ) + " END"
+    dim_values = ", ".join(f"({j})" for j in range(RP_OUT_DIM))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT * FROM (VALUES {dim_values}) AS p0(i))
+    SELECT e.vec_id, CAST(p.i AS INT) AS dim_idx, {proj_case} AS value
+    FROM e CROSS JOIN dims p
+    """
+
+
+@query(
+    "sim_random_projection",
+    oracle=_rp_oracle(),
+    tags=("similarity", "vector-ops", "dimensionality-reduction"),
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse random projection 64 → 16 dims (Achlioptas ±1/0 matrix,
+    density 1/3): the cheap distance-preserving reduction a pipeline
+    runs before ANN indexing or clustering when the native embedding is
+    wider than the index wants. Pure narrow projection — the matrix is
+    16×64 literal ±1/0 entries inlined into the plan (NO driver-side
+    model, no shuffle, no Python); each output dim is one
+    zip_with/aggregate fold, the same sequential-fold shape the whole
+    similarity family uses for cross-engine bit-equality. Long-form
+    output (vec_id, dim_idx, value) keeps the oracle hash stable across
+    engines' array orderings."""
+    from ..functions.vectors import as_double, dot
+
+    rows = _rp_rows()
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    staged = e.select("vec_id", v.alias("v"))
+
+    def lit_row(r: list[int]):
+        return F.expr("array(" + ", ".join(f"{x}.0D" for x in r) + ")")
+
+    projected = F.array(
+        *[F.round(dot(F.col("v"), lit_row(rows[j])), 6) for j in range(RP_OUT_DIM)]
+    )
+    return staged.select(
+        "vec_id", F.posexplode(projected).alias("dim_idx", "value")
+    ).select("vec_id", F.col("dim_idx").cast("int").alias("dim_idx"), "value")

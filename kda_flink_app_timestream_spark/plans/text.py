@@ -554,3 +554,46 @@ def text_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.row_number().over(w).cast("int").alias("rank_in_source"),
     ).withColumn("kept", F.col("rank_in_source") <= DOMAIN_CAP)
+
+
+@query(
+    "text_bpe_pair_merges",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(str_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+        FROM words WHERE len(w) >= 2
+    ),
+    counted AS (
+        SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n FROM counted
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+    tags=("text", "tokenizer", "bpe"),
+)
+def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First round of BPE tokenizer training: global adjacent-character
+    pair frequencies over all words, top-20 merge candidates
+    (count DESC, pair ASC — fully deterministic). The iterative trainer
+    repeats this count→merge cycle; one round exercises the whole
+    distributed shape: explode words → explode in-word pairs (narrow) →
+    ONE hash aggregation (map-side combinable: partial counts collapse
+    to |distinct pairs| per partition, tiny) → global top-k via
+    TakeOrderedAndProject (no full sort). At 100 TB the shuffle carries
+    only the distinct-pair partial counts, never the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    return counted.orderBy(F.desc("n"), F.asc("pair")).limit(20)
