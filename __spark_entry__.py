@@ -98,7 +98,10 @@ def _priority(name: str, history: dict[int, dict]) -> tuple[int, int]:
     ) or rows_only  # rows-only by design: nothing stronger to chase
     if not green:
         return (1, -last_round)
-    if name in _RESCORE_NOW:
+    if name in _RESCORE_NOW and last_round < max(history):
+        # flag self-expires: once a post-change round has scored the
+        # query green (last_round == newest round), it rejoins the
+        # normal canary rotation instead of hogging a slot forever
         return (2, last_round)
     return (3, last_round)  # oldest green first → rotating canary slots
 
