@@ -28,46 +28,71 @@ def asof_join(
     right_ts: str,
     right_payload: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the payload of the latest right row with
-    ``right[right_ts] <= left[left_ts]`` and matching key(s) (backward
-    as-of, inclusive — DuckDB ``ASOF LEFT JOIN`` semantics).
+    """For each left row, attach the payload of the nearest right row
+    with matching key(s): ``direction="backward"`` takes the latest
+    right row with ``right_ts <= left_ts`` (DuckDB ``ASOF LEFT JOIN``
+    semantics), ``"forward"`` the earliest with ``right_ts >= left_ts``.
+    ``tolerance_seconds`` (optional) nulls the match when the nearest
+    row is farther than the bound — pandas ``merge_asof(tolerance=…)``
+    semantics, LEFT rows are always kept.
 
-    Right rows sort before left rows at equal timestamps so an exact tie
-    matches (<=, not <). Payload columns come back as ``{col}{suffix}``.
+    Ties: the right row sorts on the matching side of the left row at
+    equal timestamps, so an exact tie matches in either direction
+    (<=/>=, not strict). Payload columns come back as ``{col}{suffix}``.
 
     Scale: one shuffle on ``on``; window state is a single struct per
-    key (the forward-fill), so skewed keys cost memory O(1) per row
-    streamed, not O(group).
+    key (the forward-/backward-fill), so skewed keys cost memory O(1)
+    per row streamed, not O(group).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    payload = F.struct(*[F.col(c) for c in right_payload])
+    # carry the matched row's ts inside the struct so the tolerance
+    # bound can be applied after the fill
+    payload = F.struct(
+        F.col(right_ts).alias("__match_ts"),
+        *[F.col(c) for c in right_payload],
+    )
 
+    # tie order: backward wants right BEFORE left (last() picks it up at
+    # <=); forward wants right AFTER left (first() in the following
+    # frame sees it at >=)
+    right_rank = 0 if direction == "backward" else 1
     r = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__is_left"),
+        F.lit(right_rank).alias("__side"),
         payload.alias("__payload"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
     )
     l = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__is_left"),
+        F.lit(1 - right_rank).alias("__side"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
-    w = (
-        W.partitionBy(*keys)
-        .orderBy("__ts", "__is_left")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    filled = r.unionByName(l).withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    )
-    out = filled.filter(F.col("__is_left") == 1).select(
+    base = W.partitionBy(*keys).orderBy("__ts", "__side")
+    if direction == "backward":
+        w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        fill = F.last("__payload", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+        fill = F.first("__payload", ignorenulls=True).over(w)
+    filled = r.unionByName(l).withColumn("__match", fill)
+    match = F.col("__match")
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            epoch_seconds(match.getField("__match_ts")) - epoch_seconds(F.col("__ts"))
+        )
+        match = F.when(gap <= tolerance_seconds, F.col("__match"))
+    is_left = F.col("__side") == (1 - right_rank)
+    out = filled.filter(is_left).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        *[F.col("__match").getField(c).alias(f"{c}{suffix}") for c in right_payload],
+        *[match.getField(c).alias(f"{c}{suffix}") for c in right_payload],
     )
     return out
 

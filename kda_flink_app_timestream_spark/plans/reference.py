@@ -196,3 +196,57 @@ def interval_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, errors, left_ts="ts", right_start="w_start", right_end="w_end",
         bucket_seconds=600,
     ).select("event_id", "user_id", "error_id")
+
+
+@query(
+    "asof_join_forward_tolerance",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               min(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1, 2
+    )
+    SELECT p.purchase_id, p.user_id,
+           CASE WHEN c.ts IS NOT NULL
+                 AND c.ts - p.ts <= INTERVAL 600 SECOND
+                THEN c.click_id END AS click_id_next
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+    tags=("join", "asof", "forward", "tolerance"),
+)
+def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with a tolerance bound: each purchase attaches the
+    next click by the same user within the following 10 minutes (NULL
+    when the nearest one is farther — rows are kept, pandas
+    ``merge_asof(direction='forward', tolerance=…)`` semantics). Same
+    single-shuffle union-and-fill machinery as the backward query;
+    clicks are pre-collapsed to one row per (user, ts) so the nearest
+    match is unique and both engines pick identically.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["click_id"],
+        suffix="_next",
+        direction="forward",
+        tolerance_seconds=600,
+    )
+    return joined.select("purchase_id", "user_id", "click_id_next")
