@@ -398,3 +398,46 @@ def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(w_latest)
         .select("user_id", F.col("s.n_events").alias("n_events"), F.col("s.total_value").alias("total_value"))
     )
+
+
+@query(
+    "stream_static_enrichment_join",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type, d.user_events
+    FROM events e JOIN dim d USING (user_id)
+    """,
+    tags=("streaming", "join", "stream-static"),
+)
+def stream_static_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the third join shape Structured Streaming
+    supports beside stream-stream and batch: each arriving event is
+    enriched against a STATIC dimension (here a per-user profile built
+    by a batch aggregation of the same table, the lambda-architecture
+    enrichment pattern). Stateless on the stream side — no watermark,
+    no state store; the static side plans as a regular (broadcastable)
+    relation per micro-batch. Oracle: the equivalent batch join.
+    """
+    from ..sources.batch import load_table
+
+    static_dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_events"))
+    )
+    enriched = _events_stream(spark, sf_dir).join(static_dim, "user_id").select(
+        "event_id", "user_id", "event_type", "user_events"
+    )
+    name = f"stream_result_{next(_mem_counter)}"
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
