@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "sim_pq_codes",
     "multimodal_audio_energy",
     "join_salted_skew",
+    "text_bpe_pair_merges",
+    "sim_random_projection",
 ]
 
 
