@@ -97,3 +97,62 @@ def test_resolve_config_layering(defaults, props, cli):
     for k in set(defaults) | set(props) | set(cli):
         expected = cli.get(k, props.get(k, defaults.get(k)))
         assert got[k] == expected
+
+
+def _naive_asof_forward(left, right, tolerance_s=None):
+    """Reference semantics: earliest right ts >= left ts, same key;
+    nulled when farther than the tolerance."""
+    out = {}
+    for key, lts, lid in left:
+        cands = [rts for rkey, rts in right if rkey == key and rts >= lts]
+        best = min(cands) if cands else None
+        if best is not None and tolerance_s is not None:
+            if (best - lts).total_seconds() > tolerance_s:
+                best = None
+        out[lid] = best
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[2],
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=0, max_size=20
+    ),
+    tolerance=st.sampled_from([None, 0, 60, 250]),
+)
+def test_asof_join_forward_tolerance_matches_naive(spark, left, right, tolerance):
+    lrows = [
+        Row(k=k, ts=BASE + timedelta(seconds=s), lid=lid) for k, s, lid in left
+    ]
+    rrows = [Row(k=k, ts=BASE + timedelta(seconds=s)) for k, s in right]
+    ldf = spark.createDataFrame(lrows)
+    rdf = (
+        spark.createDataFrame(rrows)
+        if rrows
+        else spark.createDataFrame([], "k int, ts timestamp")
+    )
+    got = {
+        r["lid"]: r["ts_asof"]
+        for r in asof_join(
+            ldf,
+            rdf,
+            on="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["ts"],
+            direction="forward",
+            tolerance_seconds=tolerance,
+        ).collect()
+    }
+    expected = _naive_asof_forward(
+        [(k, BASE + timedelta(seconds=s), lid) for k, s, lid in left],
+        [(k, BASE + timedelta(seconds=s)) for k, s in right],
+        tolerance_s=tolerance,
+    )
+    assert got == expected
