@@ -146,3 +146,143 @@ def map_dimensions_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.col("dimensions")).alias("dim_key", "dim_value")
     )
     return exploded.groupBy("dim_key", "dim_value").agg(F.count("*").alias("n"))
+
+
+def _interpolate_oracle() -> str:
+    from ..functions.exact import sql_div_round, sql_floor_round
+
+    interp = f"prev_c + {sql_floor_round('(next_c - prev_c) * (idx - prev_i)', '(next_i - prev_i)')}"
+    return f"""
+    WITH buckets AS (
+        SELECT unnest(generate_series(
+            TIMESTAMP '2024-01-01 00:00:00',
+            TIMESTAMP '2024-01-01 23:00:00',
+            INTERVAL '1 hour')) AS bucket
+    ),
+    actual AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+               sum(CAST(round(value * 100) AS BIGINT)) AS sc,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE event_type = 'purchase'
+          AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 00:00:00'
+          AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-02 00:00:00'
+        GROUP BY 1
+    ),
+    grid AS (
+        SELECT bk.bucket,
+               CASE WHEN a.n IS NOT NULL THEN {sql_div_round('a.sc', 'a.n')} END
+                   AS avg_cents,
+               row_number() OVER (ORDER BY bk.bucket) AS idx
+        FROM buckets bk LEFT JOIN actual a ON bk.bucket = a.b
+    ),
+    win AS (
+        SELECT bucket, avg_cents, idx,
+               last_value(avg_cents IGNORE NULLS) OVER wp AS prev_c,
+               first_value(avg_cents IGNORE NULLS) OVER wf AS next_c,
+               last_value(CASE WHEN avg_cents IS NOT NULL THEN idx END IGNORE NULLS)
+                   OVER wp AS prev_i,
+               first_value(CASE WHEN avg_cents IS NOT NULL THEN idx END IGNORE NULLS)
+                   OVER wf AS next_i
+        FROM grid
+        WINDOW wp AS (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT bucket,
+           CAST(CASE WHEN avg_cents IS NOT NULL THEN avg_cents
+                     WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN {interp}
+                     WHEN prev_c IS NOT NULL THEN prev_c
+                     WHEN next_c IS NOT NULL THEN next_c
+                     ELSE 0 END AS BIGINT) / 100.0 AS value,
+           CASE WHEN avg_cents IS NOT NULL THEN 'actual'
+                WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN 'interp'
+                WHEN prev_c IS NOT NULL THEN 'locf'
+                WHEN next_c IS NOT NULL THEN 'backfill'
+                ELSE 'empty' END AS fill_kind
+    FROM win
+    """
+
+
+@query(
+    "timeseries_interpolate",
+    oracle=_interpolate_oracle(),
+    tags=("timeseries", "gapfill", "interpolate"),
+)
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with TimescaleDB-style value
+    reconstruction: actual buckets keep their exact-integer average;
+    interior gaps are LINEARLY INTERPOLATED between the nearest real
+    neighbors (integer half-up arithmetic — both engines evaluate the
+    identical formula); leading/trailing gaps fall back to
+    backfill/LOCF, and each row carries its fill provenance. The
+    ordered window runs over the generated SPINE (24 rows here), never
+    the point stream — at 100 TB the points collapse into per-bucket
+    aggregates first (one shuffle), and the tiny spine window is
+    driver-negligible per series; many-series variants partition the
+    window by series key."""
+    from ..functions.exact import cents, floor_round, spark_div_round
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+    )
+    actual = e.groupBy(F.date_trunc("hour", "ts").alias("b")).agg(
+        F.sum(cents(F.col("value"))).alias("sc"), F.count("*").alias("n")
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-01 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket")
+    )
+    grid = (
+        spine.join(actual, spine.bucket == actual.b, "left")
+        .selectExpr(
+            "bucket",
+            f"CASE WHEN n IS NOT NULL THEN {spark_div_round('sc', 'n')} END AS avg_cents",
+        )
+    )
+    w_all = W.orderBy("bucket")
+    wp = W.orderBy("idx").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = W.orderBy("idx").rowsBetween(W.currentRow, W.unboundedFollowing)
+    g2 = grid.withColumn("idx", F.row_number().over(w_all))
+    marked_idx = F.when(F.col("avg_cents").isNotNull(), F.col("idx"))
+    win = g2.select(
+        "bucket",
+        "avg_cents",
+        "idx",
+        F.last("avg_cents", ignorenulls=True).over(wp).alias("prev_c"),
+        F.first("avg_cents", ignorenulls=True).over(wf).alias("next_c"),
+        F.last(marked_idx, ignorenulls=True).over(wp).alias("prev_i"),
+        F.first(marked_idx, ignorenulls=True).over(wf).alias("next_i"),
+    )
+    interp = F.col("prev_c") + floor_round(
+        (F.col("next_c") - F.col("prev_c")) * (F.col("idx") - F.col("prev_i")),
+        F.col("next_i") - F.col("prev_i"),
+    )
+    filled = (
+        F.when(F.col("avg_cents").isNotNull(), F.col("avg_cents"))
+        .when(F.col("prev_c").isNotNull() & F.col("next_c").isNotNull(), interp)
+        .when(F.col("prev_c").isNotNull(), F.col("prev_c"))
+        .when(F.col("next_c").isNotNull(), F.col("next_c"))
+        .otherwise(F.lit(0))
+    )
+    kind = (
+        F.when(F.col("avg_cents").isNotNull(), F.lit("actual"))
+        .when(
+            F.col("prev_c").isNotNull() & F.col("next_c").isNotNull(), F.lit("interp")
+        )
+        .when(F.col("prev_c").isNotNull(), F.lit("locf"))
+        .when(F.col("next_c").isNotNull(), F.lit("backfill"))
+        .otherwise(F.lit("empty"))
+    )
+    return win.select(
+        "bucket",
+        (filled.cast("long") / 100.0).alias("value"),
+        kind.alias("fill_kind"),
+    )
