@@ -1,0 +1,87 @@
+"""The driver scores only the first ~50 ``queries()`` entries, so the
+priority function IS the coverage mechanism — and hand-curated versions
+under-rotated in both previous rounds. These tests pin the derived
+ordering's contract directly against synthetic correctness histories.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+entry.load_all_plans()  # _priority consults each query's oracle registration
+
+
+def _green():
+    return {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+
+
+def _fail():
+    return {"rows_match": False, "schema_match": True, "hash_match": False, "err": None}
+
+
+def _rows_only():
+    return {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "err": "no_oracle",
+    }
+
+
+def test_never_scored_outranks_everything():
+    hist = {1: {"a": _green()}, 2: {"b": _fail()}}
+    assert entry._priority("never", hist) < entry._priority("b", hist)
+    assert entry._priority("b", hist) < entry._priority("a", hist)
+
+
+def test_invalid_rows_outrank_greens_and_newest_failure_first():
+    hist = {1: {"old_fail": _fail(), "g": _green()}, 2: {"new_fail": _fail()}}
+    p_new, p_old, p_g = (
+        entry._priority("new_fail", hist),
+        entry._priority("old_fail", hist),
+        entry._priority("g", hist),
+    )
+    assert p_new < p_old < p_g
+
+
+def test_greens_rotate_oldest_first():
+    hist = {1: {"g1": _green()}, 2: {"g2": _green()}}
+    assert entry._priority("g1", hist) < entry._priority("g2", hist)
+
+
+def test_rows_only_promoted_when_oracle_appears():
+    """A rows-only query whose registry entry NOW carries an oracle needs
+    a real driver row — it must rank with the invalid tier, not greens.
+    (stream_stateful_running_counts got its oracle in r3.)"""
+    hist = {2: {"stream_stateful_running_counts": _rows_only()}}
+    tier = entry._priority("stream_stateful_running_counts", hist)[0]
+    assert tier == 1
+
+
+def test_rows_only_by_design_stays_green_tier():
+    """approx_sketches is registered oracle-free by design — nothing
+    stronger to chase, so it must NOT hog an invalid-tier slot."""
+    hist = {2: {"approx_sketches": _rows_only()}}
+    assert entry._priority("approx_sketches", hist)[0] == 3
+
+
+def test_rescore_flag_applies_then_self_expires():
+    name = next(iter(entry._RESCORE_NOW))
+    # green in r1, newest scored round is r2 → flag active (tier 2)
+    hist = {1: {name: _green()}, 2: {"other": _green()}}
+    assert entry._priority(name, hist)[0] == 2
+    # once a post-change round scored it green, it rejoins the canaries
+    hist[3] = {name: _green()}
+    assert entry._priority(name, hist)[0] == 3
+
+
+def test_full_ordering_is_deterministic_and_window_covers_needy():
+    names = entry._ordered_names()
+    assert names == entry._ordered_names()  # stable
+    hist = entry._correctness_history()
+    window = set(names[:50])
+    # every query without any driver row must be inside the window
+    scored_ever = {n for rnd in hist.values() for n in rnd}
+    never = [n for n in names if n not in scored_ever]
+    missing = [n for n in never if n not in window]
+    assert not missing, f"never-scored queries outside the window: {missing}"
