@@ -393,28 +393,29 @@ def connected_components(
         .cache()
     )
     changed = 0
+    cached_step = rep
     for _ in range(max_iter):
         neighbor_min = (
             und.join(rep, und.b == rep.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("rep").alias("nmin"))
         )
-        new_rep = (
+        # carry the previous label in the SAME frame so the convergence
+        # check is a filter-count over it — not a second join with the
+        # old frame (one shuffle per round saved)
+        stepped = (
             rep.join(neighbor_min, "node", "left")
             .select(
                 "node",
+                F.col("rep").alias("__old"),
                 F.least(F.col("rep"), F.coalesce("nmin", F.col("rep"))).alias("rep"),
             )
             .cache()
         )
-        changed = (
-            new_rep.alias("n")
-            .join(rep.alias("o"), "node")
-            .filter(F.col("n.rep") != F.col("o.rep"))
-            .count()
-        )
-        rep.unpersist()  # superseded per-round frame — don't pile up cache
-        rep = new_rep
+        changed = stepped.filter(F.col("rep") != F.col("__old")).count()
+        cached_step.unpersist()  # superseded round frame — don't pile up cache
+        cached_step = stepped
+        rep = stepped.select("node", "rep")
         if changed == 0:
             break
     und.unpersist()
