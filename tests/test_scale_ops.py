@@ -90,6 +90,14 @@ def test_salted_join_rejects_right_preserving_joins(spark):
         ("q5_region_revenue", ["BroadcastHashJoin"]),
         ("sort_top10_orders", ["TakeOrderedAndProject"]),
         ("window_topk_orders_per_customer", ["Window", "row_number()"]),
+        # r3 additions: the scale-critical shapes must stay in the plan
+        ("text_bpe_pair_merges", ["TakeOrderedAndProject", "HashAggregate"]),
+        # the RP matrix is inlined literals — no join, no exchange before the explode
+        ("sim_random_projection", ["Generate", "Scan parquet"]),
+        # posting-list jaccard: the index shuffles ONCE into the
+        # collect_list aggregate; candidates explode from it (no index
+        # self-join = no second Exchange of the index)
+        ("dedup_ngram_jaccard_pairs", ["ObjectHashAggregate", "Generate"]),
     ],
 )
 def test_headline_plans_have_expected_operators(spark, sf_dir, name, expectations):
