@@ -48,22 +48,36 @@ def entry(spark: SparkSession) -> DataFrame:
 #   tier 1 — latest row invalid (err / row-count / schema / hash mismatch)
 #            or rows-only while the query now registers a real oracle
 #   tier 2 — implementation changed since the last green row
-#            (_RESCORE_NOW, maintained per round — the r2 lesson: a
+#            (_RESCORE_AFTER, maintained per round — the r2 lesson: a
 #            "verified identical offline" claim is not a driver row)
 #   tier 3 — green: oldest green round first, so every green query
 #            rotates back through the window for re-verification
 #
 # Ties break on registry (definition) order for determinism.
 
-# Queries whose code changed this round after their last green row.
-# r3: the events.ts normalization rewrote the time handling of these
-# four r1-green queries (the other five ts casualties are tier 1
-# already via their failed r2 rows).
-_RESCORE_NOW = {
-    "parse_service_logs_roundtrip",
-    "window_lag_event_gaps",
-    "batch_sessionization",
-    "interval_join_error_windows",
+# Queries whose implementation changed, keyed to the round the change
+# lands in: the flag stays active until a driver row from that round or
+# later exists, then self-expires (r3's set-based form could never flag
+# a query changed in the same round as its last green row, and r3
+# under-listed — ADVICE r3 #2: only the four ts queries were listed
+# while the jaccard/components/vector-fold rewrites left seven consumers
+# without a post-change row).
+_RESCORE_AFTER = {
+    # r3 operator rewrites whose consumers got NO r3 driver row
+    # (posting-list jaccard, connected-components join drop, minhash
+    # rework, dot-fold revert):
+    "dedup_ngram_jaccard_pairs": 3,
+    "dedup_cluster_representatives": 3,
+    "dedup_minhash_pairs": 3,
+    "dedup_embedding_pairs": 3,
+    "sim_lsh_topk": 3,
+    "sim_bruteforce_topk": 3,
+    "sim_ivf_topk": 3,
+    # r4 changes:
+    #   asof tolerance now compared in exact micros (operators/relational.py)
+    "asof_join_forward_tolerance": 4,
+    #   integer-quantized projection oracle (plans/similarity.py)
+    "sim_random_projection": 4,
 }
 
 
@@ -98,10 +112,10 @@ def _priority(name: str, history: dict[int, dict]) -> tuple[int, int]:
     ) or rows_only  # rows-only by design: nothing stronger to chase
     if not green:
         return (1, -last_round)
-    if name in _RESCORE_NOW and last_round < max(history):
-        # flag self-expires: once a post-change round has scored the
-        # query green (last_round == newest round), it rejoins the
-        # normal canary rotation instead of hogging a slot forever
+    if last_round < _RESCORE_AFTER.get(name, 0):
+        # flag self-expires: once a round >= the change-round has scored
+        # the query, it rejoins the normal canary rotation instead of
+        # hogging a slot forever
         return (2, last_round)
     return (3, last_round)  # oldest green first → rotating canary slots
 

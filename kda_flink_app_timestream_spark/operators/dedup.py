@@ -265,7 +265,12 @@ def exact_jaccard_pairs(
     anti-join. Scores stay exact because each surviving candidate's
     shared count is corrected with the per-doc HOT shingle sets — only
     pairs whose every common shingle is stop-listed are lost, and those
-    are boilerplate-only overlaps by construction.
+    are boilerplate-only overlaps by construction. The bound is
+    REQUIRED: posting-list candidate generation collects all doc ids
+    per shingle into one array, so an unbounded hot shingle would
+    materialize a corpus-sized array on a single executor (an OOM
+    vector the old self-join shape didn't have) — ``max_doc_freq=None``
+    raises rather than run that plan.
 
     Candidate pairs come from exploding per-shingle POSTING LISTS
     (groupBy shingle → sorted doc-id array ≤ max_doc_freq → ordered
@@ -280,6 +285,14 @@ def exact_jaccard_pairs(
     array_distinct, and 60-bit collisions within a doc's ~10³ shingles
     are negligible — and identical in the oracle, which hashes the same
     way.)"""
+    if max_doc_freq is None:
+        raise ValueError(
+            "exact_jaccard_pairs requires a document-frequency bound: "
+            "posting lists are collect_list arrays per shingle, and an "
+            "unbounded hot shingle materializes one corpus-sized array "
+            "on a single executor. Pass max_doc_freq (default "
+            f"{MAX_SHINGLE_DOC_FREQ})."
+        )
     toked = scatter(df).select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
     hashed = F.transform(
         word_shingles(F.col("toks"), shingle_n),

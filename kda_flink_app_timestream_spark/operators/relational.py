@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.time import epoch_seconds
+from ..functions.time import epoch_micros, epoch_seconds
 
 
 def asof_join(
@@ -85,10 +85,14 @@ def asof_join(
     filled = r.unionByName(l).withColumn("__match", fill)
     match = F.col("__match")
     if tolerance_seconds is not None:
+        # Exact-microsecond gap: testdata timestamps carry microsecond
+        # precision, and SQL `INTERVAL n SECOND` bounds compare exactly.
+        # Whole-second epoch math truncates, letting a true gap in
+        # (n, n+1) seconds pass a floor-diff == n check.
         gap = F.abs(
-            epoch_seconds(match.getField("__match_ts")) - epoch_seconds(F.col("__ts"))
+            epoch_micros(match.getField("__match_ts")) - epoch_micros(F.col("__ts"))
         )
-        match = F.when(gap <= tolerance_seconds, F.col("__match"))
+        match = F.when(gap <= tolerance_seconds * 1_000_000, F.col("__match"))
     is_left = F.col("__side") == (1 - right_rank)
     out = filled.filter(is_left).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],

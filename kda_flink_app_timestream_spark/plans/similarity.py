@@ -306,13 +306,24 @@ def _rp_oracle() -> str:
     def arr(r: list[int]) -> str:
         return "[" + ", ".join(f"{x}.0" for x in r) + "]::DOUBLE[]"
 
+    # Components are micro-scaled to exact integers (floor(x * 1e6) — the
+    # double multiply and floor are IEEE-identical across engines) before
+    # the ±1/0 dot, so both engines sum identical integers; the final
+    # /1e6 divides the same exact-integer-valued double on both sides.
+    # Raw-double round(.,6) was the documented cross-engine half-boundary
+    # hazard (functions/exact.py): DuckDB rounds the shortest decimal
+    # repr, Spark the binary value.
     proj_case = "CASE p.i " + " ".join(
-        f"WHEN {j} THEN round(list_dot_product(e.v, {arr(rows[j])}), 6)"
+        f"WHEN {j} THEN list_dot_product(e.v, {arr(rows[j])}) / 1000000.0"
         for j in range(RP_OUT_DIM)
     ) + " END"
     dim_values = ", ".join(f"({j})" for j in range(RP_OUT_DIM))
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 1000000) AS BIGINT))::DOUBLE[] AS v
+        FROM embeddings),
     dims AS (SELECT * FROM (VALUES {dim_values}) AS p0(i))
     SELECT e.vec_id, CAST(p.i AS INT) AS dim_idx, {proj_case} AS value
     FROM e CROSS JOIN dims p
@@ -334,19 +345,29 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with/aggregate fold, the same sequential-fold shape the whole
     similarity family uses for cross-engine bit-equality. Long-form
     output (vec_id, dim_idx, value) keeps the oracle hash stable across
-    engines' array orderings."""
-    from ..functions.vectors import as_double, dot
+    engines' array orderings.
+
+    Cross-engine exactness: components are micro-scaled to integers
+    (``floor(x * 1e6)`` — IEEE-identical in Spark and DuckDB) before the
+    ±1/0 dot, so the sum is exact integer arithmetic on both engines and
+    the final ``/1e6`` divides the same integer-valued double. The
+    previous ``round(raw_double, 6)`` relied on float round parity — the
+    exact half-boundary divergence ``functions/exact.py`` documents."""
+    from ..functions.vectors import dot
 
     rows = _rp_rows()
     e = load_table(spark, sf_dir, "embeddings")
-    v = as_double(F.col("embedding"))
+    v = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000.0).cast("double"),
+    )
     staged = e.select("vec_id", v.alias("v"))
 
     def lit_row(r: list[int]):
         return F.expr("array(" + ", ".join(f"{x}.0D" for x in r) + ")")
 
     projected = F.array(
-        *[F.round(dot(F.col("v"), lit_row(rows[j])), 6) for j in range(RP_OUT_DIM)]
+        *[(dot(F.col("v"), lit_row(rows[j])) / 1000000.0) for j in range(RP_OUT_DIM)]
     )
     return staged.select(
         "vec_id", F.posexplode(projected).alias("dim_idx", "value")

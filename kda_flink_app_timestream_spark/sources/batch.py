@@ -9,7 +9,10 @@ needed row groups, never the whole table.
 
 from __future__ import annotations
 
+import math
 import os
+import re
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -49,19 +52,74 @@ def scatter(df: DataFrame, partitions: int | None = None) -> DataFrame:
     The width probe uses ``df.inputFiles()`` — a driver-side catalog
     lookup — never ``df.rdd`` (which converts the whole plan to RDD on
     the driver per call; flagged by the r2 judge as avoidable overhead
-    at scale). File count under-estimates splits when files exceed
-    ``maxPartitionBytes`` (they split further), so it only ever errs
-    toward skipping the shuffle on inputs that are already wide."""
+    at scale). Raw file count is wrong in BOTH directions: files larger
+    than ``maxPartitionBytes`` split further (harmless — already wide),
+    but many SMALL files bin-pack into few FilePartitions
+    (``openCostInBytes``/``maxPartitionBytes`` packing), so
+    ``n_files >= target`` can mask real parallelism far below target —
+    exactly the under-parallelized-expensive-map case scatter exists to
+    prevent. When the count alone would skip the shuffle, a
+    packing-aware estimate (file sizes vs Spark's ``maxSplitBytes``
+    formula, sampled stat calls for local files) decides instead."""
     try:
         spark = df.sparkSession
         target = partitions or spark.sparkContext.defaultParallelism
     except Exception:
+        spark = None
         target = partitions or DEFAULT_SHUFFLE_PARTITIONS
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        n_files = 0  # non-file-backed plan (memory, generated): no metadata
-    return df if n_files >= target else df.repartition(target)
+        files = []  # non-file-backed plan (memory, generated): no metadata
+    if len(files) < target:
+        return df.repartition(target)
+    if spark is not None and _packed_scan_width(spark, files) < target:
+        return df.repartition(target)
+    return df
+
+
+def _size_bytes(conf_value: str) -> int:
+    """Parse a Spark byte-size conf string (``134217728``, ``128MB``…)."""
+    m = re.match(r"^\s*(\d+)\s*([a-zA-Z]*)\s*$", conf_value)
+    if not m:
+        raise ValueError(f"unparseable byte size {conf_value!r}")
+    unit = m.group(2).lower()
+    scale = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40,
+             "tb": 1 << 40}[unit]
+    return int(m.group(1)) * scale
+
+
+def _packed_scan_width(spark: SparkSession, files: list[str]) -> int:
+    """Estimate how many FilePartitions a file scan actually produces,
+    mirroring Spark's bin-packing formula (FilePartition.maxSplitBytes):
+    ``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalPadded / defaultParallelism))``, partitions ≈ ceil(totalPadded /
+    maxSplitBytes) with every file padded by ``openCostInBytes``.
+
+    Sizes come from driver-side stat calls on ``file:`` URIs, sampled at
+     1024 files and extrapolated (stat-ing 10⁵ files on the driver is
+    not free). Non-local schemes or stat failures return a conservative
+    huge width — i.e. trust the file count, the pre-fix behavior."""
+    wide = 1 << 30
+    try:
+        max_pb = _size_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                            "134217728"))
+        open_cost = _size_bytes(spark.conf.get("spark.sql.files.openCostInBytes",
+                                               "4194304"))
+        parallelism = spark.sparkContext.defaultParallelism
+        paths = []
+        for f in files[:1024]:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                return wide
+            paths.append(u.path)
+        sampled = sum(os.path.getsize(p) + open_cost for p in paths)
+        total_padded = sampled * len(files) // len(paths)
+        max_split = min(max_pb, max(open_cost, total_padded // max(parallelism, 1)))
+        return max(1, math.ceil(total_padded / max(max_split, 1)))
+    except Exception:
+        return wide
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -156,3 +156,38 @@ def test_asof_join_forward_tolerance_matches_naive(spark, left, right, tolerance
         tolerance_s=tolerance,
     )
     assert got == expected
+
+
+def test_asof_tolerance_is_exact_at_sub_second_gaps(spark):
+    """Tolerance compares exact microseconds, not whole-second floors
+    (ADVICE r3 #1): a true gap of 600.5 s must NOT match a 600 s bound
+    even though floor(600.5) == 600; a gap of exactly 600.000000 s must
+    match; one microsecond over must not."""
+    cases = [
+        # (lid, right offset from left, should_match)
+        (1, timedelta(seconds=600, microseconds=500_000), False),
+        (2, timedelta(seconds=600), True),
+        (3, timedelta(seconds=600, microseconds=1), False),
+        (4, timedelta(seconds=599, microseconds=999_999), True),
+    ]
+    ldf = spark.createDataFrame(
+        [Row(k=lid, ts=BASE, lid=lid) for lid, _, _ in cases]
+    )
+    rdf = spark.createDataFrame(
+        [Row(k=lid, ts=BASE + off) for lid, off, _ in cases]
+    )
+    got = {
+        r["lid"]: r["ts_asof"]
+        for r in asof_join(
+            ldf,
+            rdf,
+            on="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["ts"],
+            direction="forward",
+            tolerance_seconds=600,
+        ).collect()
+    }
+    for lid, off, should_match in cases:
+        assert (got[lid] is not None) is should_match, (lid, off, got[lid])

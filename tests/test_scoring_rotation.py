@@ -66,12 +66,24 @@ def test_rows_only_by_design_stays_green_tier():
 
 
 def test_rescore_flag_applies_then_self_expires():
-    name = next(iter(entry._RESCORE_NOW))
-    # green in r1, newest scored round is r2 → flag active (tier 2)
-    hist = {1: {name: _green()}, 2: {"other": _green()}}
+    name, changed = min(entry._RESCORE_AFTER.items(), key=lambda kv: kv[1])
+    # last green predates the change round → flag active (tier 2)
+    hist = {changed - 2: {name: _green()}, changed - 1: {"other": _green()}}
     assert entry._priority(name, hist)[0] == 2
-    # once a post-change round scored it green, it rejoins the canaries
-    hist[3] = {name: _green()}
+    # once a round >= change-round scored it green, back to the canaries
+    hist[changed] = {name: _green()}
+    assert entry._priority(name, hist)[0] == 3
+
+
+def test_rescore_flag_flags_same_round_green():
+    """A query changed in round N whose last green row is from round N-1
+    must still be flagged until a round >= N scores it — the r3
+    set-based form silently unflagged a query whose last green round
+    happened to equal the newest history round (ADVICE r3 #2)."""
+    name, changed = max(entry._RESCORE_AFTER.items(), key=lambda kv: kv[1])
+    hist = {changed - 1: {name: _green()}}
+    assert entry._priority(name, hist)[0] == 2
+    hist[changed] = {name: _green()}
     assert entry._priority(name, hist)[0] == 3
 
 
