@@ -1,6 +1,8 @@
-"""Scale-engineering operators: bucketed co-located joins and salted
-skew joins — the two levers that matter most for 100 TB fact-fact joins
-beyond what AQE does automatically.
+"""Scale-engineering operators: bucketed co-located joins, salted skew
+joins, and time-sliced sessionization — the levers that matter most at
+100 TB beyond what AQE does automatically (AQE can split skewed JOIN
+partitions but never WINDOW partitions, so ordered-window operators
+need their own skew story).
 """
 
 from __future__ import annotations
@@ -10,7 +12,10 @@ import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+from ..functions.time import epoch_micros
 
 
 def write_bucketed(
@@ -76,3 +81,87 @@ def salted_join(
     )
     out = l_salted.join(r_salted, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def sessionize_sliced(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("event_id",),
+    gap_seconds: int = 1800,
+    slice_seconds: int = 3600,
+) -> DataFrame:
+    """Skew-proof sessionization: two-phase per-key time slicing.
+
+    The classic gaps-and-islands formulation partitions an ordered
+    window by ``user_col`` alone, so one pathological hot key (the skew
+    rehearsal's 80%-hot fixture: 2.4 M rows on one user at sf1) lands
+    its ENTIRE row set in a single window task — and AQE cannot split
+    window partitions (SCALE.md, r3 residual #2). This operator bounds
+    every task instead:
+
+    - **Phase 1 (sliced local sessions)**: rows shuffle on
+      ``(user, slice)`` where ``slice = epoch_seconds div
+      slice_seconds`` — a hot user's rows spread over its time range,
+      so the per-task row bound is ``slice_seconds × peak event rate``,
+      independent of total per-user volume. Within each slice the usual
+      lag → new-session flag → running sum produces *local* sessions,
+      reduced immediately to one summary row (first/last ts, count)
+      per local session.
+    - **Phase 2 (border merge)**: summaries — bounded per user by
+      (slices touched + true sessions), NOT by event count — go
+      through the same gaps-and-islands on ``(first_ts, last_ts)``
+      partitioned by user only. Two adjacent local sessions merge iff
+      the border gap < ``gap_seconds``; chains merge transitively via
+      the running sum, reconstructing the global sessions exactly
+      (within-summary gaps are < gap by construction; summary-boundary
+      gaps decide, same rule as row-level).
+
+    Equivalence: ties share a timestamp so they share a slice, and the
+    per-slice order ``(ts, *order_cols)`` equals the global order —
+    slicing can only cut a session at a slice border, and phase 2
+    rejoins exactly those cuts. Gap comparison is in exact
+    microseconds; a new session starts when ``diff >= gap`` (the
+    ``ts >= lag(ts) + INTERVAL gap`` convention of the DuckDB oracle).
+
+    Returns one row per session: ``(user_col, session_start,
+    session_end, n_events)``.
+    """
+    gap_us = gap_seconds * 1_000_000
+    sliced = events.withColumn(
+        "__slice",
+        F.expr(
+            f"unix_micros(cast(`{ts_col}` as timestamp)) div "
+            f"{slice_seconds * 1_000_000}"
+        ),
+    )
+
+    w1 = W.partitionBy(user_col, "__slice").orderBy(ts_col, *order_cols)
+    prev_ts = F.lag(ts_col).over(w1)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((epoch_micros(F.col(ts_col)) - epoch_micros(prev_ts)) >= gap_us),
+        1,
+    ).otherwise(0)
+    w1run = w1.rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = sliced.withColumn("__sid", F.sum(is_new).over(w1run))
+    summaries = local.groupBy(user_col, "__slice", "__sid").agg(
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+        F.count("*").alias("n"),
+    )
+
+    w2 = W.partitionBy(user_col).orderBy("first_ts", "last_ts")
+    prev_last = F.lag("last_ts").over(w2)
+    merge_new = F.when(
+        prev_last.isNull()
+        | ((epoch_micros(F.col("first_ts")) - epoch_micros(prev_last)) >= gap_us),
+        1,
+    ).otherwise(0)
+    w2run = w2.rowsBetween(W.unboundedPreceding, W.currentRow)
+    merged = summaries.withColumn("__gsid", F.sum(merge_new).over(w2run))
+    return merged.groupBy(user_col, "__gsid").agg(
+        F.min("first_ts").alias("session_start"),
+        F.max("last_ts").alias("session_end"),
+        F.sum("n").alias("n_events"),
+    ).drop("__gsid")

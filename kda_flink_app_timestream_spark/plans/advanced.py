@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.time import epoch_micros
+from ..operators.scale import sessionize_sliced
 from ..sources.batch import load_table
 from .catalog import query
 
@@ -290,6 +291,60 @@ def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.max("n_events").alias("max_session_events"),
         F.max("duration_us").alias("max_session_us"),
+    )
+
+
+@query(
+    "batch_sessionization_sliced",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                     OR CAST(ts AS TIMESTAMP) >= lag(CAST(ts AS TIMESTAMP)) OVER w
+                        + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           CAST(max(duration_us) AS BIGINT) AS max_session_us
+    FROM sessions
+    GROUP BY user_id
+    """,
+    tags=("window", "sessionization", "skew", "production"),
+)
+def batch_sessionization_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production (skew-proof) twin of ``batch_sessionization``: same
+    output contract and the identical oracle, computed by the two-phase
+    time-sliced operator (``operators/scale.py:sessionize_sliced``).
+    Phase 1 windows on ``(user_id, hour-slice)`` so a hot user's rows
+    never collapse into one task — the r3 skew rehearsal's one residual
+    scale-killer (AQE cannot split window partitions); phase 2 merges
+    slice-border sessions over per-session SUMMARIES, whose count per
+    user is bounded by slices-touched + sessions, not by event count."""
+    e = load_table(spark, sf_dir, "events")
+    sessions = sessionize_sliced(
+        e, user_col="user_id", ts_col="ts", order_cols=("event_id",),
+        gap_seconds=1800, slice_seconds=3600,
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.max(
+            epoch_micros(F.col("session_end")) - epoch_micros(F.col("session_start"))
+        ).alias("max_session_us"),
     )
 
 

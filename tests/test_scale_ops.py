@@ -7,7 +7,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from kda_flink_app_timestream_spark.operators.scale import salted_join, write_bucketed
+from kda_flink_app_timestream_spark.operators.scale import (
+    salted_join,
+    sessionize_sliced,
+    write_bucketed,
+)
 from kda_flink_app_timestream_spark.plans import load_all_plans
 from kda_flink_app_timestream_spark.sources.batch import load_table
 
@@ -98,6 +102,9 @@ def test_salted_join_rejects_right_preserving_joins(spark):
         # collect_list aggregate; candidates explode from it (no index
         # self-join = no second Exchange of the index)
         ("dedup_ngram_jaccard_pairs", ["ObjectHashAggregate", "Generate"]),
+        # skew-proof sessionization: phase-1 window must partition on
+        # (user, slice) — the bound that keeps a hot user off one task
+        ("batch_sessionization_sliced", ["Window", "__slice#"]),
     ],
 )
 def test_headline_plans_have_expected_operators(spark, sf_dir, name, expectations):
@@ -150,6 +157,86 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     assert spread, "no rows joined"
     for row in spread:
         assert row["n_parts"] > 1, f"hot key {row['event_type']} on one reducer"
+
+
+def _naive_sessions(rows, gap_s=1800):
+    """Reference sessionization: per user, sorted by (ts, event_id),
+    split where the gap >= gap_s. Returns {(user, start, end, n)}."""
+    by_user = {}
+    for uid, ts, eid in rows:
+        by_user.setdefault(uid, []).append((ts, eid))
+    out = set()
+    for uid, evts in by_user.items():
+        evts.sort()
+        start, last, n = evts[0][0], evts[0][0], 1
+        for ts, _ in evts[1:]:
+            if (ts - last).total_seconds() >= gap_s:
+                out.add((uid, start, last, n))
+                start, n = ts, 0
+            last = ts
+            n += 1
+        out.add((uid, start, last, n))
+    return out
+
+
+def test_sessionize_sliced_matches_global_and_bounds_tasks(spark):
+    """The r3 skew rehearsal's residual scale-killer, closed: an 80%-hot
+    user must NOT concentrate into one window task. Asserts (a) exact
+    session equivalence with a naive reference on a border-heavy
+    fixture, and (b) the phase-1 shuffle key (user, hour-slice) bounds
+    every group far below the hot user's total, while phase-2 input is
+    per-session summaries, bounded by slices+sessions — not events."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    # hot user 0: 8000 events over ~54 h, 20 s spacing with a >=30 min
+    # jump every 500 events → sessions continuously cross hour borders
+    t = base
+    for i in range(8000):
+        rows.append((0, t, i))
+        t += timedelta(seconds=20 if (i + 1) % 500 else 2100)
+    # cold users: a few events each, mixed gaps
+    for u in range(1, 21):
+        t = base + timedelta(minutes=u)
+        for i in range(20):
+            rows.append((u, t, 100_000 + u * 100 + i))
+            t += timedelta(seconds=300 if i % 3 else 2400)
+    # hand-placed border/precision cases
+    rows += [
+        # gap 90 s across an hour border → one session
+        (100, base + timedelta(minutes=59), 1), (100, base + timedelta(minutes=60, seconds=30), 2),
+        # gap 100 min with an empty middle slice → two sessions
+        (101, base + timedelta(minutes=10), 3), (101, base + timedelta(minutes=110), 4),
+        # exactly-at-gap and 1 µs inside the gap
+        (103, base, 5),
+        (103, base + timedelta(seconds=1799, microseconds=999_999), 6),  # merges
+        (103, base + timedelta(seconds=1799 + 1800, microseconds=999_999), 7),  # diff == 1800 s → new
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, e) for u, ts, e in rows], "user_id long, ts timestamp, event_id long"
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_sliced(df).collect()
+    }
+    assert got == _naive_sessions(rows)
+
+    # per-task bound: the hot user's 8000 rows spread over its hour
+    # slices — no (user, slice) group may approach the per-user total
+    slice_sizes = (
+        df.groupBy("user_id", F.expr("unix_micros(ts) div 3600000000").alias("s"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert slice_sizes <= 500, f"hot slice too large: {slice_sizes}"
+    # phase-2 input is summaries: bounded by slices + sessions, << events
+    n_hot_sessions = sum(1 for s in got if s[0] == 0)
+    n_hot_slices = df.filter("user_id = 0").select(
+        F.expr("unix_micros(ts) div 3600000000")
+    ).distinct().count()
+    assert n_hot_sessions + n_hot_slices < 100  # vs 8000 events
 
 
 def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
