@@ -75,16 +75,53 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_sketches", oracle=None, tags=("agg", "approx", "sketch"))
+@query(
+    "approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS approx_parts_ok,
+           TRUE AS approx_median_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "sketch"),
+)
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates — HLL distinct + quantile sketch (rows-only:
-    sketch internals differ across engines by design; accuracy is pinned
-    by tests/test_advanced.py against exact values)."""
+    """Sketch aggregates made hash-checkable (VERDICT r3 #2): raw HLL /
+    quantile-sketch OUTPUTS are engine-specific by design, so the query
+    emits deterministic VERDICT columns instead — the exact values plus
+    booleans asserting the sketch landed inside its published error
+    bound. The DuckDB oracle computes the same exact values and literal
+    TRUEs, so a sketch drifting out of bound flips a cell and fails the
+    hash — the accuracy contract itself is what's oracle-checked.
+
+    Bounds: approx_count_distinct's default rsd is 0.05 → |approx −
+    exact| ≤ 0.15·exact is a ≥3σ envelope; percentile_approx (default
+    accuracy 10⁴ → rank error ≤ n/10⁴) must land between the exact
+    interpolated 0.49/0.51 quantiles, a far wider band."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("n"),
+        F.approx_count_distinct("l_partkey").alias("__approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("__approx_median"),
+        F.expr("percentile(l_extendedprice, 0.49D)").alias("__p49"),
+        F.expr("percentile(l_extendedprice, 0.51D)").alias("__p51"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n",
+        (
+            F.abs(F.col("__approx_parts") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        ).alias("approx_parts_ok"),
+        (
+            (F.col("__approx_median") >= F.col("__p49"))
+            & (F.col("__approx_median") <= F.col("__p51"))
+        ).alias("approx_median_ok"),
     )
 
 

@@ -58,11 +58,18 @@ def test_rows_only_promoted_when_oracle_appears():
     assert tier == 1
 
 
-def test_rows_only_by_design_stays_green_tier():
-    """approx_sketches is registered oracle-free by design — nothing
-    stronger to chase, so it must NOT hog an invalid-tier slot."""
-    hist = {2: {"approx_sketches": _rows_only()}}
-    assert entry._priority("approx_sketches", hist)[0] == 3
+def test_rows_only_by_design_stays_green_tier(monkeypatch):
+    """A query registered oracle-free by design (none remain since
+    approx_sketches gained its verdict-column oracle in r4, so this
+    injects a synthetic one) has nothing stronger to chase and must NOT
+    hog an invalid-tier slot."""
+    from types import SimpleNamespace
+
+    monkeypatch.setitem(
+        entry.REGISTRY, "__fake_rows_only__", SimpleNamespace(oracle=None)
+    )
+    hist = {2: {"__fake_rows_only__": _rows_only()}}
+    assert entry._priority("__fake_rows_only__", hist)[0] == 3
 
 
 def test_rescore_flag_applies_then_self_expires():
