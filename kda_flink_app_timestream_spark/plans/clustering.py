@@ -124,7 +124,7 @@ def _semantic_prune_oracle() -> str:
 @query(
     "dedup_semantic_prune",
     oracle=_semantic_prune_oracle(),
-    tags=("dedup", "clustering", "semdedup"),
+    tags=("dedup", "clustering", "semdedup", "test-config"),
 )
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means clusters the corpus, then
