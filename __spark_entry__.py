@@ -78,6 +78,16 @@ _RESCORE_AFTER = {
     "asof_join_forward_tolerance": 4,
     #   integer-quantized projection oracle (plans/similarity.py)
     "sim_random_projection": 4,
+    #   streaming staging rewritten to multi-file / maxFilesPerTrigger=1
+    #   (every streaming query now genuinely crosses >=3 micro-batches)
+    "stream_tumbling_events": 4,
+    "stream_sliding_events": 4,
+    "stream_session_windows": 4,
+    "stream_interval_join": 4,
+    "stream_dedup_minhash_bands": 4,
+    "stream_dedup_keys": 4,
+    "stream_stateful_running_counts": 4,
+    "stream_static_enrichment_join": 4,
 }
 
 

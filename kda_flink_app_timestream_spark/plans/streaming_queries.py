@@ -19,36 +19,54 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.time import normalize_ts_col
+from ..sources.batch import load_table
 from ..streaming.windows import session_windowed, sliding_windowed, tumbling_windowed
 from .catalog import query
 
 _mem_counter = itertools.count()
 
+# Every staged stream is split into this many files and read with
+# maxFilesPerTrigger=1, so each streaming query genuinely crosses
+# micro-batch boundaries (state carry, watermark advancement) instead
+# of degenerating to one batch (VERDICT r3 #6: "incremental" claims
+# were proven by construction, not by a multi-batch run).
+STREAM_SPLIT_FILES = 4
+
+
+def _staged_stream_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Stage ``{sf_dir}/{name}.parquet`` as a directory of
+    ``STREAM_SPLIT_FILES`` parquet part-files for the file streaming
+    source (which requires a directory; testdata is read-only).
+
+    The table is staged through ``load_table``, so the physical ts
+    layout is normalized BEFORE the split — the streaming schema then
+    comes from the staged files themselves and can never drift from the
+    testdata's layout-of-the-round (the r2 failure: a hardcoded
+    LongType schema silently collapsed event time 1000×)."""
+    src = os.path.realpath(f"{sf_dir}/{name}.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"{name}_stream_{STREAM_SPLIT_FILES}_{abs(hash(src))}",
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        load_table(spark, sf_dir, name).repartition(STREAM_SPLIT_FILES).write.mode(
+            "overwrite"
+        ).parquet(stage)
+    return stage
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over events.parquet with event time normalized
-    to TimestampType whatever the file's physical ts layout is.
-
-    The streaming source needs an explicit schema; rather than hardcode
-    one physical layout (round 2 pinned LongType while the testdata had
-    moved to timestamp[us] — event time silently collapsed 1000× and
-    four window queries went wrong, VERDICT r2 item 1), take the schema
-    from a batch read of the same file (respects nanosAsLong and NTZ
-    inference exactly like `load_table`) and apply the same central
-    normalization.
-    """
-    # the file streaming source requires a DIRECTORY; stage a symlink dir
-    # around the single events.parquet file (testdata is read-only)
-    src = os.path.realpath(f"{sf_dir}/events.parquet")
-    stage = os.path.join(tempfile.gettempdir(), f"events_stream_{abs(hash(src))}")
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    file_schema = spark.read.parquet(src).schema
-    stream = spark.readStream.format("parquet").schema(file_schema).load(stage)
-    return normalize_ts_col(stream, "ts")
+    """File-source stream over the staged multi-file events split —
+    one file per micro-batch (``maxFilesPerTrigger=1``), event time
+    already normalized to TimestampType at staging."""
+    stage = _staged_stream_dir(spark, sf_dir, "events")
+    file_schema = spark.read.parquet(stage).schema
+    return (
+        spark.readStream.format("parquet")
+        .schema(file_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
 
 
 def _run_to_memory(df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -252,17 +270,16 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over documents.parquet (schema from a batch
-    read of the same file — the layout-drift-proof pattern of
-    ``_events_stream``)."""
-    src = os.path.realpath(f"{sf_dir}/documents.parquet")
-    stage = os.path.join(tempfile.gettempdir(), f"docs_stream_{abs(hash(src))}")
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    file_schema = spark.read.parquet(src).schema
-    return spark.readStream.format("parquet").schema(file_schema).load(stage)
+    """File-source stream over the staged multi-file documents split —
+    one file per micro-batch, like ``_events_stream``."""
+    stage = _staged_stream_dir(spark, sf_dir, "documents")
+    file_schema = spark.read.parquet(stage).schema
+    return (
+        spark.readStream.format("parquet")
+        .schema(file_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
 
 
 def _minhash_band_dedup_oracle() -> str:
