@@ -88,6 +88,11 @@ _RESCORE_AFTER = {
     "stream_dedup_keys": 4,
     "stream_stateful_running_counts": 4,
     "stream_static_enrichment_join": 4,
+    #   k-means assignment vectorized path + cached update rounds
+    #   (operators/clustering.py — results proven identical, rescore anyway)
+    "sim_kmeans_clusters": 4,
+    "dedup_semantic_prune": 4,
+    "dedup_semantic_prune_scaled": 4,
 }
 
 

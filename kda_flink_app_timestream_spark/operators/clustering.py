@@ -13,7 +13,14 @@ DataFrame ops:
   shuffle). The corpus itself NEVER moves.
 - **Assignment is a pure projection.** Nearest centroid =
   ``array_min`` over a ``transform`` of the inlined centroid array —
-  no join, no window, no shuffle, whole-stage-codegen friendly.
+  no join, no window, no shuffle, whole-stage-codegen friendly. Above
+  ``ASSIGN_VECTORIZE_CELLS`` k·dim cells the same projection switches
+  to an Arrow ``mapInPandas`` BLAS matmul (still zero-shuffle): the
+  r4 100× rehearsal measured the HOF fold at k=782 taking ~50 s per
+  round at 200 k vectors (O(N·k·dim) element-wise expression eval),
+  vs ~2 s vectorized — identical results, because every intermediate
+  is an integer < 2^53 and therefore EXACT in float64 (|q|,|c| ≤ 2^21
+  ⇒ products ≤ 2^42, 64-dim sums ≤ 2^48, distances ≤ 2^50).
 - **Update is a tree-aggregate.** ``posexplode`` + ``groupBy(cid,
   pos).sum`` collapses, via map-side partial aggregation, to
   ≤ partitions · k · dim cells before the single shuffle; the k·dim
@@ -43,6 +50,11 @@ from .similarity import as_double
 KMEANS_K = 8
 KMEANS_ITERS = 2
 KMEANS_SCALE = 1 << 20
+# k·dim threshold above which assignment runs as an Arrow matmul rather
+# than an inlined-literal expression fold (identical exact results; see
+# module docstring — the fold is ~25x slower at rehearsal scale and the
+# literal tree itself stops being codegen-friendly)
+ASSIGN_VECTORIZE_CELLS = 4096
 
 
 def quantize_vec(vec: Column, scale: int = KMEANS_SCALE) -> Column:
@@ -80,9 +92,14 @@ def _centroid_literal(cents: list[tuple[int, list[int]]]) -> Column:
 
 def _assign(pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """Nearest centroid per point (ties → smaller cluster id) as a pure
-    narrow projection: ``array_min`` over (dist_sq, cid) structs orders
-    lexicographically, so the min is the closest centroid with the
-    smallest id breaking ties. Zero shuffle at any corpus size."""
+    narrow projection — zero shuffle at any corpus size. Small k·dim:
+    ``array_min`` over (dist_sq, cid) structs of the inlined centroid
+    literal (lexicographic min = closest centroid, smallest id breaking
+    ties). Large k·dim: the Arrow matmul twin with the identical
+    contract (``argmin`` returns the FIRST minimum and centroids are
+    sorted by cid, so tie-breaking matches the struct ordering)."""
+    if len(cents) * max((len(cv) for _, cv in cents), default=0) > ASSIGN_VECTORIZE_CELLS:
+        return _assign_vectorized(pts, cents)
     cand = F.transform(
         _centroid_literal(cents),
         lambda c: F.struct(
@@ -93,6 +110,43 @@ def _assign(pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     best = F.array_min(cand)
     return pts.select(
         "pid", "qv", best["cid"].alias("cid"), best["dist_sq"].alias("dist_sq")
+    )
+
+
+def _assign_vectorized(
+    pts: DataFrame, cents: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Large-k assignment as one Arrow-batched BLAS matmul per input
+    batch: ``dist² = |q|² + |c|² − 2·q·cᵀ``. Exact despite float64 —
+    every term is an integer below 2^53 (see module docstring), so the
+    distances come out as exact integers and ``argmin`` decides on the
+    same values the integer fold computes. Centroids ride along as a
+    closure broadcast; the corpus still never shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    cid_arr = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cmat = np.array([cv for _, cv in cents], dtype=np.float64)
+    c_sq = (cmat * cmat).sum(axis=1)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            d = (q * q).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (q @ cmat.T)
+            best = d.argmin(axis=1)  # first min → smallest cid (sorted)
+            yield pd.DataFrame(
+                {
+                    "pid": pdf["pid"],
+                    "qv": pdf["qv"],
+                    "cid": cid_arr[best],
+                    "dist_sq": d[np.arange(len(best)), best].astype(np.int64),
+                }
+            )
+
+    return pts.mapInPandas(
+        assign_batches, "pid long, qv array<long>, cid long, dist_sq long"
     )
 
 
@@ -140,7 +194,13 @@ def kmeans_assign(
     )
     assigned = _assign(pts, cents)
     for _ in range(iters - 1):
+        # cache the round's assignment: _update aggregates over it, and
+        # without the cache that aggregate silently RECOMPUTES the whole
+        # O(N·k·dim) assignment (the r4 rehearsal measured a full extra
+        # pass per round)
+        assigned = assigned.cache()
         cents = _update(assigned)
+        assigned.unpersist()
         assigned = _assign(pts, cents)
     return assigned.select(
         F.col("pid").alias(id_col),

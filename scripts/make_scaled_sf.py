@@ -25,8 +25,10 @@ Semantics of the scaling:
   stop-list cap, and every cross-copy pair is a true near-dup.
 
 Usage:
-    python scripts/make_scaled_sf.py [K] [SRC_SF_DIR] [OUT_DIR]
-    # defaults: 10 /root/testdata/sf0.1 /root/repo/.scratch/sf1
+    python scripts/make_scaled_sf.py [K] [SRC_SF_DIR] [OUT_DIR] [--tables=a,b]
+    # defaults: 10 /root/testdata/sf0.1 /root/repo/.scratch/sf1 (all tables)
+    # --tables limits replication to a subset (e.g. the r4 100x dress
+    # rehearsal replicates only documents,embeddings at K=100)
 """
 
 from __future__ import annotations
@@ -99,9 +101,14 @@ def replicate_events_arrow(src: str, out: str, k: int) -> int:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch/sf1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--tables=")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--tables="):
+            only = set(a.split("=", 1)[1].split(","))
+    k = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    out = args[2] if len(args) > 2 else "/root/repo/.scratch/sf1"
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -112,8 +119,11 @@ def main() -> None:
         .getOrCreate()
     )
 
+    fact_tables = {
+        t: homes for t, homes in KEY_HOMES.items() if only is None or t in only
+    }
     strides: dict[tuple[str, str], int] = {}
-    for homes in KEY_HOMES.values():
+    for homes in fact_tables.values():
         for home in homes.values():
             if home not in strides:
                 tbl, col = home
@@ -125,20 +135,23 @@ def main() -> None:
                 strides[home] = int(mx) + 1
 
     for t in DIM_TABLES:
+        if only is not None and t not in only:
+            continue
         spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
         print(f"{t}: copied (dimension)", flush=True)
 
-    for t, homes in KEY_HOMES.items():
+    for t, homes in fact_tables.items():
         df = spark.read.parquet(f"{src}/{t}.parquet")
         shifts = {col: strides[home] for col, home in homes.items()}
         replicate(df, shifts, k).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n} rows ({k}x)", flush=True)
 
-    n = replicate_events_arrow(src, out, k)
-    print(f"events: {n} rows ({k}x, arrow ns-timestamps)", flush=True)
+    if only is None or "events" in only:
+        n = replicate_events_arrow(src, out, k)
+        print(f"events: {n} rows ({k}x, arrow ns-timestamps)", flush=True)
 
     spark.stop()
 

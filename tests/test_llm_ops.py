@@ -155,9 +155,14 @@ def test_jaccard_stop_list_drops_hot_shingle_candidates(spark):
     )
     df = spark.createDataFrame(rows)
 
+    # truly-unbounded (None) is an OOM vector and must refuse loudly
+    # (ADVICE r3 #5); the uncapped BASELINE is a cap above every
+    # fixture frequency — an empty stop-list, identical semantics
+    with pytest.raises(ValueError, match="doc"):
+        exact_jaccard_pairs(df, threshold=0.01, max_doc_freq=None)
     uncapped = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in exact_jaccard_pairs(df, threshold=0.01, max_doc_freq=None).collect()
+        for r in exact_jaccard_pairs(df, threshold=0.01, max_doc_freq=10_000).collect()
     }
     capped = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
@@ -646,3 +651,57 @@ def test_banded_blocking_bounds_skewed_cluster_pairs(spark):
     assert candidate_bound < all_pairs / 2, (
         f"banded candidates {candidate_bound} vs all-pairs {all_pairs}"
     )
+
+
+def test_kmeans_assignment_paths_identical(spark):
+    """The Arrow matmul assignment (k·dim above ASSIGN_VECTORIZE_CELLS)
+    must produce bit-identical (cid, dist_sq) to the inlined-expression
+    fold — exactness argument: every float64 intermediate is an integer
+    < 2^53. Deterministic fixture, k chosen above the switch threshold
+    with ties included (duplicate vectors)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kda_flink_app_timestream_spark.operators import clustering as C
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    vecs = rng.uniform(-1, 1, size=(300, dim)).astype("float32")
+    vecs[50] = vecs[10]  # exact duplicates → distance ties
+    vecs[51] = vecs[10]
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pts = df.select(
+        F.col("vec_id").alias("pid"), C.quantize_vec(F.col("embedding")).alias("qv")
+    )
+    k = 80
+    assert k * dim > C.ASSIGN_VECTORIZE_CELLS
+    cents = sorted(
+        (r["pid"], list(r["qv"])) for r in pts.filter(F.col("pid") < k).collect()
+    )
+    # call both paths explicitly (dispatch would hide one of them)
+    slow = {
+        r["pid"]: (r["cid"], r["dist_sq"])
+        for r in C._assign.__wrapped__(pts, cents).collect()
+    } if hasattr(C._assign, "__wrapped__") else None
+    cand = F.transform(
+        C._centroid_literal(cents),
+        lambda c: F.struct(
+            C._sq_dist(F.col("qv"), c["cv"]).alias("dist_sq"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(cand)
+    expr_path = {
+        r["pid"]: (r["cid"], r["dist_sq"])
+        for r in pts.select(
+            "pid", best["cid"].alias("cid"), best["dist_sq"].alias("dist_sq")
+        ).collect()
+    }
+    vec_path = {
+        r["pid"]: (r["cid"], r["dist_sq"])
+        for r in C._assign_vectorized(pts, cents).collect()
+    }
+    assert expr_path == vec_path
+    # tie triples must have identical (cid, dist_sq)
+    assert vec_path[10] == vec_path[50] == vec_path[51]
