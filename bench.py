@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "text_context_packing",
     "batch_sessionization",
     "batch_sessionization_sliced",
+    "dedup_semantic_prune_twolevel",
 ]
 
 

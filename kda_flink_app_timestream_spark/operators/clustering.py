@@ -170,24 +170,12 @@ def _update(assigned: DataFrame) -> list[tuple[int, list[int]]]:
     )
 
 
-def kmeans_assign(
-    df: DataFrame,
-    k: int = KMEANS_K,
-    iters: int = KMEANS_ITERS,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means: ``iters`` assignment rounds with ``iters - 1``
-    centroid updates between them; returns the final assignment
-    ``(vec_id, cluster_id, dist_sq)``.
-
-    Init is deterministic: the k vectors with the smallest ids seed the
+def _lloyd(pts: DataFrame, k: int, iters: int) -> DataFrame:
+    """``iters`` Lloyd assignment rounds over a cached quantized corpus
+    ``pts(pid, qv)`` → ``(pid, qv, cid, dist_sq)``. Init is
+    deterministic: the k points with the smallest ids seed the
     centroids (k-means++ would trade determinism for quality; for a
-    reproducible pipeline stage, fixed seeding wins). The quantized
-    corpus is cached — every update round re-scans it."""
-    pts = scatter(
-        df.select(F.col(id_col).alias("pid"), quantize_vec(F.col(vec_col)).alias("qv"))
-    ).cache()
+    reproducible pipeline stage, fixed seeding wins)."""
     cents = sorted(
         (r["pid"], list(r["qv"]))
         for r in pts.filter(F.col("pid") < k).collect()
@@ -202,8 +190,131 @@ def kmeans_assign(
         cents = _update(assigned)
         assigned.unpersist()
         assigned = _assign(pts, cents)
-    return assigned.select(
+    return assigned
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means: ``iters`` assignment rounds with ``iters - 1``
+    centroid updates between them; returns the final assignment
+    ``(vec_id, cluster_id, dist_sq)``. The quantized corpus is cached —
+    every update round re-scans it."""
+    pts = scatter(
+        df.select(F.col(id_col).alias("pid"), quantize_vec(F.col(vec_col)).alias("qv"))
+    ).cache()
+    return _lloyd(pts, k, iters).select(
         F.col("pid").alias(id_col),
         F.col("cid").alias("cluster_id"),
         F.col("dist_sq"),
+    )
+
+
+def kmeans_assign_twolevel(
+    df: DataFrame,
+    k: int,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cluster_size: int = 256,
+    seed_tag: str = "hseed",
+) -> DataFrame:
+    """Two-level (coarse-quantizer) clustering — the LINEAR-work answer
+    to flat k-means' O(N·k) assignment when k ∝ corpus (the honest
+    limit the r4 100× rehearsal measured, SCALE.md):
+
+    - **Coarse**: Lloyd k-means with ``k1 = ceil(sqrt(k))`` centroids —
+      assignment work N·√k·dim instead of N·k·dim.
+    - **Fine**: inside each coarse cell, a one-shot Voronoi refinement
+      around deterministic seeds — a point's cluster is its nearest
+      seed IN ITS CELL (ties → smallest seed id). Seeds are the points
+      whose ``portable_hash64(pid)`` lands on 0 mod
+      ``target_cluster_size`` (≈ N/target seeds, uniformly), plus each
+      cell's minimum pid so no cell is seedless. Expected fine-cluster
+      size ≈ target, independent of N; total assignment work
+      N·(√k + N/(k1·target))·dim — linear in N at fixed target.
+
+    Exactness: same integer quantization; the fine distances run
+    through the vectorized float64 matmul (exact — integers < 2^53) on
+    per-cell seed matrices collected once (bounded model state, like
+    centroids). Every step is replicated in SQL by the DuckDB oracle of
+    ``dedup_semantic_prune_twolevel``.
+
+    Returns ``(id_col, cluster_id, dist_sq)`` where cluster_id is the
+    winning seed's id (globally unique across cells).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.text import portable_hash64
+
+    k1 = max(2, math.ceil(math.sqrt(k)))
+    pts = scatter(
+        df.select(F.col(id_col).alias("pid"), quantize_vec(F.col(vec_col)).alias("qv"))
+    ).cache()
+    coarse = (
+        _lloyd(pts, k1, iters)
+        .select("pid", "qv", F.col("cid").alias("ccid"))
+        .cache()
+    )
+
+    mins = coarse.groupBy("ccid").agg(F.min("pid").alias("pid")).select("pid")
+    hash_hit = (
+        F.pmod(
+            portable_hash64(F.col("pid").cast("string"), seed_tag),
+            F.lit(target_cluster_size),
+        )
+        == 0
+    )
+    seed_rows = (
+        coarse.filter(hash_hit)
+        .unionByName(coarse.join(F.broadcast(mins), "pid", "left_semi"))
+        .dropDuplicates(["pid"])
+        .select("ccid", "pid", "qv")
+        .collect()
+    )
+    by_cell: dict[int, list[tuple[int, list[int]]]] = {}
+    for r in seed_rows:
+        by_cell.setdefault(r["ccid"], []).append((r["pid"], list(r["qv"])))
+    cell_sids = {
+        ccid: np.array([sid for sid, _ in sorted(rows)], dtype=np.int64)
+        for ccid, rows in by_cell.items()
+    }
+    cell_mats = {
+        ccid: np.array([qv for _, qv in sorted(rows)], dtype=np.float64)
+        for ccid, rows in by_cell.items()
+    }
+    cell_sq = {ccid: (m * m).sum(axis=1) for ccid, m in cell_mats.items()}
+
+    def fine_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cid = np.empty(len(pdf), dtype=np.int64)
+            dsq = np.empty(len(pdf), dtype=np.int64)
+            cells = pdf["ccid"].to_numpy()
+            qmat = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            for ccid in np.unique(cells):
+                idx = np.nonzero(cells == ccid)[0]
+                q = qmat[idx]
+                smat, s_sq = cell_mats[int(ccid)], cell_sq[int(ccid)]
+                d = (q * q).sum(axis=1)[:, None] + s_sq[None, :] - 2.0 * (q @ smat.T)
+                best = d.argmin(axis=1)  # first min → smallest sid (sorted)
+                cid[idx] = cell_sids[int(ccid)][best]
+                dsq[idx] = d[np.arange(len(best)), best].astype(np.int64)
+            yield pd.DataFrame(
+                {"pid": pdf["pid"], "cluster_id": cid, "dist_sq": dsq}
+            )
+
+    out = coarse.mapInPandas(
+        fine_batches, "pid long, cluster_id long, dist_sq long"
+    )
+    return out.select(
+        F.col("pid").alias(id_col), "cluster_id", "dist_sq"
     )

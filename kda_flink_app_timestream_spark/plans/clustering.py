@@ -20,6 +20,7 @@ from ..operators.clustering import (
     KMEANS_K,
     KMEANS_SCALE,
     kmeans_assign,
+    kmeans_assign_twolevel,
 )
 from ..operators.similarity import embedding_near_dup_pairs
 from ..sources.batch import load_table
@@ -145,6 +146,131 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_cluster = e.join(asg.select("vec_id", "cluster_id"), "vec_id")
     pairs = embedding_near_dup_pairs(
         with_cluster, threshold=COSINE_THRESHOLD, block_col="cluster_id", n_bands=0
+    )
+    pruned = (
+        pairs.select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__pruned", F.lit(True))
+    )
+    return asg.select("vec_id", "cluster_id").join(pruned, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(F.col("__pruned"), F.lit(False)).alias("pruned"),
+    )
+
+
+# --- two-level (coarse-quantizer) SemDeDup: linear-work assignment -----------
+
+_SEED_TAG = "hseed"
+_K1_SQL = (
+    f"SELECT greatest(2, CAST(ceil(sqrt(greatest({KMEANS_K}, "
+    f"ceil(count(*) / 256.0)))) AS BIGINT)) FROM embeddings"
+)
+
+
+def _semantic_prune_twolevel_oracle() -> str:
+    from ..functions.text import sql_portable_hash64
+    from ..operators.similarity import (
+        EMB_N_BANDS,
+        EMB_PLANES_PER_BAND,
+        plane_components,
+    )
+
+    def band_expr(band: int) -> str:
+        terms = []
+        for p in range(EMB_PLANES_PER_BAND):
+            comps = plane_components(band * EMB_PLANES_PER_BAND + p)
+            arr = "[" + ", ".join(repr(c) for c in comps) + "]::DOUBLE[]"
+            terms.append(
+                f"CASE WHEN list_dot_product(e.v, {arr}) > 0 THEN {1 << p} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    band_case = "CASE b.i " + " ".join(
+        f"WHEN {i} THEN ({band_expr(i)})" for i in range(EMB_N_BANDS)
+    ) + " END"
+    band_values = ", ".join(f"({i})" for i in range(EMB_N_BANDS))
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    seed_hash = sql_portable_hash64("CAST(a.pid AS VARCHAR)", _SEED_TAG)
+    return f"""
+    WITH {_kmeans_ctes(f"({_K1_SQL})")},
+    mins AS (SELECT cid, min(pid) AS mpid FROM asg GROUP BY cid),
+    seeds AS (
+        SELECT a.pid AS sid, a.cid AS ccid
+        FROM asg a
+        WHERE ({seed_hash}) % 256 = 0
+           OR EXISTS (SELECT 1 FROM mins m
+                      WHERE m.cid = a.cid AND m.mpid = a.pid)
+    ),
+    fd AS (
+        SELECT a.pid, s.sid,
+               CAST(sum((up.v - us.v) * (up.v - us.v)) AS BIGINT) AS dist_sq
+        FROM asg a
+        JOIN seeds s ON s.ccid = a.cid
+        JOIN u up ON up.pid = a.pid
+        JOIN u us ON us.pid = s.sid AND us.pos = up.pos
+        GROUP BY a.pid, s.sid
+    ),
+    fine AS (
+        SELECT pid, sid AS cluster_id FROM (
+            SELECT pid, sid,
+                   row_number() OVER (PARTITION BY pid ORDER BY dist_sq, sid) AS rn
+            FROM fd) WHERE rn = 1
+    ),
+    e0 AS (
+        SELECT e.vec_id, f.cluster_id, e.embedding::DOUBLE[] AS v
+        FROM embeddings e JOIN fine f ON e.vec_id = f.pid
+    ),
+    bands AS (
+        SELECT e.vec_id, e.cluster_id, b.i AS band, {band_case} AS bkt
+        FROM e0 AS e CROSS JOIN (VALUES {band_values}) AS b(i)
+    ),
+    cand AS (
+        SELECT DISTINCT ba.vec_id AS id_a, bb.vec_id AS id_b
+        FROM bands ba JOIN bands bb
+          ON ba.cluster_id = bb.cluster_id AND ba.band = bb.band
+         AND ba.bkt = bb.bkt AND ba.vec_id < bb.vec_id
+    ),
+    pruned AS (
+        SELECT DISTINCT cand.id_b AS vec_id
+        FROM cand
+        JOIN e0 a ON cand.id_a = a.vec_id
+        JOIN e0 b ON cand.id_b = b.vec_id
+        WHERE round({cos}, 6) >= {COSINE_THRESHOLD}
+    )
+    SELECT f.pid AS vec_id, f.cluster_id,
+           (p.vec_id IS NOT NULL) AS pruned
+    FROM fine f LEFT JOIN pruned p ON f.pid = p.vec_id
+    """
+
+
+@query(
+    "dedup_semantic_prune_twolevel",
+    oracle=_semantic_prune_twolevel_oracle(),
+    tags=("dedup", "clustering", "semdedup", "scale", "production"),
+)
+def dedup_semantic_prune_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a two-level coarse-quantizer assignment — the
+    100 TB-honest variant SCALE.md's r4 rehearsal called for: flat
+    k-means with k ∝ corpus does O(N·k) = O(N²/target) assignment work,
+    while the two-level shape (coarse Lloyd at √k, one-shot seed-Voronoi
+    refinement within each cell) is linear in N at fixed target cluster
+    size. Same keep/drop output contract as the other SemDeDup entries;
+    the oracle replicates every stage — coarse CTE chain at
+    k1=ceil(sqrt(k)), hash+cell-min seed selection, exact integer fine
+    distances with (dist, sid) tie-breaking, and the banded
+    within-cluster candidate set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    k = scaled_k(e.count())
+    asg = kmeans_assign_twolevel(
+        e, k=k, iters=KMEANS_ITERS, target_cluster_size=256, seed_tag=_SEED_TAG
+    ).cache()
+    with_cluster = e.join(asg.select("vec_id", "cluster_id"), "vec_id")
+    pairs = embedding_near_dup_pairs(
+        with_cluster, threshold=COSINE_THRESHOLD, block_col="cluster_id"
     )
     pruned = (
         pairs.select(F.col("id_b").alias("vec_id"))

@@ -136,6 +136,10 @@ def main() -> None:
         "dedup_semantic_prune_scaled",
         lambda: registry["dedup_semantic_prune_scaled"].fn(spark, sf_dir),
     )
+    run(
+        "dedup_semantic_prune_twolevel",
+        lambda: registry["dedup_semantic_prune_twolevel"].fn(spark, sf_dir),
+    )
 
     print(
         json.dumps(
