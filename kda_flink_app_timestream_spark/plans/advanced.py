@@ -126,6 +126,85 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+               AS n_discounted,
+           CAST(count(*) FILTER (WHERE l_quantity < 10) AS BIGINT)
+               AS n_small,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               FILTER (WHERE l_returnflag = 'R') / 100.0 AS returned_revenue,
+           CAST(count(DISTINCT l_suppkey)
+                    FILTER (WHERE l_shipdate >= DATE '1997-01-01')
+               AS BIGINT) AS recent_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "filter-clause", "conditional"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-condition aggregates in one pass (ANSI ``FILTER (WHERE …)``):
+    Spark expresses the same thing with ``count_if`` / ``WHEN``-guarded
+    sums — one scan, one shuffle, every conditional evaluated map-side.
+    Exact integer cents for the filtered revenue sum; a NULL-when-empty
+    filtered sum matches FILTER semantics (no matching rows → NULL, not
+    0)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("count_if(l_discount > 0.05)").alias("n_discounted"),
+        F.expr("count_if(l_quantity < 10)").alias("n_small"),
+        (
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.round(F.col("l_extendedprice") * 100).cast("long"),
+                )
+            )
+            / 100.0
+        ).alias("returned_revenue"),
+        F.count_distinct(
+            F.when(F.col("l_shipdate") >= F.lit("1997-01-01"), F.col("l_suppkey"))
+        ).alias("recent_suppliers"),
+    )
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0
+               AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame", "time-range"),
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding RANGE frame: per user, how many events (and
+    how much exact-cent value) arrived in the trailing hour INCLUDING
+    peers at the same timestamp — the value-based-frame complement of
+    ``window_range_frame``, and the per-row form of a sliding window
+    aggregation. Both engines order by epoch microseconds with an
+    integer range bound, so frame membership is bit-identical."""
+    li = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(epoch_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return li.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_last_hour"),
+        (F.sum(cents).over(w) / 100.0).alias("value_last_hour"),
+    )
+
+
+@query(
     "window_rank_family",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
