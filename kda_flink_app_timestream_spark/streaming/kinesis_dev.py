@@ -91,8 +91,14 @@ def kinesis_snapshot_read(
             ShardId=shard_id,
             ShardIteratorType="TRIM_HORIZON",
         )["ShardIterator"]
+        empty_polls = 0
         while it:
             resp = client.get_records(ShardIterator=it, Limit=max_records_per_get)
+            # snapshot semantics: an endpoint reporting perpetual lag with
+            # empty pages (throttling, clock skew) must not spin forever
+            empty_polls = 0 if resp["Records"] else empty_polls + 1
+            if empty_polls > 10:
+                break
             for rec in resp["Records"]:
                 data = rec["Data"]
                 if isinstance(data, (bytes, bytearray)):

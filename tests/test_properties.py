@@ -191,3 +191,56 @@ def test_asof_tolerance_is_exact_at_sub_second_gaps(spark):
     }
     for lid, off, should_match in cases:
         assert (got[lid] is not None) is should_match, (lid, off, got[lid])
+
+
+def _naive_sessions_prop(rows, gap_s=1800):
+    by_user = {}
+    for uid, ts, eid in rows:
+        by_user.setdefault(uid, []).append((ts, eid))
+    out = set()
+    for uid, evts in by_user.items():
+        evts.sort()
+        start, last, n = evts[0][0], evts[0][0], 1
+        for ts, _ in evts[1:]:
+            if (ts - last).total_seconds() >= gap_s:
+                out.add((uid, start, last, n))
+                start, n = ts, 0
+            last = ts
+            n += 1
+        out.add((uid, start, last, n))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),             # user
+            st.integers(0, 7200),          # offset seconds (spans 3 slices)
+            st.integers(0, 999_999),       # microsecond component
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    gap_s=st.sampled_from([600, 1800]),
+    slice_s=st.sampled_from([900, 3600]),
+)
+def test_sessionize_sliced_matches_naive(spark, events, gap_s, slice_s):
+    """Property: the two-phase time-sliced sessionization equals the
+    naive global gaps-and-islands for ANY slice width — slicing may only
+    cut sessions at borders that phase 2 must re-merge, including
+    microsecond-precision gaps straddling slice boundaries."""
+    from kda_flink_app_timestream_spark.operators.scale import sessionize_sliced
+
+    rows = [
+        (u, BASE + timedelta(seconds=s, microseconds=us), i)
+        for i, (u, s, us) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_sliced(
+            df, gap_seconds=gap_s, slice_seconds=slice_s
+        ).collect()
+    }
+    assert got == _naive_sessions_prop(rows, gap_s)
