@@ -265,7 +265,14 @@ def exact_jaccard_pairs(
     anti-join. Scores stay exact because each surviving candidate's
     shared count is corrected with the per-doc HOT shingle sets — only
     pairs whose every common shingle is stop-listed are lost, and those
-    are boilerplate-only overlaps by construction. The bound is
+    are boilerplate-only overlaps *provided the corpus is
+    exact-deduplicated first*: heavy exact duplication inflates every
+    shingle's df by the copy count, pushing legitimately-rare shingles
+    over the cap and silently dropping identical-copy cliques (measured
+    at 100× replication — SCALE.md r4: 1.02 M of ~24.7 M true pairs
+    survive uncollapsed; all survive after collapse). Run
+    ``dedup_exact_summary``'s fingerprint collapse before this
+    operator. The bound is
     REQUIRED: posting-list candidate generation collects all doc ids
     per shingle into one array, so an unbounded hot shingle would
     materialize a corpus-sized array on a single executor (an OOM
