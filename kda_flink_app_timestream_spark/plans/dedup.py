@@ -178,10 +178,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Candidate generation mirrors the operator's hot-shingle stop-list
 # (document-frequency cap before the index self-join); scores still come
-# from the FULL shingle sets of each candidate pair.
-_NGRAM_JACCARD_ORACLE = f"""
-WITH toks AS (
-    SELECT doc_id, str_split(text, ' ') AS t FROM documents
+# from the FULL shingle sets of each candidate pair. The source is
+# templatable so the collapse-then-near-dup composition reuses the
+# identical chain over the exact-deduplicated corpus.
+def _ngram_jaccard_oracle(source_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    return f"""
+WITH src AS ({source_sql}),
+toks AS (
+    SELECT doc_id, str_split(text, ' ') AS t FROM src
     WHERE len(str_split(text, ' ')) >= 3
 ),
 sh AS (
@@ -220,7 +224,7 @@ WHERE round(shared / CAST(na.n + nb.n - shared AS DOUBLE), 4) >= {JACCARD_THRESH
 
 @query(
     "dedup_ngram_jaccard_pairs",
-    oracle=_NGRAM_JACCARD_ORACLE,
+    oracle=_ngram_jaccard_oracle(),
     tags=("dedup", "ngram", "jaccard"),
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,6 +235,35 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens(F.col("text"))) >= 3
     )
     return exact_jaccard_pairs(d, threshold=JACCARD_THRESHOLD)
+
+
+@query(
+    "dedup_collapse_then_jaccard",
+    oracle=_ngram_jaccard_oracle(
+        "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+    ),
+    tags=("dedup", "ngram", "jaccard", "composition", "production"),
+)
+def dedup_collapse_then_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup composition as one registered pipeline:
+    exact-dedup collapse (min doc_id per identical text) BEFORE the
+    n-gram Jaccard index. The r4 100x rehearsal measured why the order
+    is a correctness requirement, not a cost preference: replication
+    inflates every shingle's document frequency by the copy count, so
+    on an uncollapsed dup-heavy corpus the stop-list silently drops
+    identical-copy cliques (1.02 M of ~24.7 M true pairs survived —
+    SCALE.md r4); collapsed first, document frequencies return to their
+    base values and the answer is complete. At scale the collapse
+    groups by the text fingerprint hash (``dedup_exact_summary``'s
+    shape) rather than the raw text carried here for oracle clarity —
+    same result, narrower shuffle key."""
+    d = load_table(spark, sf_dir, "documents")
+    collapsed = (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .filter(F.size(tokens(F.col("text"))) >= 3)
+    )
+    return exact_jaccard_pairs(collapsed, threshold=JACCARD_THRESHOLD)
 
 
 _EMBED_COSINE = (
