@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "batch_sessionization",
     "batch_sessionization_sliced",
     "dedup_semantic_prune_twolevel",
+    "dedup_collapse_then_jaccard",
 ]
 
 
