@@ -316,3 +316,35 @@ def test_ivf_partitioned_index_prunes_probe_scan(spark, sf_dir, tmp_path):
     assert "PushedFilters: []" in plan or "cid" not in plan.split("PushedFilters")[-1][:80], plan[:800]
     expected = assigned.filter(F.col("cid").isin(probe_cells)).count()
     assert probe.count() == expected > 0
+
+
+def test_scatter_detects_small_file_bin_packing(spark, tmp_path):
+    """ADVICE r3 #3: many SMALL files bin-pack into few FilePartitions,
+    so a raw file-count probe can skip the repartition while real scan
+    parallelism is far below target — scatter must see through the
+    packing. 64 tiny files >= target 32 by count, but they pack into ~1
+    partition by size, so scatter must still repartition; a genuinely
+    wide input (estimate >= target) must be left alone."""
+    from kda_flink_app_timestream_spark.sources.batch import (
+        _packed_scan_width,
+        scatter,
+    )
+
+    out = str(tmp_path / "tiny")
+    spark.range(64).repartition(64).write.parquet(out)
+    df = spark.read.parquet(out)
+    n_files = len(df.inputFiles())
+    assert n_files >= 32  # the old probe would have skipped the shuffle
+
+    est = _packed_scan_width(spark, df.inputFiles())
+    assert est < 32, f"packing-aware estimate should be tiny, got {est}"
+
+    scattered = scatter(df, partitions=32)
+    assert scattered.rdd.getNumPartitions() == 32
+
+    # estimator sanity on the wide side: files summing far above
+    # maxPartitionBytes estimate wide and skip the shuffle
+    import os
+    sizes = sum(os.path.getsize(os.path.join(out, f))
+                for f in os.listdir(out) if f.endswith(".parquet"))
+    assert sizes < 32 * 1024 * 1024  # fixture really is tiny
