@@ -214,6 +214,14 @@ def kmeans_assign(
     )
 
 
+# seed count above which the fine assignment switches from the
+# driver-collected closure matmul to a fully distributed cell join:
+# seeds number ~N/target, so at billions of vectors the collected seed
+# matrix would itself be GB-scale driver/closure state — the exact
+# bounded-model-state assumption it would violate
+SEED_COLLECT_CAP = 20_000
+
+
 def kmeans_assign_twolevel(
     df: DataFrame,
     k: int,
@@ -222,6 +230,7 @@ def kmeans_assign_twolevel(
     vec_col: str = "embedding",
     target_cluster_size: int = 256,
     seed_tag: str = "hseed",
+    seed_collect_cap: int = SEED_COLLECT_CAP,
 ) -> DataFrame:
     """Two-level (coarse-quantizer) clustering — the LINEAR-work answer
     to flat k-means' O(N·k) assignment when k ∝ corpus (the honest
@@ -240,9 +249,15 @@ def kmeans_assign_twolevel(
 
     Exactness: same integer quantization; the fine distances run
     through the vectorized float64 matmul (exact — integers < 2^53) on
-    per-cell seed matrices collected once (bounded model state, like
-    centroids). Every step is replicated in SQL by the DuckDB oracle of
-    ``dedup_semantic_prune_twolevel``.
+    per-cell seed matrices collected once while the seed count is small
+    (≤ ``seed_collect_cap``). Seeds number ~N/target, so beyond the cap
+    the collected matrix would itself become GB-scale driver/closure
+    state — there the fine assignment switches to a fully distributed
+    cell join (points ⋈ same-cell seeds → exact integer fold distance →
+    map-side partial ``min(struct(dist, sid))`` per point): identical
+    results (same values, same tie rule), one extra N-row shuffle, no
+    driver materialization of the model. Every step is replicated in
+    SQL by the DuckDB oracle of ``dedup_semantic_prune_twolevel``.
 
     Returns ``(id_col, cluster_id, dist_sq)`` where cluster_id is the
     winning seed's id (globally unique across cells).
@@ -272,13 +287,33 @@ def kmeans_assign_twolevel(
         )
         == 0
     )
-    seed_rows = (
+    seeds_df = (
         coarse.filter(hash_hit)
         .unionByName(coarse.join(F.broadcast(mins), "pid", "left_semi"))
         .dropDuplicates(["pid"])
         .select("ccid", "pid", "qv")
-        .collect()
+        .cache()
     )
+    n_seeds = seeds_df.count()
+    if n_seeds > seed_collect_cap:
+        s = seeds_df.select(
+            "ccid", F.col("pid").alias("__sid"), F.col("qv").alias("__sqv")
+        )
+        cand = coarse.join(s, "ccid").select(
+            "pid",
+            F.struct(
+                _sq_dist(F.col("qv"), F.col("__sqv")).alias("dist_sq"),
+                F.col("__sid").alias("sid"),
+            ).alias("__c"),
+        )
+        best = cand.groupBy("pid").agg(F.min("__c").alias("__b"))
+        return best.select(
+            F.col("pid").alias(id_col),
+            F.col("__b.sid").alias("cluster_id"),
+            F.col("__b.dist_sq").alias("dist_sq"),
+        )
+
+    seed_rows = seeds_df.collect()
     by_cell: dict[int, list[tuple[int, list[int]]]] = {}
     for r in seed_rows:
         by_cell.setdefault(r["ccid"], []).append((r["pid"], list(r["qv"])))

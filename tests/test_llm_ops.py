@@ -705,3 +705,24 @@ def test_kmeans_assignment_paths_identical(spark):
     assert expr_path == vec_path
     # tie triples must have identical (cid, dist_sq)
     assert vec_path[10] == vec_path[50] == vec_path[51]
+
+
+def test_twolevel_fine_assignment_paths_identical(spark, sf_dir):
+    """The distributed cell-join fine assignment (seed count above
+    seed_collect_cap) must produce exactly the rows of the collected
+    closure-matmul path — same distances, same (dist, sid) tie rule."""
+    from kda_flink_app_timestream_spark.operators.clustering import (
+        kmeans_assign_twolevel,
+    )
+    from kda_flink_app_timestream_spark.plans.clustering import scaled_k
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = scaled_k(e.count())
+    closure = {
+        tuple(r) for r in kmeans_assign_twolevel(e, k=k).collect()
+    }
+    joined = {
+        tuple(r)
+        for r in kmeans_assign_twolevel(e, k=k, seed_collect_cap=0).collect()
+    }
+    assert closure == joined and closure
