@@ -102,9 +102,14 @@ def kinesis_snapshot_read(
             for rec in resp["Records"]:
                 data = rec["Data"]
                 if isinstance(data, (bytes, bytearray)):
-                    # latin-1 is byte-preserving, so the gzip decode UDF
-                    # (which re-encodes latin-1) round-trips binary payloads
-                    value = bytes(data).decode("latin-1")
+                    if decode == "none":
+                        # connector contract: CAST(data AS STRING) = UTF-8
+                        value = bytes(data).decode("utf-8", errors="replace")
+                    else:
+                        # a binary decode step follows: latin-1 is
+                        # byte-preserving, and the gzip UDF re-encodes
+                        # latin-1, so raw bytes round-trip exactly
+                        value = bytes(data).decode("latin-1")
                 else:
                     value = str(data)
                 ts = rec.get("ApproximateArrivalTimestamp")

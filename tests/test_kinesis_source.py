@@ -197,3 +197,29 @@ def test_kinesis_snapshot_paginates_get_records(spark):
         )
         got = sorted(r["value"] for r in df.collect())
         assert got == [f"rec-{i:02d}" for i in range(25)]
+
+
+def test_kinesis_snapshot_utf8_when_not_decoding(spark):
+    """decode='none' must honor the connector contract (CAST(data AS
+    STRING) = UTF-8): non-ASCII payloads come back as real text, not
+    latin-1 mojibake; the gzip path still round-trips bytes exactly."""
+    from kda_flink_app_timestream_spark.streaming.kinesis_dev import (
+        kinesis_snapshot_read,
+    )
+
+    from .fake_kinesis import FakeKinesis
+
+    text = "Opération=Übersicht 測定"
+    with FakeKinesis() as fk:
+        client = _fake_client(fk)
+        client.create_stream(StreamName="u8", ShardCount=1)
+        client.put_record(StreamName="u8", Data=text.encode("utf-8"), PartitionKey="k")
+        client.put_record(
+            StreamName="u8", Data=gzip.compress(text.encode("utf-8")), PartitionKey="k"
+        )
+        plain = kinesis_snapshot_read(spark, "u8", boto3_client=client).collect()
+        assert plain[0]["value"] == text
+        decoded = kinesis_snapshot_read(
+            spark, "u8", boto3_client=client, decode="gzip"
+        ).collect()
+        assert decoded[1]["value"] == text
