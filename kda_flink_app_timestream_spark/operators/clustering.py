@@ -182,13 +182,13 @@ def _lloyd(pts: DataFrame, k: int, iters: int) -> DataFrame:
     )
     assigned = _assign(pts, cents)
     for _ in range(iters - 1):
-        # cache the round's assignment: _update aggregates over it, and
-        # without the cache that aggregate silently RECOMPUTES the whole
-        # O(N·k·dim) assignment (the r4 rehearsal measured a full extra
-        # pass per round)
-        assigned = assigned.cache()
+        # each round evaluates the prior assignment exactly once (the
+        # update's single collect) and the next _assign depends only on
+        # the cached pts + driver-side cents — so no caching of the
+        # intermediate assignment: it would be written once and never
+        # read again (an r4 review finding; an earlier comment here
+        # claimed a recompute that cannot occur)
         cents = _update(assigned)
-        assigned.unpersist()
         assigned = _assign(pts, cents)
     return assigned
 

@@ -161,10 +161,16 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- two-level (coarse-quantizer) SemDeDup: linear-work assignment -----------
 
+# average cluster size both scale-honest variants target; every Spark
+# AND oracle occurrence derives from this one constant — a literal 256
+# anywhere would let the two engines compute k (or the seed rule) from
+# different targets and surface only as an opaque driver hash failure
+TARGET_CLUSTER_SIZE = 256
+
 _SEED_TAG = "hseed"
 _K1_SQL = (
     f"SELECT greatest(2, CAST(ceil(sqrt(greatest({KMEANS_K}, "
-    f"ceil(count(*) / 256.0)))) AS BIGINT)) FROM embeddings"
+    f"ceil(count(*) / {TARGET_CLUSTER_SIZE}.0)))) AS BIGINT)) FROM embeddings"
 )
 
 
@@ -201,7 +207,7 @@ def _semantic_prune_twolevel_oracle() -> str:
     seeds AS (
         SELECT a.pid AS sid, a.cid AS ccid
         FROM asg a
-        WHERE ({seed_hash}) % 256 = 0
+        WHERE ({seed_hash}) % {TARGET_CLUSTER_SIZE} = 0
            OR EXISTS (SELECT 1 FROM mins m
                       WHERE m.cid = a.cid AND m.mpid = a.pid)
     ),
@@ -266,7 +272,8 @@ def dedup_semantic_prune_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame
     e = load_table(spark, sf_dir, "embeddings")
     k = scaled_k(e.count())
     asg = kmeans_assign_twolevel(
-        e, k=k, iters=KMEANS_ITERS, target_cluster_size=256, seed_tag=_SEED_TAG
+        e, k=k, iters=KMEANS_ITERS,
+        target_cluster_size=TARGET_CLUSTER_SIZE, seed_tag=_SEED_TAG,
     ).cache()
     with_cluster = e.join(asg.select("vec_id", "cluster_id"), "vec_id")
     pairs = embedding_near_dup_pairs(
@@ -286,10 +293,9 @@ def dedup_semantic_prune_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # --- scale-honest SemDeDup: k ∝ corpus size + banded within-cluster pairing ---
 
-# average cluster size the k choice targets; with banding on top, even a
-# cluster far above target never goes quadratic (per-(band, bucket)
-# blocks are ~|cluster| / 2^planes_per_band)
-TARGET_CLUSTER_SIZE = 256
+# (TARGET_CLUSTER_SIZE is defined once above the twolevel section; with
+# banding on top, even a cluster far above target never goes quadratic —
+# per-(band, bucket) blocks are ~|cluster| / 2^planes_per_band)
 _K_SQL = (
     f"SELECT greatest({KMEANS_K}, "
     f"CAST(ceil(count(*) / {TARGET_CLUSTER_SIZE}.0) AS BIGINT)) FROM embeddings"

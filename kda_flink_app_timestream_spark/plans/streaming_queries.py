@@ -42,11 +42,24 @@ def _staged_stream_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
     layout is normalized BEFORE the split — the streaming schema then
     comes from the staged files themselves and can never drift from the
     testdata's layout-of-the-round (the r2 failure: a hardcoded
-    LongType schema silently collapsed event time 1000×)."""
+    LongType schema silently collapsed event time 1000×).
+
+    The stage key is the md5 of (path, mtime, size): content-tracking,
+    so a regenerated testdata file at the same path re-stages (a
+    ``hash(src)`` key reused a pre-regeneration copy whenever
+    PYTHONHASHSEED was pinned — exactly the stale-layout class this
+    staging exists to prevent), while unchanged files reuse one staged
+    copy across processes instead of rewriting per run."""
+    import hashlib
+
     src = os.path.realpath(f"{sf_dir}/{name}.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"{name}_stream_{STREAM_SPLIT_FILES}_{abs(hash(src))}",
+        f"{name}_stream_{STREAM_SPLIT_FILES}_{key}",
     )
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         load_table(spark, sf_dir, name).repartition(STREAM_SPLIT_FILES).write.mode(

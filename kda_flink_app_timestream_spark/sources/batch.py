@@ -90,6 +90,9 @@ def _size_bytes(conf_value: str) -> int:
     return int(m.group(1)) * scale
 
 
+_PACKED_WIDTH_CACHE: dict[tuple, int] = {}
+
+
 def _packed_scan_width(spark: SparkSession, files: list[str]) -> int:
     """Estimate how many FilePartitions a file scan actually produces,
     mirroring Spark's bin-packing formula (FilePartition.maxSplitBytes):
@@ -99,7 +102,9 @@ def _packed_scan_width(spark: SparkSession, files: list[str]) -> int:
 
     Sizes come from driver-side stat calls on ``file:`` URIs, sampled at
      1024 files and extrapolated (stat-ing 10⁵ files on the driver is
-    not free). Non-local schemes or stat failures return a conservative
+    not free), and memoized per (file set, conf) — scatter() runs inside
+    nearly every operator, so the same table must not be re-stat'ed on
+    each call. Non-local schemes or stat failures return a conservative
     huge width — i.e. trust the file count, the pre-fix behavior."""
     wide = 1 << 30
     try:
@@ -108,6 +113,17 @@ def _packed_scan_width(spark: SparkSession, files: list[str]) -> int:
         open_cost = _size_bytes(spark.conf.get("spark.sql.files.openCostInBytes",
                                                "4194304"))
         parallelism = spark.sparkContext.defaultParallelism
+        first = urlparse(files[0])
+        if first.scheme not in ("", "file"):
+            return wide
+        # one stat keys the cache (rewritten outputs at identical paths
+        # usually change the first file's size); the full sample loop
+        # runs only on a miss
+        key = (len(files), files[0], files[-1],
+               os.path.getsize(first.path), max_pb, open_cost, parallelism)
+        cached = _PACKED_WIDTH_CACHE.get(key)
+        if cached is not None:
+            return cached
         paths = []
         for f in files[:1024]:
             u = urlparse(f)
@@ -117,7 +133,9 @@ def _packed_scan_width(spark: SparkSession, files: list[str]) -> int:
         sampled = sum(os.path.getsize(p) + open_cost for p in paths)
         total_padded = sampled * len(files) // len(paths)
         max_split = min(max_pb, max(open_cost, total_padded // max(parallelism, 1)))
-        return max(1, math.ceil(total_padded / max(max_split, 1)))
+        est = max(1, math.ceil(total_padded / max(max_split, 1)))
+        _PACKED_WIDTH_CACHE[key] = est
+        return est
     except Exception:
         return wide
 

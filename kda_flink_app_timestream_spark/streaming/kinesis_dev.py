@@ -91,14 +91,35 @@ def kinesis_snapshot_read(
             ShardId=shard_id,
             ShardIteratorType="TRIM_HORIZON",
         )["ShardIterator"]
-        empty_polls = 0
+        stalled_polls = 0
+        prev_behind = None
         while it:
             resp = client.get_records(ShardIterator=it, Limit=max_records_per_get)
-            # snapshot semantics: an endpoint reporting perpetual lag with
-            # empty pages (throttling, clock skew) must not spin forever
-            empty_polls = 0 if resp["Records"] else empty_polls + 1
-            if empty_polls > 10:
-                break
+            # Empty pages are NORMAL mid-drain (the iterator walks empty
+            # head ranges of a retention window), so they never truncate
+            # the read. Only a stall — consecutive empty pages with no
+            # MillisBehindLatest progress — aborts, and LOUDLY: silently
+            # returning a partial shard would corrupt downstream results.
+            behind = resp.get("MillisBehindLatest", 0)
+            if resp["Records"]:
+                stalled_polls = 0
+            else:
+                if behind == 0:
+                    break  # caught up to the tip: the snapshot is complete
+                stalled_polls = (
+                    stalled_polls + 1
+                    if prev_behind is not None and behind >= prev_behind
+                    else 0
+                )
+                if stalled_polls > 100:
+                    raise RuntimeError(
+                        f"kinesis_snapshot_read stalled on shard {shard_id}: "
+                        f"{stalled_polls} consecutive empty GetRecords pages "
+                        f"with no MillisBehindLatest progress (still "
+                        f"{behind} ms behind) — endpoint throttling or "
+                        "clock skew; refusing to return a partial shard"
+                    )
+            prev_behind = behind
             for rec in resp["Records"]:
                 data = rec["Data"]
                 if isinstance(data, (bytes, bytearray)):
@@ -122,8 +143,6 @@ def kinesis_snapshot_read(
                      shard_id, ts)
                 )
             it = resp.get("NextShardIterator")
-            if not resp["Records"] and resp.get("MillisBehindLatest", 0) == 0:
-                break  # caught up to the tip: the snapshot is complete
 
     df = spark.createDataFrame(rows, SNAPSHOT_SCHEMA)
     if decode != "none":

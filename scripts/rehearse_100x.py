@@ -107,25 +107,24 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
 
-    # production composition: exact collapse BEFORE near-dup
+    # production composition: exact collapse BEFORE near-dup — timed as
+    # the parquet write itself (one execution; a separate noop-timed run
+    # would execute the heaviest text shuffle twice)
     collapsed_dir = f"{sf_dir}/__collapsed"
-    run(
-        "exact_collapse",
-        lambda: docs.groupBy("text").agg(
-            F.min("doc_id").alias("doc_id"),
-            F.first("lang").alias("lang"),
-            F.first("source").alias("source"),
-            F.first("n_chars").alias("n_chars"),
-        ),
-    )
-    docs.groupBy("text").agg(
+    collapsed = docs.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"),
         F.first("lang").alias("lang"),
         F.first("source").alias("source"),
         F.first("n_chars").alias("n_chars"),
-    ).select("doc_id", "text", "lang", "source", "n_chars").write.mode(
-        "overwrite"
-    ).parquet(f"{collapsed_dir}/documents.parquet")
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    t0 = time.perf_counter()
+    since = time.time() * 1000
+    collapsed.write.mode("overwrite").parquet(f"{collapsed_dir}/documents.parquet")
+    results["exact_collapse"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        **_stage_metrics(spark, since),
+    }
+    print(f"exact_collapse: {results['exact_collapse']}", flush=True)
     n_unique = spark.read.parquet(f"{collapsed_dir}/documents.parquet").count()
 
     run(

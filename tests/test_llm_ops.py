@@ -680,10 +680,6 @@ def test_kmeans_assignment_paths_identical(spark):
         (r["pid"], list(r["qv"])) for r in pts.filter(F.col("pid") < k).collect()
     )
     # call both paths explicitly (dispatch would hide one of them)
-    slow = {
-        r["pid"]: (r["cid"], r["dist_sq"])
-        for r in C._assign.__wrapped__(pts, cents).collect()
-    } if hasattr(C._assign, "__wrapped__") else None
     cand = F.transform(
         C._centroid_literal(cents),
         lambda c: F.struct(

@@ -334,17 +334,23 @@ def test_scatter_detects_small_file_bin_packing(spark, tmp_path):
     spark.range(64).repartition(64).write.parquet(out)
     df = spark.read.parquet(out)
     n_files = len(df.inputFiles())
-    assert n_files >= 32  # the old probe would have skipped the shuffle
+    assert n_files >= 32
 
+    # the estimate's exact value depends on defaultParallelism (Spark's
+    # maxSplitBytes formula divides by it), so assert the invariant that
+    # holds in ANY environment — packing detected, far below file count —
+    # and pick the scatter target RELATIVE to the estimate so the
+    # repartition decision under test is deterministic
     est = _packed_scan_width(spark, df.inputFiles())
-    assert est < 32, f"packing-aware estimate should be tiny, got {est}"
+    assert est < n_files, f"packing-aware estimate should see packing, got {est}"
 
-    scattered = scatter(df, partitions=32)
-    assert scattered.rdd.getNumPartitions() == 32
+    target = max(est * 2, est + 4)
+    assert n_files >= target  # the old count-only probe would skip here
+    scattered = scatter(df, partitions=target)
+    assert scattered.rdd.getNumPartitions() == target
 
-    # estimator sanity on the wide side: files summing far above
-    # maxPartitionBytes estimate wide and skip the shuffle
+    # fixture sanity: the 64 files really are tiny (packing is real)
     import os
     sizes = sum(os.path.getsize(os.path.join(out, f))
                 for f in os.listdir(out) if f.endswith(".parquet"))
-    assert sizes < 32 * 1024 * 1024  # fixture really is tiny
+    assert sizes < 32 * 1024 * 1024
