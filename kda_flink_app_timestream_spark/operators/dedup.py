@@ -245,6 +245,97 @@ def simhash(
 MAX_SHINGLE_DOC_FREQ = 128
 
 
+def shingle_overlap_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_doc_freq: int | None = MAX_SHINGLE_DOC_FREQ,
+) -> DataFrame:
+    """Shared machinery for the exact set-similarity family: candidate
+    pairs from the inverted shingle index with their EXACT overlap
+    counts — ``(doc_a, doc_b, shared, n_a, n_b)`` where ``shared``
+    includes the hot-shingle correction and ``n_*`` are full distinct
+    shingle-set sizes. ``exact_jaccard_pairs`` and
+    ``exact_containment_pairs`` are thin scorers over this frame; the
+    skew/OOM analysis in ``exact_jaccard_pairs``'s docstring applies
+    verbatim (this is that operator's body, factored)."""
+    if max_doc_freq is None:
+        raise ValueError(
+            "shingle_overlap_counts requires a document-frequency bound: "
+            "posting lists are collect_list arrays per shingle, and an "
+            "unbounded hot shingle materializes one corpus-sized array "
+            "on a single executor. Pass max_doc_freq (default "
+            f"{MAX_SHINGLE_DOC_FREQ})."
+        )
+    toked = scatter(df).select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    hashed = F.transform(
+        word_shingles(F.col("toks"), shingle_n),
+        lambda x: portable_hash64(x, "jac"),
+    )
+    # cache the COMPACT per-doc hash arrays (one row per doc), not the
+    # exploded index: every downstream consumer derives narrowly from
+    # this, and set size is a free F.size() instead of a groupBy(id)
+    # shuffle over the whole index
+    docs = toked.select(F.col(id_col), hashed.alias("hs")).cache()
+    sizes = docs.select(F.col(id_col), F.size("hs").alias("n_shingles"))
+    sh = docs.select(F.col(id_col), F.explode("hs").alias("shingle"))
+
+    # count-only frequency agg: map-side combinable, never builds a
+    # posting list for a hot shingle (the OOM vector at 100 TB).
+    # Cached — it feeds two broadcast joins and is tiny by
+    # construction (only pathological shingles)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("shingle")
+        .cache()
+    )
+    sh_cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # per-doc HOT shingles (short arrays, empty for most docs) let
+    # the score stay exact without joining the full shingle sets:
+    # shared = cold_shared + |hot_a ∩ hot_b|
+    hot_docs = (
+        sh.join(F.broadcast(hot), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("hot_set"))
+    )
+
+    # posting lists are bounded at max_doc_freq entries (hot shingles
+    # are already gone), so collect_list is skew-safe by construction
+    posting = sh_cold.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    shared = (
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    scored = shared.join(na, "doc_a").join(nb, "doc_b")
+    ha = hot_docs.select(F.col(id_col).alias("doc_a"), F.col("hot_set").alias("hot_a"))
+    hb = hot_docs.select(F.col(id_col).alias("doc_b"), F.col("hot_set").alias("hot_b"))
+    scored = scored.join(ha, "doc_a", "left").join(hb, "doc_b", "left")
+    shared_total = F.col("shared") + F.coalesce(
+        F.size(F.array_intersect("hot_a", "hot_b")), F.lit(0)
+    )
+    return scored.select(
+        "doc_a", "doc_b", shared_total.alias("shared"), "n_a", "n_b"
+    )
+
+
 def exact_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -292,91 +383,50 @@ def exact_jaccard_pairs(
     array_distinct, and 60-bit collisions within a doc's ~10³ shingles
     are negligible — and identical in the oracle, which hashes the same
     way.)"""
-    if max_doc_freq is None:
-        raise ValueError(
-            "exact_jaccard_pairs requires a document-frequency bound: "
-            "posting lists are collect_list arrays per shingle, and an "
-            "unbounded hot shingle materializes one corpus-sized array "
-            "on a single executor. Pass max_doc_freq (default "
-            f"{MAX_SHINGLE_DOC_FREQ})."
-        )
-    toked = scatter(df).select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
-    hashed = F.transform(
-        word_shingles(F.col("toks"), shingle_n),
-        lambda x: portable_hash64(x, "jac"),
+    counts = shingle_overlap_counts(
+        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        max_doc_freq=max_doc_freq,
     )
-    # cache the COMPACT per-doc hash arrays (one row per doc), not the
-    # exploded index: every downstream consumer derives narrowly from
-    # this, and set size is a free F.size() instead of a groupBy(id)
-    # shuffle over the whole index
-    docs = toked.select(F.col(id_col), hashed.alias("hs")).cache()
-    sizes = docs.select(F.col(id_col), F.size("hs").alias("n_shingles"))
-    sh = docs.select(F.col(id_col), F.explode("hs").alias("shingle"))
-
-    if max_doc_freq is not None:
-        # count-only frequency agg: map-side combinable, never builds a
-        # posting list for a hot shingle (the OOM vector at 100 TB).
-        # Cached — it feeds two broadcast joins and is tiny by
-        # construction (only pathological shingles)
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > max_doc_freq)
-            .select("shingle")
-            .cache()
-        )
-        sh_cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
-        # per-doc HOT shingles (short arrays, empty for most docs) let
-        # the score stay exact without joining the full shingle sets:
-        # shared = cold_shared + |hot_a ∩ hot_b|
-        hot_docs = (
-            sh.join(F.broadcast(hot), "shingle", "left_semi")
-            .groupBy(id_col)
-            .agg(F.collect_list("shingle").alias("hot_set"))
-        )
-    else:
-        sh_cold = sh
-        hot_docs = None
-
-    # posting lists are bounded at max_doc_freq entries (hot shingles
-    # are already gone), so collect_list is skew-safe by construction
-    posting = sh_cold.groupBy("shingle").agg(
-        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    shared = (
-        posting.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
-    )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    scored = shared.join(na, "doc_a").join(nb, "doc_b")
-    if hot_docs is not None:
-        ha = hot_docs.select(F.col(id_col).alias("doc_a"), F.col("hot_set").alias("hot_a"))
-        hb = hot_docs.select(F.col(id_col).alias("doc_b"), F.col("hot_set").alias("hot_b"))
-        scored = scored.join(ha, "doc_a", "left").join(hb, "doc_b", "left")
-        shared_total = F.col("shared") + F.coalesce(
-            F.size(F.array_intersect("hot_a", "hot_b")), F.lit(0)
-        )
-    else:
-        shared_total = F.col("shared")
     # explicit integer half-up rounding (functions/exact.py): the exact
     # rational shared/union can end in 5 one digit past the scale, where
     # float round() diverges across engines
-    union_sz = F.col("n_a") + F.col("n_b") - shared_total
-    jac = floor_round(shared_total, union_sz, out_pow=4) / 10000.0
-    return scored.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("shared")
+    jac = floor_round(F.col("shared"), union_sz, out_pow=4) / 10000.0
+    return counts.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
+    )
+
+
+def exact_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    max_doc_freq: int | None = MAX_SHINGLE_DOC_FREQ,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: max containment
+    ``|A∩B| / min(|A|, |B|)`` over the same inverted shingle index as
+    ``exact_jaccard_pairs`` (Broder's containment measure from "On the
+    resemblance and containment of documents", 1997 — the public
+    grounding for shingle-set similarity).
+
+    Catches the doc-inside-doc duplication Jaccard structurally misses:
+    a 100-shingle document fully quoted inside a 2000-shingle one has
+    containment 1.0 but Jaccard ~0.05 — far below any useful Jaccard
+    threshold, yet exactly the redundancy (quote-inclusion, concatenated
+    shards, boilerplate-wrapped reposts) a pretraining corpus wants
+    flagged. Same scale properties as the Jaccard scorer: posting-list
+    candidates, stop-listed hot shingles with exact correction, no
+    all-pairs stage; only the final arithmetic differs.
+    """
+    counts = shingle_overlap_counts(
+        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        max_doc_freq=max_doc_freq,
+    )
+    cont = floor_round(F.col("shared"), F.least("n_a", "n_b"), out_pow=4) / 10000.0
+    return counts.select("doc_a", "doc_b", cont.alias("containment")).filter(
+        F.col("containment") >= threshold
     )
 
 

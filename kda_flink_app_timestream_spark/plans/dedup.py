@@ -237,6 +237,72 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(d, threshold=JACCARD_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def _ngram_containment_oracle() -> str:
+    from ..functions.exact import sql_floor_round
+
+    score = sql_floor_round("shared", "least(na.n, nb.n)", out_pow=4)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+               x -> {sql_portable_hash64('x', 'jac')})) AS shingle
+    FROM toks
+),
+dfreq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+idx AS (
+    SELECT sh.doc_id, sh.shingle FROM sh
+    JOIN dfreq USING (shingle) WHERE dfreq.c <= {MAX_SHINGLE_DOC_FREQ}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS shared
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, {score} / 10000.0 AS containment
+FROM shared
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE {score} / 10000.0 >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=_ngram_containment_oracle(),
+    tags=("dedup", "ngram", "containment"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: ``|A∩B| / min(|A|,|B|)`` ≥ 0.6
+    over 3-gram shingle sets — flags doc-inside-doc redundancy
+    (quote-inclusion, concatenated shards) whose Jaccard stays under any
+    useful threshold because the union is dominated by the larger doc.
+    Shares the inverted-index/posting-list/stop-list machinery with
+    ``dedup_ngram_jaccard_pairs`` (``shingle_overlap_counts``); the
+    score is exact integer half-up rounding on both engines."""
+    from ..operators.dedup import exact_containment_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(tokens(F.col("text"))) >= 3
+    )
+    return exact_containment_pairs(d, threshold=CONTAINMENT_THRESHOLD)
+
+
 @query(
     "dedup_collapse_then_jaccard",
     oracle=_ngram_jaccard_oracle(

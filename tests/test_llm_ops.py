@@ -85,6 +85,39 @@ def test_exact_jaccard_known_answer(spark, docs):
     assert (1, 4) not in pairs
 
 
+def test_containment_catches_doc_inside_doc(spark):
+    """The asymmetric measure's reason to exist: a short doc fully
+    quoted inside a long one scores containment 1.0 while its Jaccard
+    stays below any useful threshold."""
+    from kda_flink_app_timestream_spark.operators.dedup import (
+        exact_containment_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=quote),
+            Row(doc_id=2, text=f"{filler} {quote}"),
+            Row(doc_id=3, text="completely different words entirely here now"),
+        ]
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in exact_containment_pairs(df, threshold=0.5).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(df, threshold=0.0001).collect()
+    }
+    # doc 1 has 8 shingles; the embedding doc shares all but the seam
+    # crossings — every doc-1 shingle except none (quote is intact) →
+    # containment 1.0, while Jaccard is diluted by the 120-word filler
+    assert cont[(1, 2)] == 1.0
+    assert jac[(1, 2)] < 0.1
+    assert (1, 3) not in cont and (2, 3) not in cont
+
+
 def test_simhash_identical_docs_equal(spark, docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sh[1] == sh[2]
