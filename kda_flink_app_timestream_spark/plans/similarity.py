@@ -164,6 +164,53 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOP_K)
 
 
+_ANN_RECALL_ORACLE = f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({_BRUTEFORCE_ORACLE}) t0),
+approx AS (SELECT query_id, neighbor_id FROM ({_LSH_ORACLE}) a0)
+SELECT t.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) * {1000 // TOP_K} AS BIGINT) AS recall_permille
+FROM truth t
+LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@query("sim_ann_recall", oracle=_ANN_RECALL_ORACLE, tags=("similarity", "ann", "evaluation"))
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation as a first-class query: recall@5 of the
+    LSH ANN index against exact brute-force ground truth, per query —
+    the metric that decides whether an approximate index is usable
+    before a 100 TB corpus commits to it. Both top-k sets come from the
+    registered operators (same plans the scored queries run); the
+    comparison is one (query_id, neighbor_id) left join + count.
+
+    Scale shape: ground truth is exact brute-force, so the evaluation
+    runs on a query SAMPLE (here the 20-query probe set), never the full
+    corpus — the corpus-side cost is the same broadcast-probe scan both
+    top-k operators already have; the join/agg is over ≤ queries × k
+    rows, driver-trivial. recall_permille is exact integer (hits ×
+    1000/k, k divides 1000)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_QUERIES)
+    truth = brute_force_topk(e, probes, k=TOP_K).select("query_id", "neighbor_id")
+    approx = lsh_topk(e, probes, k=TOP_K).select(
+        F.col("query_id").alias("a_query_id"), F.col("neighbor_id").alias("a_neighbor_id")
+    )
+    joined = truth.join(
+        approx,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    )
+    hits = F.count("a_neighbor_id")
+    return joined.groupBy("query_id").agg(
+        hits.alias("n_hits"),
+        (hits * (1000 // TOP_K)).alias("recall_permille"),
+    )
+
+
 _L2_NORM = "sqrt(list_dot_product(e.v, e.v))"
 
 _VECTOR_OPS_ORACLE = f"""

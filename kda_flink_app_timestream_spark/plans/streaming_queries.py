@@ -471,3 +471,216 @@ def stream_static_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup", "bounded-state"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming dedup: ``dropDuplicatesWithinWatermark``
+    evicts a key's dedup state once the watermark passes its event time
+    + delay, so state size is O(keys per watermark window), not O(all
+    keys ever) — the production shape for an unbounded stream, where
+    plain ``dropDuplicates`` (``stream_dedup_keys``) grows state
+    forever. With the delay wider than the staged data's span every
+    duplicate pair falls inside one watermark window, so the emitted
+    key set equals batch DISTINCT and the oracle is exact; on a real
+    unbounded stream the guarantee degrades gracefully to
+    "no duplicates closer than the delay"."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    dedup = (
+        ev.withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"stream_result_{next(_mem_counter)}"
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _time_ordered_sentinel_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as a TIME-ORDERED multi-file split plus a SENTINEL
+    final file, for streaming queries whose semantics depend on real
+    watermark progression (outer-join null emission, state eviction).
+
+    The default round-robin split (``_staged_stream_dir``) makes every
+    file span the full time range — fine for the wide-watermark queries
+    (nothing drops), but fatal for a tight watermark: after the first
+    file the watermark sits near the global max and ~3/4 of all later
+    rows are dropped as late. Here the split is ``repartitionByRange``
+    on ``ts`` (file i = i-th contiguous time slice, mtimes forced
+    increasing because the file source orders by modification time), so
+    the watermark advances the way a real stream's does and nothing is
+    late.
+
+    The sentinel is one click at (global-min ts − 1 day) with an
+    impossible user_id: it joins nothing and regresses no watermark
+    (watermarks are monotone); its only job is to force one final
+    micro-batch AFTER the last real file, because eviction-driven
+    output for batch N's watermark advance is emitted in batch N+1 and
+    ``availableNow`` otherwise stops at N. A real deployment needs
+    neither trick — an unbounded stream always has a next batch."""
+    base_stage = _staged_stream_dir(spark, sf_dir, "events")
+    stage = base_stage + "_timeordered"
+    if not os.path.exists(os.path.join(stage, "_SENTINEL_OK")):
+        base = spark.read.parquet(base_stage)
+        base.repartitionByRange(STREAM_SPLIT_FILES, "ts").sortWithinPartitions(
+            "ts"
+        ).write.mode("overwrite").parquet(stage)
+        import datetime
+        import shutil
+
+        min_ts = base.agg(F.min("ts")).collect()[0][0]
+        sentinel = spark.createDataFrame(
+            [(-1, min_ts - datetime.timedelta(days=1), -999999, "click", 0.0, None)],
+            base.schema,
+        )
+        tmp = os.path.join(stage, "_sentinel_build")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(stage, "zz_sentinel.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+        # pin mtimes: part files ascending by name (= ascending time
+        # range), sentinel strictly last
+        parts = sorted(
+            f
+            for f in os.listdir(stage)
+            if f.endswith(".parquet") and f != "zz_sentinel.parquet"
+        )
+        t0 = os.path.getmtime(os.path.join(stage, parts[-1]))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(stage, f), (t0 + 10 * i, t0 + 10 * i))
+        os.utime(
+            os.path.join(stage, "zz_sentinel.parquet"),
+            (t0 + 10 * len(parts), t0 + 10 * len(parts)),
+        )
+        open(os.path.join(stage, "_SENTINEL_OK"), "w").close()
+    return stage
+
+
+def _events_stream_time_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _time_ordered_sentinel_stage(spark, sf_dir)
+    file_schema = spark.read.parquet(_staged_stream_dir(spark, sf_dir, "events")).schema
+    return (
+        spark.readStream.format("parquet")
+        .schema(file_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+
+
+@query(
+    "stream_leftouter_interval_join",
+    oracle="""
+    WITH bounds AS (
+        SELECT least(
+            max(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END),
+            max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+        ) - INTERVAL 2 MINUTE AS cutoff
+        FROM events
+    ),
+    p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events, bounds
+          WHERE event_type = 'purchase' AND CAST(ts AS TIMESTAMP) <= bounds.cutoff),
+    c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '10 minutes'
+     AND c.ts <= p.ts
+    """,
+    tags=("streaming", "join", "interval", "outer"),
+)
+def stream_leftouter_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: purchases with no click
+    in the preceding 10 minutes must still be emitted (null click_id) —
+    the shape Spark can only produce once the watermark proves no
+    matching click can still arrive, at which point the unmatched left
+    state evicts as a null-padded row. Unlike the inner form
+    (``stream_interval_join``, wide watermark, nothing ever finalizes),
+    this query NEEDS real watermark progression, so it runs over the
+    time-ordered staged split (``_time_ordered_sentinel_stage``: file i
+    = i-th time slice, so the 1-minute watermark advances like a real
+    stream's and drops nothing as late; a final sentinel batch flushes
+    the last evictions).
+
+    Determinism: the left side is pre-filtered to purchases ≥ 2 minutes
+    older than the last event of the slower stream (one bounded
+    aggregate collected at plan time), and the watermark policy is
+    pinned to ``max`` for this query — under the default ``min`` policy
+    the global watermark is capped by the PURCHASE column's own maximum
+    minus its delay, so the last retained purchase could never prove
+    itself unmatched (a self-referential deadlock the 2-minute cutoff
+    cannot fix); under ``max`` the denser click stream drives the
+    watermark past every retained purchase, and the emitted set equals
+    the batch LEFT JOIN the oracle runs."""
+    batch = load_table(spark, sf_dir, "events")
+    cutoff_row = (
+        batch.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            ).alias("m")
+        )
+        .collect()[0]
+    )
+    import datetime
+
+    cutoff = cutoff_row["m"] - datetime.timedelta(minutes=2)
+
+    purchases = (
+        _events_stream_time_ordered(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") <= F.lit(cutoff)))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    clicks = (
+        _events_stream_time_ordered(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    name = f"stream_result_{next(_mem_counter)}"
+    policy_key = "spark.sql.streaming.multipleWatermarkPolicy"
+    prev_policy = spark.conf.get(policy_key, "min")
+    spark.conf.set(policy_key, "max")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(policy_key, prev_policy)
+    return spark.table(name)

@@ -597,3 +597,84 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
     return counted.orderBy(F.desc("n"), F.asc("pair")).limit(20)
+
+
+# --- linear quality-model inference ------------------------------------------
+
+# Inlined "trained" model: integer weights over exact integer features.
+# A production pipeline loads these from a model artifact; the inference
+# SHAPE is the point — a pure per-row codegen projection, no shuffle, no
+# Python, so scoring 100 TB costs one scan at I/O speed.
+INFER_W_STOP = 5
+INFER_W_DISTINCT = 2
+INFER_W_TOKENS = 1
+INFER_W_CHARS_DIV10 = -1
+INFER_THRESHOLD = 60
+
+_STOP_ARR_SQL = ", ".join(f"'{m}'" for m in ENGLISH_STOPWORDS)
+
+_MODEL_INFERENCE_ORACLE = f"""
+WITH f AS (
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(str_split(text, ' '),
+                t -> list_contains([{_STOP_ARR_SQL}], t))) AS BIGINT) AS stop_hits,
+           CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_distinct
+    FROM documents
+)
+SELECT doc_id, n_tokens, stop_hits, n_distinct,
+       CAST({INFER_W_STOP} * stop_hits + {INFER_W_DISTINCT} * n_distinct
+            + {INFER_W_TOKENS} * n_tokens
+            + {INFER_W_CHARS_DIV10} * (n_chars // 10) AS BIGINT) AS score,
+       ({INFER_W_STOP} * stop_hits + {INFER_W_DISTINCT} * n_distinct
+            + {INFER_W_TOKENS} * n_tokens
+            + {INFER_W_CHARS_DIV10} * (n_chars // 10)) >= {INFER_THRESHOLD} AS keep
+FROM f
+"""
+
+
+@query(
+    "text_model_inference",
+    oracle=_MODEL_INFERENCE_ORACLE,
+    tags=("text", "inference", "llm"),
+)
+def text_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE as a scan-side projection:
+    integer feature vector (token count, char count, stopword hits,
+    distinct-token count) dotted with inlined integer weights, verdict
+    at a fixed threshold — the fastText-style quality-filter scoring
+    pass of a pretraining pipeline (classifier itself trained offline;
+    only inference runs at corpus scale).
+
+    100 TB shape: zero shuffle, zero Python — the entire model is
+    literals inside one whole-stage-codegen projection, so throughput
+    is parquet-scan-bound. Exact integer arithmetic end-to-end (weights,
+    features, and the `div 10` char term are all integers), so the
+    oracle hash-matches bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(m) for m in ENGLISH_STOPWORDS])
+    f = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("stop_hits"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    score = (
+        INFER_W_STOP * F.col("stop_hits")
+        + INFER_W_DISTINCT * F.col("n_distinct")
+        + INFER_W_TOKENS * F.col("n_tokens")
+        + INFER_W_CHARS_DIV10 * F.floor(F.col("n_chars") / 10).cast("long")
+    ).cast("long")
+    return f.select(
+        "doc_id",
+        "n_tokens",
+        "stop_hits",
+        "n_distinct",
+        score.alias("score"),
+        (score >= INFER_THRESHOLD).alias("keep"),
+    )
