@@ -752,3 +752,83 @@ def lateral_top_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFram
         ) t
         """
     )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+    SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+    GROUP BY e.user_id
+)
+SELECT v.user_id,
+       v.t_view,
+       c.t_click,
+       p.t_purchase,
+       CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS stage_reached
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@query(
+    "events_funnel_conversion",
+    oracle=_FUNNEL_ORACLE,
+    tags=("events", "funnel", "sequence"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per user, the
+    first view, the first click strictly AFTER that view, and the first
+    purchase strictly after that click — the sequence constraint is the
+    point (a purchase before any view does not convert), which plain
+    per-type minima get wrong. The product-analytics staple over event
+    streams.
+
+    Scale shape: three per-user aggregates + two joins, all keyed on
+    user_id — one partitioning reused across every stage (no window
+    sort, no per-user event materialization); each stage's input is
+    filtered to one event type BEFORE its shuffle, so the heaviest
+    shuffle carries one row per (user, qualifying event), and stage
+    outputs are one row per user."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+    ).cast("int")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("stage_reached"))
+    )

@@ -286,3 +286,76 @@ def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (filled.cast("long") / 100.0).alias("value"),
         kind.alias("fill_kind"),
     )
+
+
+_OHLC_ORACLE = """
+WITH pts AS (
+    SELECT event_type,
+           CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket_start,
+           CAST(round(value * 100) AS BIGINT) AS v_cents,
+           CAST(ts AS TIMESTAMP) AS tsx, event_id
+    FROM events
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type, bucket_start
+                              ORDER BY tsx, event_id) AS rn_open,
+           row_number() OVER (PARTITION BY event_type, bucket_start
+                              ORDER BY tsx DESC, event_id DESC) AS rn_close
+    FROM pts
+)
+SELECT event_type, bucket_start,
+       CAST(max(CASE WHEN rn_open = 1 THEN v_cents END) AS BIGINT) AS open_cents,
+       CAST(max(v_cents) AS BIGINT) AS high_cents,
+       CAST(min(v_cents) AS BIGINT) AS low_cents,
+       CAST(max(CASE WHEN rn_close = 1 THEN v_cents END) AS BIGINT) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM ranked
+GROUP BY event_type, bucket_start
+"""
+
+
+@query(
+    "timeseries_ohlc",
+    oracle=_OHLC_ORACLE,
+    tags=("timeseries", "downsample", "ohlc"),
+)
+def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (open/high/low/close + point count per
+    series × hour) — the canonical lossy time-series compaction every
+    metrics store serves for dashboards at coarse zoom. open/close are
+    totally ordered via row_number over (ts, event_id) — no
+    first/last-in-group nondeterminism, no reliance on unique
+    timestamps; values carried as exact integer cents.
+
+    Scale shape: ONE shuffle on (series, bucket) feeds both window
+    ranks and the final aggregate (same keys — Catalyst reuses the
+    partitioning); per-bucket sort is bounded by bucket width × event
+    rate, the same bound the sliced-sessionization operator engineered
+    for. At 100 TB this runs per day-partition with the hour buckets
+    never crossing partition borders."""
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import cents
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+        cents(F.col("value")).alias("v_cents"),
+        F.col("ts"),
+        "event_id",
+    )
+    part = W.partitionBy("event_type", "bucket_start")
+    ranked = ev.withColumn(
+        "rn_open", F.row_number().over(part.orderBy("ts", "event_id"))
+    ).withColumn(
+        "rn_close",
+        F.row_number().over(part.orderBy(F.desc("ts"), F.desc("event_id"))),
+    )
+    return ranked.groupBy("event_type", "bucket_start").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("v_cents"))).alias("open_cents"),
+        F.max("v_cents").alias("high_cents"),
+        F.min("v_cents").alias("low_cents"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("v_cents"))).alias("close_cents"),
+        F.count("*").alias("n_points"),
+    )
