@@ -65,8 +65,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _RESCORE_AFTER = {
     # r3 operator rewrites whose consumers got NO r3 driver row
     # (posting-list jaccard, connected-components join drop, minhash
-    # rework, dot-fold revert):
-    "dedup_ngram_jaccard_pairs": 3,
+    # rework, dot-fold revert; dedup_ngram_jaccard_pairs is in the r4
+    # block below, which supersedes its r3 flag):
     "dedup_cluster_representatives": 3,
     "dedup_minhash_pairs": 3,
     "dedup_embedding_pairs": 3,
@@ -93,6 +93,11 @@ _RESCORE_AFTER = {
     "sim_kmeans_clusters": 4,
     "dedup_semantic_prune": 4,
     "dedup_semantic_prune_scaled": 4,
+    #   jaccard body factored into shingle_overlap_counts (operators/
+    #   dedup.py) — every consumer of the shared core needs a post-
+    #   refactor row even though local parity passed
+    "dedup_ngram_jaccard_pairs": 4,
+    "dedup_collapse_then_jaccard": 4,
 }
 
 
