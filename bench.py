@@ -60,6 +60,20 @@ BENCH_QUERIES = [
     "batch_sessionization_sliced",
     "dedup_semantic_prune_twolevel",
     "dedup_collapse_then_jaccard",
+    # r4 late additions: the new operator families (asymmetric
+    # containment shares the jaccard core, ANN recall pays double
+    # top-k, OHLC is the window+agg reuse shape, bucketed join pays
+    # its write, inference is the scan-bound floor, left-outer stream
+    # join is full watermark machinery)
+    "dedup_ngram_containment",
+    "sim_ann_recall",
+    "timeseries_ohlc",
+    "events_funnel_conversion",
+    "text_model_inference",
+    "join_bucketed_colocated",
+    "stream_leftouter_interval_join",
+    "stream_dedup_within_watermark",
+    "stream_tumbling_append_finalized",
 ]
 
 

@@ -684,3 +684,65 @@ def stream_leftouter_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         spark.conf.set(policy_key, prev_policy)
     return spark.table(name)
+
+
+@query(
+    "stream_tumbling_append_finalized",
+    oracle="""
+    WITH wm AS (
+        SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 MINUTE AS w FROM events
+    )
+    SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events, wm
+    WHERE time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+          + INTERVAL '10 minutes' < wm.w
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "tumbling", "append", "watermark"),
+)
+def stream_tumbling_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows in APPEND mode: a window row is emitted exactly
+    once, when the watermark proves it complete — the production
+    contract for a downstream sink that must never see a partial
+    aggregate (the complete-mode family re-emits everything every
+    trigger). Runs over the time-ordered staged split with a 1-minute
+    watermark, so the watermark advances like a real stream's; the
+    sentinel final batch flushes the last finalizable windows.
+
+    Determinism: final watermark = global max ts − 1 minute (single
+    event-time column), so the emitted set is every window whose end <
+    that watermark — the oracle computes the same cutoff from the same
+    data. Windows overlapping the last minute stay un-emitted, exactly
+    as a live pipeline would leave them open. (Spark closes a window
+    when the watermark strictly exceeds its end; an exact tie between
+    the watermark and a 10-minute boundary — a microsecond-precision
+    event landing on it — would flip one window, and the sentinel's
+    ancient click is dropped as late by construction so it never
+    contributes.) Exact integer cents keep the sums engine-portable."""
+    ev = _events_stream_time_ordered(spark, sf_dir)
+    from ..functions.exact import cents
+
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "sum_cents"
+    )
+    name = f"stream_result_{next(_mem_counter)}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
