@@ -105,6 +105,10 @@ def test_salted_join_rejects_right_preserving_joins(spark):
         # skew-proof sessionization: phase-1 window must partition on
         # (user, slice) — the bound that keeps a hot user off one task
         ("batch_sessionization_sliced", ["Window", "__slice#"]),
+        # r4 additions: OHLC must keep window + final agg in one
+        # partitioning; funnel stages are hash aggregates over user_id
+        ("timeseries_ohlc", ["Window", "HashAggregate"]),
+        ("events_funnel_conversion", ["HashAggregate"]),
     ],
 )
 def test_headline_plans_have_expected_operators(spark, sf_dir, name, expectations):
@@ -354,3 +358,22 @@ def test_scatter_detects_small_file_bin_packing(spark, tmp_path):
     sizes = sum(os.path.getsize(os.path.join(out, f))
                 for f in os.listdir(out) if f.endswith(".parquet"))
     assert sizes < 32 * 1024 * 1024
+
+
+def test_model_inference_plan_is_shuffle_free(spark, sf_dir):
+    """The inference query's whole claim is 'model scoring at scan
+    speed': the physical plan must be a single scan-side projection —
+    no Exchange, no Python evaluation node."""
+    df = REGISTRY["text_model_inference"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Scan parquet" in plan
+    assert "Python" not in plan
+
+
+def test_ohlc_reuses_one_partitioning(spark, sf_dir):
+    """OHLC's window ranks and final aggregate share the same keys
+    (series, bucket) — exactly ONE shuffle may appear in the plan."""
+    df = REGISTRY["timeseries_ohlc"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
