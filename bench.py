@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "stream_leftouter_interval_join",
     "stream_dedup_within_watermark",
     "stream_tumbling_append_finalized",
+    "approx_hll_rollup",
+    "sim_dim_truncation_recall",
 ]
 
 

@@ -832,3 +832,62 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("stage_reached"))
     )
+
+
+_HLL_ROLLUP_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS merge_consistent,
+       TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+
+@query(
+    "approx_hll_rollup",
+    oracle=_HLL_ROLLUP_ORACLE,
+    tags=("aggregation", "sketch", "hll", "reaggregation"),
+)
+def approx_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE distinct-count sketches — the pattern that makes
+    100 TB dashboards possible: per-(type, day) HLL partials built once
+    at ingest, then UNIONED to any coarser grain without rescanning the
+    corpus (a continuous aggregate stores the partials; exact distinct
+    would need the raw data again). Emits per type:
+
+    - ``n_exact`` — the exact distinct count (the oracle's column);
+    - ``merge_consistent`` — estimate(union of day partials) ==
+      estimate(one direct sketch): TRUE by HLL's merge semantics
+      (register-wise max is associative), the invariant that makes
+      partial pre-aggregation SAFE to roll up in any order;
+    - ``within_5pct`` — |estimate − exact| / exact ≤ 5 % (HLL default
+      relative error ≈ 1.6 % at lgConfigK=12).
+
+    Sketch BINARIES are engine-specific, so like ``approx_sketches``
+    the scored columns are exact values + verdict booleans the DuckDB
+    oracle pins as literal TRUEs (VERDICT r3 #2's recipe)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    partials = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    j = merged.join(direct, "event_type")
+    within = (
+        F.abs(F.col("est_merged") - F.col("n_exact")) * 100
+        <= F.col("n_exact") * 5
+    )
+    return j.select(
+        "event_type",
+        "n_exact",
+        (F.col("est_merged") == F.col("est_direct")).alias("merge_consistent"),
+        within.alias("within_5pct"),
+    )

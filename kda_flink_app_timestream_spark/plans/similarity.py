@@ -419,3 +419,82 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "vec_id", F.posexplode(projected).alias("dim_idx", "value")
     ).select("vec_id", F.col("dim_idx").cast("int").alias("dim_idx"), "value")
+
+
+# --- dimension-truncation recall (matryoshka-style eval) ----------------------
+
+TRUNC_DIM = 16
+
+
+def _bruteforce_cte(vec_expr: str) -> str:
+    """Brute-force top-k as a parenthesizable SELECT, over an arbitrary
+    vector expression (full embedding or a prefix slice)."""
+    return f"""
+WITH e AS (SELECT vec_id, {vec_expr} AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_COSINE}, 6) AS cosine_sim
+    FROM q JOIN e c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+_TRUNC_RECALL_ORACLE = f"""
+WITH truth AS (SELECT * FROM ({_bruteforce_cte("embedding::DOUBLE[]")}) t0),
+approx AS (SELECT * FROM ({_bruteforce_cte(f"(embedding::DOUBLE[])[1:{TRUNC_DIM}]")}) a0)
+SELECT t.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) * {1000 // TOP_K} AS BIGINT) AS recall_permille
+FROM truth t
+LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@query(
+    "sim_dim_truncation_recall",
+    oracle=_TRUNC_RECALL_ORACLE,
+    tags=("similarity", "evaluation", "dimensionality-reduction"),
+)
+def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation quality eval: recall@5 of cosine search on the
+    FIRST 16 of 64 dims against full-dim ground truth — the decision
+    metric for matryoshka-style storage tiering (keep a short prefix
+    hot for candidate generation, full vectors cold for re-rank; a 4×
+    smaller hot index is only safe if this recall holds). Same
+    query-sample shape as ``sim_ann_recall``: corpus-side work is two
+    broadcast-probe scans, the comparison is ≤ queries × k rows."""
+    from ..operators.similarity import DIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_QUERIES)
+    truth = brute_force_topk(e, probes, k=TOP_K, dim=DIM).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = F.slice(F.col("embedding"), 1, TRUNC_DIM)
+    e16 = e.select("vec_id", trunc.alias("embedding"))
+    p16 = probes.select("vec_id", trunc.alias("embedding"))
+    approx = brute_force_topk(e16, p16, k=TOP_K, dim=TRUNC_DIM).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    joined = truth.join(
+        approx,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    )
+    hits = F.count("a_neighbor_id")
+    return joined.groupBy("query_id").agg(
+        hits.alias("n_hits"),
+        (hits * (1000 // TOP_K)).alias("recall_permille"),
+    )
