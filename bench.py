@@ -111,10 +111,12 @@ def main() -> None:
     # lands on whichever streaming query happens to run first
     from kda_flink_app_timestream_spark.plans.streaming_queries import (
         _staged_stream_dir,
+        _time_ordered_sentinel_stage,
     )
 
     for table in ("events", "documents"):
         _staged_stream_dir(spark, sf_dir, table)
+    _time_ordered_sentinel_stage(spark, sf_dir)
 
     # Two passes, report each query's best time: this VM shows 4-10x
     # run-to-run swings from host contention (a 2s query sporadically
