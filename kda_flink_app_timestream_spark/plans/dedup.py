@@ -181,7 +181,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from the FULL shingle sets of each candidate pair. The source is
 # templatable so the collapse-then-near-dup composition reuses the
 # identical chain over the exact-deduplicated corpus.
-def _ngram_jaccard_oracle(source_sql: str = "SELECT doc_id, text FROM documents") -> str:
+def _ngram_overlap_oracle(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    score_sql: str = "round(shared / CAST(na.n + nb.n - shared AS DOUBLE), 4)",
+    score_alias: str = "jaccard",
+    threshold: float = JACCARD_THRESHOLD,
+) -> str:
+    """ONE oracle factory for the whole shingle-overlap family — the
+    SQL twin of ``shingle_overlap_counts``: shared toks/index/candidate
+    CTEs, parameterized final score (jaccard or containment) so the
+    stop-list/hash machinery can never diverge between the scorers."""
     return f"""
 WITH src AS ({source_sql}),
 toks AS (
@@ -214,17 +223,17 @@ shared AS (
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(shared / CAST(na.n + nb.n - shared AS DOUBLE), 4) AS jaccard
+       {score_sql} AS {score_alias}
 FROM shared
 JOIN sizes na ON doc_a = na.doc_id
 JOIN sizes nb ON doc_b = nb.doc_id
-WHERE round(shared / CAST(na.n + nb.n - shared AS DOUBLE), 4) >= {JACCARD_THRESHOLD}
+WHERE {score_sql} >= {threshold}
 """
 
 
 @query(
     "dedup_ngram_jaccard_pairs",
-    oracle=_ngram_jaccard_oracle(),
+    oracle=_ngram_overlap_oracle(),
     tags=("dedup", "ngram", "jaccard"),
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,42 +253,11 @@ def _ngram_containment_oracle() -> str:
     from ..functions.exact import sql_floor_round
 
     score = sql_floor_round("shared", "least(na.n, nb.n)", out_pow=4)
-    return f"""
-WITH toks AS (
-    SELECT doc_id, str_split(text, ' ') AS t FROM documents
-    WHERE len(str_split(text, ' ')) >= 3
-),
-sh AS (
-    SELECT doc_id,
-           unnest(list_transform(
-               list_distinct(list_transform(range(1, len(t) - 1),
-                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
-               x -> {sql_portable_hash64('x', 'jac')})) AS shingle
-    FROM toks
-),
-dfreq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
-idx AS (
-    SELECT sh.doc_id, sh.shingle FROM sh
-    JOIN dfreq USING (shingle) WHERE dfreq.c <= {MAX_SHINGLE_DOC_FREQ}
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-shared AS (
-    SELECT c.doc_a, c.doc_b, count(*) AS shared
-    FROM cand c
-    JOIN sh a ON a.doc_id = c.doc_a
-    JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
-    GROUP BY 1, 2
-)
-SELECT doc_a, doc_b, {score} / 10000.0 AS containment
-FROM shared
-JOIN sizes na ON doc_a = na.doc_id
-JOIN sizes nb ON doc_b = nb.doc_id
-WHERE {score} / 10000.0 >= {CONTAINMENT_THRESHOLD}
-"""
+    return _ngram_overlap_oracle(
+        score_sql=f"{score} / 10000.0",
+        score_alias="containment",
+        threshold=CONTAINMENT_THRESHOLD,
+    )
 
 
 @query(
@@ -305,7 +283,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_collapse_then_jaccard",
-    oracle=_ngram_jaccard_oracle(
+    oracle=_ngram_overlap_oracle(
         "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
     ),
     tags=("dedup", "ngram", "jaccard", "composition", "production"),

@@ -611,15 +611,13 @@ INFER_W_TOKENS = 1
 INFER_W_CHARS_DIV10 = -1
 INFER_THRESHOLD = 60
 
-_STOP_ARR_SQL = ", ".join(f"'{m}'" for m in ENGLISH_STOPWORDS)
-
 _MODEL_INFERENCE_ORACLE = f"""
 WITH f AS (
     SELECT doc_id,
            CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(list_filter(str_split(text, ' '),
-                t -> list_contains([{_STOP_ARR_SQL}], t))) AS BIGINT) AS stop_hits,
+                t -> list_contains([{_STOP_ARR}], t))) AS BIGINT) AS stop_hits,
            CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_distinct
     FROM documents
 )
@@ -652,16 +650,15 @@ def text_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     is parquet-scan-bound. Exact integer arithmetic end-to-end (weights,
     features, and the `div 10` char term are all integers), so the
     oracle hash-matches bit-for-bit."""
+    from ..functions.text import marker_hits
+
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(m) for m in ENGLISH_STOPWORDS])
     f = d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-        .cast("long")
-        .alias("stop_hits"),
+        marker_hits(toks, ENGLISH_STOPWORDS).cast("long").alias("stop_hits"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
     )
     score = (
