@@ -82,22 +82,48 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_memory(df: DataFrame, spark: SparkSession) -> DataFrame:
+# State-store partition count for the staged streaming queries. A
+# stateful operator creates one store per shuffle partition per side,
+# maintained EVERY micro-batch — with the session's batch-oriented 32
+# partitions over KB-sized state, per-partition maintenance dominates
+# runtime ~3× (measured: the left-outer interval join runs 16-25 s at
+# 32 state partitions, 6 s at 8, identical results). Production rule,
+# recorded in SCALE.md: size state partitions to projected STATE
+# volume, not input parallelism — and size them up front, because the
+# count is frozen into the checkpoint at first run.
+STREAM_STATE_PARTITIONS = 8
+
+
+def _run_to_memory(
+    df: DataFrame, spark: SparkSession, mode: str = "complete"
+) -> DataFrame:
     """Execute the streaming plan to completion (availableNow) into a
     memory sink; return the sink contents as a batch DataFrame.
 
     ``complete`` output mode: with a deliberately-wide watermark (no
     drops) windows never finalize, so append mode would emit nothing —
-    complete mode emits the full aggregation state at the last trigger."""
+    complete mode emits the full aggregation state at the last trigger.
+    Queries whose semantics rely on watermark progression pass
+    ``append``/``update`` instead.
+
+    The shuffle-partition conf is scoped to ``STREAM_STATE_PARTITIONS``
+    for the query's lifetime (read once at ``start()``); the session's
+    batch setting is restored afterwards."""
     name = f"stream_result_{next(_mem_counter)}"
-    q = (
-        df.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
     return spark.table(name)
 
 
@@ -270,16 +296,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
-    name = f"stream_result_{next(_mem_counter)}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(joined, spark, mode="append")
 
 
 def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,16 +366,7 @@ def stream_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
     )
     dedup = banded.dropDuplicates(["band", "band_key"])
-    name = f"stream_result_{next(_mem_counter)}"
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(dedup, spark, mode="append")
 
 
 @query(
@@ -376,16 +384,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = _events_stream(spark, sf_dir).select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    name = f"stream_result_{next(_mem_counter)}"
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(dedup, spark, mode="append")
 
 
 @query(
@@ -411,17 +410,8 @@ def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.stateful import running_counts
 
     out = running_counts(_events_stream(spark, sf_dir))
-    name = f"stream_result_{next(_mem_counter)}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     # latest state per key (a key may emit once per batch)
-    result = spark.table(name)
+    result = _run_to_memory(out, spark, mode="update")
     w_latest = F.max(F.struct("n_events", "total_value")).alias("s")
     return (
         result.groupBy("user_id")
@@ -461,16 +451,7 @@ def stream_static_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame
     enriched = _events_stream(spark, sf_dir).join(static_dim, "user_id").select(
         "event_id", "user_id", "event_type", "user_events"
     )
-    name = f"stream_result_{next(_mem_counter)}"
-    q = (
-        enriched.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(enriched, spark, mode="append")
 
 
 @query(
@@ -497,16 +478,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    name = f"stream_result_{next(_mem_counter)}"
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(dedup, spark, mode="append")
 
 
 def _time_ordered_sentinel_stage(spark: SparkSession, sf_dir: str) -> str:
@@ -668,22 +640,13 @@ def stream_leftouter_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
         & (F.col("c_ts") <= F.col("p_ts")),
         "left_outer",
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
-    name = f"stream_result_{next(_mem_counter)}"
     policy_key = "spark.sql.streaming.multipleWatermarkPolicy"
     prev_policy = spark.conf.get(policy_key, "min")
     spark.conf.set(policy_key, "max")
     try:
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        return _run_to_memory(joined, spark, mode="append")
     finally:
         spark.conf.set(policy_key, prev_policy)
-    return spark.table(name)
 
 
 @query(
@@ -736,13 +699,4 @@ def stream_tumbling_append_finalized(spark: SparkSession, sf_dir: str) -> DataFr
     out = agg.select(
         F.col("window.start").alias("window_start"), "event_type", "n", "sum_cents"
     )
-    name = f"stream_result_{next(_mem_counter)}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(out, spark, mode="append")
