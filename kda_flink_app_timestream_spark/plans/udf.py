@@ -117,3 +117,59 @@ def udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         F.substring(F.col("text"), F.col("pos"), F.lit(4)).alias("gram"),
     )
+
+
+_TOKEN_POSITIONS_ORACLE = """
+SELECT doc_id,
+       CAST(s.pos AS INT) AS pos,
+       s.tok AS token,
+       list_contains(['the', 'a', 'of', 'and', 'is', 'to', 'in', 'it', 'on', 'for'],
+                     s.tok) AS is_stop
+FROM (
+    SELECT doc_id,
+           unnest(list_transform(str_split(text, ' '),
+                  (x, i) -> struct_pack(pos := i, tok := x))) AS s
+    FROM documents WHERE doc_id < 100
+)
+"""
+
+
+@query(
+    "udtf_token_positions",
+    oracle=_TOKEN_POSITIONS_ORACLE,
+    tags=("udtf", "python", "lateral"),
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (the Spark 4 ``@udtf`` table-function API, not
+    a native emulation like ``udtf_char_ngrams``): one input row fans
+    out to one row per token with its 1-based position and a stopword
+    flag — the general per-row multi-row expansion hook (parsers,
+    tokenizers, record splitters) when the logic genuinely needs Python.
+
+    Scale notes: ``useArrow=True`` batches rows over Arrow instead of
+    pickling one at a time; the UDTF is applied via LATERAL join so it
+    parallelizes per-partition with no shuffle. For anything this simple
+    the native ``posexplode(split(...))`` is the right production call —
+    this query exists to prove the extension point works end-to-end."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, token string, is_stop boolean", useArrow=True)
+    class TokenPositions:
+        def eval(self, text: str):
+            stops = {"the", "a", "of", "and", "is", "to", "in", "it", "on", "for"}
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield i, tok, tok in stops
+
+    spark.udtf.register("token_positions", TokenPositions)
+    d = load_table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") < 100).select("doc_id", "text").createOrReplaceTempView(
+        "udtf_docs_tmp"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.is_stop
+        FROM udtf_docs_tmp d, LATERAL token_positions(d.text) t
+        """
+    )
