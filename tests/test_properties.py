@@ -244,3 +244,70 @@ def test_sessionize_sliced_matches_naive(spark, events, gap_s, slice_s):
         ).collect()
     }
     assert got == _naive_sessions_prop(rows, gap_s)
+
+
+def _naive_overlap_scores(docs, n=3):
+    """Reference for the shingle-overlap family: distinct word n-gram
+    sets per doc, exact |A∩B| / union and / min for every pair sharing
+    >= 1 shingle. Mirrors integer half-up rounding at 4 decimals."""
+    import math
+
+    sets = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        if len(toks) < n:
+            sets[doc_id] = set()
+            continue
+        sets[doc_id] = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(sets[a] & sets[b])
+            if not shared:
+                continue
+            union = len(sets[a] | sets[b])
+            mn = min(len(sets[a]), len(sets[b]))
+            jac = math.floor((shared * 20000 + union) / (union * 2.0)) / 10000.0
+            cont = math.floor((shared * 20000 + mn) / (mn * 2.0)) / 10000.0
+            out[(a, b)] = (jac, cont)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=3,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_overlap_scorers_match_naive(spark, docs):
+    """Jaccard and containment against a naive Python reference over a
+    tiny 6-word vocabulary (dense overlap — every pair exercised).
+    max_doc_freq is set above any fixture frequency so the stop-list is
+    empty and ALL candidate pairs must appear with exact scores."""
+    from kda_flink_app_timestream_spark.operators.dedup import (
+        exact_containment_pairs,
+        exact_jaccard_pairs,
+    )
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows)
+    expected = _naive_overlap_scores(list(enumerate(docs)))
+    got_jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(df, threshold=0.0, max_doc_freq=10_000).collect()
+    }
+    got_cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in exact_containment_pairs(
+            df, threshold=0.0, max_doc_freq=10_000
+        ).collect()
+    }
+    assert got_jac == {k: v[0] for k, v in expected.items()}
+    assert got_cont == {k: v[1] for k, v in expected.items()}
