@@ -891,3 +891,49 @@ def approx_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_merged") == F.col("est_direct")).alias("merge_consistent"),
         within.alias("within_5pct"),
     )
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 2 = 0
+            THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS price_cents,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+FROM orders
+"""
+
+
+@query(
+    "scan_schema_evolution",
+    oracle=_SCHEMA_EVOLUTION_ORACLE,
+    tags=("scan", "schema-evolution", "parquet"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet file generations: generation 1
+    wrote (o_orderkey, price_cents), generation 2 dropped the price and
+    added o_orderpriority — ``mergeSchema=true`` reads both under one
+    unified schema with NULLs where a file lacks a column. The pattern
+    every long-lived 100 TB dataset hits (columns added/retired over
+    years of ingest); per-file footer schemas make the merge metadata-
+    only, no data rewrite. The two generations are staged from disjoint
+    key halves of ``orders``, so the oracle reconstructs the same
+    unified relation with CASE. Note the cost asymmetry at scale:
+    mergeSchema reads EVERY footer at planning time — production keeps
+    it off and pins the unified schema explicitly (as the oracle can,
+    since evolution is append-only widening); the query proves the
+    capability."""
+    from ..functions.exact import cents
+
+    out = _roundtrip_dir(sf_dir, "schema_evo")
+    o = load_table(spark, sf_dir, "orders")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("price_cents")
+    )
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    gen1.write.mode("overwrite").parquet(f"{out}/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{out}/gen=2")
+    unified = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=1", f"{out}/gen=2"
+    )
+    return unified.select("o_orderkey", "price_cents", "o_orderpriority")

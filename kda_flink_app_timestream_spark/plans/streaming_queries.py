@@ -700,3 +700,71 @@ def stream_tumbling_append_finalized(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("window.start").alias("window_start"), "event_type", "n", "sum_cents"
     )
     return _run_to_memory(out, spark, mode="append")
+
+
+@query(
+    "stream_session_append_finalized",
+    oracle="""
+    WITH wm AS (
+        SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 MINUTE AS w FROM events
+    ),
+    ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER win IS NULL THEN 1
+                    WHEN CAST(ts AS TIMESTAMP) >= lag(CAST(ts AS TIMESTAMP)) OVER win
+                         + INTERVAL '30 minutes' THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM islands
+        GROUP BY user_id, session_id
+    )
+    SELECT s.user_id, s.session_start, s.session_end, s.n_events
+    FROM sessions s, wm
+    WHERE s.session_end < wm.w
+    """,
+    tags=("streaming", "window", "session", "append", "watermark"),
+)
+def stream_session_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in APPEND mode: a session row is emitted exactly
+    once, when the watermark proves no further event can extend or
+    merge it (wm past session end = last event + 30 min gap). The
+    complete-mode twin (``stream_session_windows``) re-emits all state
+    every trigger; this is the form a downstream sink consumes.
+    Session-window state is the hardest eviction case — windows MERGE
+    as events arrive, so the store must re-derive closure per batch —
+    and append mode is the only proof merging+finalization interact
+    correctly. Same determinism recipe as the tumbling append query:
+    time-ordered staged split, 1-minute watermark, sentinel flush
+    batch, oracle recomputing the identical cutoff; sessions
+    overlapping the last minute stay open, exactly as live."""
+    ev = _events_stream_time_ordered(spark, sf_dir)
+    from ..streaming.windows import session_windowed
+
+    out = session_windowed(
+        ev,
+        "ts",
+        gap="30 minutes",
+        keys=("user_id",),
+        aggs=(F.count("*").alias("n_events"),),
+        watermark="1 minute",
+    )
+    result = _run_to_memory(out, spark, mode="append")
+    return result.select(
+        "user_id",
+        F.col("window.start").alias("session_start"),
+        F.col("window.end").alias("session_end"),
+        "n_events",
+    )
