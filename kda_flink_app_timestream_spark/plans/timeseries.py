@@ -359,3 +359,56 @@ def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_close") == 1, F.col("v_cents"))).alias("close_cents"),
         F.count("*").alias("n_points"),
     )
+
+
+_RETENTION_ORACLE = """
+WITH now_ref AS (SELECT max(CAST(ts AS TIMESTAMP)) AS now FROM events)
+SELECT tier,
+       CAST(count(*) AS BIGINT) AS n_points,
+       min(tsx) AS oldest,
+       max(tsx) AS newest
+FROM (
+    SELECT CAST(ts AS TIMESTAMP) AS tsx,
+           CASE WHEN CAST(ts AS TIMESTAMP) > now_ref.now - INTERVAL 24 HOUR
+                THEN 'memory'
+                WHEN CAST(ts AS TIMESTAMP) > now_ref.now - INTERVAL 7 DAY
+                THEN 'magnetic'
+                ELSE 'expired' END AS tier
+    FROM events, now_ref
+)
+GROUP BY tier
+"""
+
+
+@query(
+    "events_retention_tiers",
+    oracle=_RETENTION_ORACLE,
+    tags=("timeseries", "retention", "reference-parity"),
+)
+def events_retention_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Timestream retention policy as a queryable
+    classification (TimestreamInitializer.java:12-13, 47-49: memory
+    store 24 h, magnetic store 7 days): each point is assigned the
+    storage tier that would hold it, with 'expired' for points past
+    magnetic retention — the audit a migration or cost model runs
+    before adopting the policy. 'now' is pinned to the dataset's max
+    event time so the verdict is deterministic and replayable (a live
+    deployment passes the wall clock). At 100 TB the same CASE drives
+    the partition-pruning layout: day-partitioned writes make tier
+    transitions directory moves/drops, never row rewrites."""
+    ev = load_table(spark, sf_dir, "events")
+    now = ev.agg(F.max("ts")).collect()[0][0]
+    tier = (
+        F.when(F.col("ts") > F.lit(now) - F.expr("INTERVAL 24 HOURS"), "memory")
+        .when(F.col("ts") > F.lit(now) - F.expr("INTERVAL 7 DAYS"), "magnetic")
+        .otherwise("expired")
+    )
+    return (
+        ev.select(F.col("ts").alias("tsx"), tier.alias("tier"))
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("tsx").alias("oldest"),
+            F.max("tsx").alias("newest"),
+        )
+    )
