@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "stream_tumbling_append_finalized",
     "approx_hll_rollup",
     "sim_dim_truncation_recall",
+    "stream_session_append_finalized",
+    "scan_schema_evolution",
+    "events_retention_tiers",
+    "udtf_token_positions",
 ]
 
 
