@@ -381,3 +381,86 @@ def test_streaming_dedup_index_is_incremental_across_batches(spark, sf_dir):
         REG["stream_dedup_minhash_bands"].fn(spark, sf_dir).count()
     )
     assert emitted == distinct_total
+
+
+def test_rocksdb_state_store_same_results(spark, sf_dir):
+    """The production state backend: RocksDB keeps state off-heap /
+    on-disk so streaming state scales past executor memory (the HDFS-
+    backed default holds every key in JVM heap — the 100 TB-stream
+    failure mode). The keyed-dedup query must produce the identical
+    key set under both providers."""
+    from kda_flink_app_timestream_spark.plans import load_all_plans
+
+    reg = load_all_plans()
+    baseline = {
+        (r["user_id"], r["event_type"])
+        for r in reg["stream_dedup_keys"].fn(spark, sf_dir).collect()
+    }
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = {
+            (r["user_id"], r["event_type"])
+            for r in reg["stream_dedup_keys"].fn(spark, sf_dir).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert rocks == baseline and len(rocks) > 0
+
+
+def test_checkpoint_restart_restores_dedup_state(spark, tmp_path):
+    """State survives a query RESTART, not just micro-batches: run a
+    keyed dedup over the first file with a checkpoint, stop, add a
+    second file with overlapping keys, restart from the SAME
+    checkpoint — keys already claimed in run 1 must NOT re-emit (the
+    state store restored them), while genuinely new keys must. This is
+    the recovery contract the reference hand-rolled with ListState
+    snapshots (TimestreamSink.java:150-172); Spark's checkpointLocation
+    subsumes it."""
+    import time
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("k long, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .dropDuplicates(["k"])
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = {r["k"] for r in spark.read.parquet(out).collect()}
+    assert first == {1, 2}
+
+    time.sleep(1.1)  # distinct mtime so the file source sees a new file
+    spark.createDataFrame(
+        [(2, "dup"), (3, "c")], "k long, v string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = [(r["k"], r["v"]) for r in spark.read.parquet(out).collect()]
+    ks = sorted(k for k, _ in rows)
+    assert ks == [1, 2, 3], f"restart must dedup against restored state: {rows}"
+    # and key 2 kept its FIRST-run value — state, not re-read luck
+    assert ("2", "dup") not in {(str(k), v) for k, v in rows}
