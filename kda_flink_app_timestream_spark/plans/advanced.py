@@ -837,8 +837,8 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_ROLLUP_ORACLE = """
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
-       TRUE AS merge_consistent,
-       TRUE AS within_5pct
+       TRUE AS merged_within_5pct,
+       TRUE AS direct_within_5pct
 FROM events
 GROUP BY event_type
 """
@@ -857,16 +857,22 @@ def approx_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would need the raw data again). Emits per type:
 
     - ``n_exact`` — the exact distinct count (the oracle's column);
-    - ``merge_consistent`` — estimate(union of day partials) ==
-      estimate(one direct sketch): TRUE by HLL's merge semantics
-      (register-wise max is associative), the invariant that makes
-      partial pre-aggregation SAFE to roll up in any order;
-    - ``within_5pct`` — |estimate − exact| / exact ≤ 5 % (HLL default
-      relative error ≈ 1.6 % at lgConfigK=12).
+    - ``merged_within_5pct`` — |estimate(union of day partials) −
+      exact| / exact ≤ 5 %: rolling up PARTIALS keeps the accuracy
+      contract (HLL default relative error ≈ 1.6 % at lgConfigK=12);
+    - ``direct_within_5pct`` — the same bound for one direct sketch.
 
     Sketch BINARIES are engine-specific, so like ``approx_sketches``
     the scored columns are exact values + verdict booleans the DuckDB
-    oracle pins as literal TRUEs (VERDICT r3 #2's recipe)."""
+    oracle pins as literal TRUEs (VERDICT r3 #2's recipe).
+
+    Scale note, found by the 10× rehearsal: estimate(merged) ==
+    estimate(direct) held at sf0.01 (both sketches in exact sparse
+    mode) but NOT at 10× — the union's sparse→dense promotion path can
+    differ from the direct sketch's by a few counts. Exact register
+    equality is an implementation detail, not the contract; the
+    contract is the ERROR BOUND, which both forms keep at every scale
+    — so that is what the verdict pins."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("day"), "user_id"
     )
@@ -881,15 +887,15 @@ def approx_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_exact"),
     )
     j = merged.join(direct, "event_type")
-    within = (
-        F.abs(F.col("est_merged") - F.col("n_exact")) * 100
-        <= F.col("n_exact") * 5
-    )
+
+    def within(est):
+        return F.abs(est - F.col("n_exact")) * 100 <= F.col("n_exact") * 5
+
     return j.select(
         "event_type",
         "n_exact",
-        (F.col("est_merged") == F.col("est_direct")).alias("merge_consistent"),
-        within.alias("within_5pct"),
+        within(F.col("est_merged")).alias("merged_within_5pct"),
+        within(F.col("est_direct")).alias("direct_within_5pct"),
     )
 
 
