@@ -943,3 +943,124 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{out}/gen=1", f"{out}/gen=2"
     )
     return unified.select("o_orderkey", "price_cents", "o_orderpriority")
+
+
+_MERGE_UPSERT_ORACLE = """
+WITH upd AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 20
+)
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       CASE WHEN u.c_custkey IS NULL
+            THEN CAST(round(c.c_acctbal * 100) AS BIGINT)
+            ELSE CAST(round(c.c_acctbal * 100) AS BIGINT) + u.n_orders * 100 END
+           AS acctbal_cents,
+       u.c_custkey IS NOT NULL AS was_updated
+FROM customer c
+LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+"""
+
+
+@query(
+    "merge_upsert_customers",
+    oracle=_MERGE_UPSERT_ORACLE,
+    tags=("merge", "upsert", "cdc"),
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics composed from relational primitives: an
+    update batch (here derived deterministically — a 100-cent credit
+    per order for customers with ≥ 20 orders) applied to a dimension
+    snapshot as WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED KEEP — the
+    CDC-apply shape every warehouse runs nightly. Composed as one left
+    join + conditional projection (matched rows take the update,
+    unmatched pass through), which is exactly the dataflow a
+    copy-on-write MERGE executes under a table format (Delta/Iceberg
+    add the file-level bookkeeping: only files containing matched keys
+    rewrite — at 100 TB the join is broadcast-update-batch against the
+    snapshot scan, touching only matched partitions). Exact integer
+    cents throughout."""
+    from ..functions.exact import cents
+
+    c = load_table(spark, sf_dir, "customer")
+    upd = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 20)
+    )
+    merged = c.join(F.broadcast(upd), "c_custkey", "left")
+    new_bal = F.when(
+        F.col("n_orders").isNull(), cents(F.col("c_acctbal"))
+    ).otherwise(cents(F.col("c_acctbal")) + F.col("n_orders") * 100)
+    return merged.select(
+        "c_custkey",
+        "c_mktsegment",
+        new_bal.alias("acctbal_cents"),
+        F.col("n_orders").isNotNull().alias("was_updated"),
+    )
+
+
+_SCD2_ORACLE = """
+WITH upd AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 20
+)
+SELECT c.c_custkey,
+       CAST(1 AS INT) AS version,
+       CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       u.c_custkey IS NULL AS is_current
+FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+UNION ALL
+SELECT u.c_custkey,
+       CAST(2 AS INT) AS version,
+       CAST(round(c.c_acctbal * 100) AS BIGINT) + u.n_orders * 100 AS acctbal_cents,
+       TRUE AS is_current
+FROM upd u JOIN customer c ON c.c_custkey = u.c_custkey
+"""
+
+
+@query(
+    "scd2_customer_history",
+    oracle=_SCD2_ORACLE,
+    tags=("merge", "scd2", "cdc"),
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: the same update batch as
+    ``merge_upsert_customers``, but history-preserving — an updated key
+    keeps its version-1 row (closed, ``is_current=false``) and gains a
+    version-2 row; untouched keys keep one open version-1 row. The
+    audit/time-travel shape a compliance pipeline needs where plain
+    MERGE destroys history. Plan: the snapshot scans ONCE feeding both
+    branches (version-1 rows and the updated version-2 rows), the
+    update batch broadcasts twice — no snapshot self-join; at scale
+    version rows land in the same key-partitioned layout so
+    point-in-time reads prune on (key, is_current)."""
+    from ..functions.exact import cents
+
+    c = load_table(spark, sf_dir, "customer")
+    upd = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 20)
+    )
+    v1 = c.join(F.broadcast(upd), "c_custkey", "left").select(
+        "c_custkey",
+        F.lit(1).cast("int").alias("version"),
+        cents(F.col("c_acctbal")).alias("acctbal_cents"),
+        F.col("n_orders").isNull().alias("is_current"),
+    )
+    v2 = c.join(F.broadcast(upd), "c_custkey").select(
+        "c_custkey",
+        F.lit(2).cast("int").alias("version"),
+        (cents(F.col("c_acctbal")) + F.col("n_orders") * 100).alias("acctbal_cents"),
+        F.lit(True).alias("is_current"),
+    )
+    return v1.unionByName(v2)
