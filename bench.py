@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "scan_schema_evolution",
     "events_retention_tiers",
     "udtf_token_positions",
+    "merge_upsert_customers",
+    "scd2_customer_history",
 ]
 
 

@@ -945,14 +945,29 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unified.select("o_orderkey", "price_cents", "o_orderpriority")
 
 
-_MERGE_UPSERT_ORACLE = """
-WITH upd AS (
+# Shared CDC fixture for the MERGE/SCD2 twins: customers with >= 20
+# orders get a 100-cent-per-order credit. ONE definition each side —
+# the SQL CTE and the Spark helper must stay in lockstep.
+_UPD_CTE = """upd AS (
     SELECT o_custkey AS c_custkey,
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 20
-)
+)"""
+
+
+def _update_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 20)
+    )
+
+
+_MERGE_UPSERT_ORACLE = f"""
+WITH {_UPD_CTE}
 SELECT c.c_custkey,
        c.c_mktsegment,
        CASE WHEN u.c_custkey IS NULL
@@ -986,13 +1001,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.exact import cents
 
     c = load_table(spark, sf_dir, "customer")
-    upd = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= 20)
-    )
-    merged = c.join(F.broadcast(upd), "c_custkey", "left")
+    merged = c.join(F.broadcast(_update_batch(spark, sf_dir)), "c_custkey", "left")
     new_bal = F.when(
         F.col("n_orders").isNull(), cents(F.col("c_acctbal"))
     ).otherwise(cents(F.col("c_acctbal")) + F.col("n_orders") * 100)
@@ -1004,14 +1013,8 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCD2_ORACLE = """
-WITH upd AS (
-    SELECT o_custkey AS c_custkey,
-           CAST(count(*) AS BIGINT) AS n_orders
-    FROM orders
-    GROUP BY o_custkey
-    HAVING count(*) >= 20
-)
+_SCD2_ORACLE = f"""
+WITH {_UPD_CTE}
 SELECT c.c_custkey,
        CAST(1 AS INT) AS version,
        CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
@@ -1037,30 +1040,35 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps its version-1 row (closed, ``is_current=false``) and gains a
     version-2 row; untouched keys keep one open version-1 row. The
     audit/time-travel shape a compliance pipeline needs where plain
-    MERGE destroys history. Plan: the snapshot scans ONCE feeding both
-    branches (version-1 rows and the updated version-2 rows), the
-    update batch broadcasts twice — no snapshot self-join; at scale
+    MERGE destroys history. Plan: ONE snapshot scan, ONE broadcast
+    join — each row explodes into its 1-or-2 version structs (a union
+    of two selects would plan the customer scan twice: Spark reuses
+    exchanges, not identical scans across union branches); at scale
     version rows land in the same key-partitioned layout so
     point-in-time reads prune on (key, is_current)."""
     from ..functions.exact import cents
 
     c = load_table(spark, sf_dir, "customer")
-    upd = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= 20)
-    )
-    v1 = c.join(F.broadcast(upd), "c_custkey", "left").select(
-        "c_custkey",
+    merged = c.join(F.broadcast(_update_batch(spark, sf_dir)), "c_custkey", "left")
+    bal = cents(F.col("c_acctbal"))
+    v1 = F.struct(
         F.lit(1).cast("int").alias("version"),
-        cents(F.col("c_acctbal")).alias("acctbal_cents"),
+        bal.alias("acctbal_cents"),
         F.col("n_orders").isNull().alias("is_current"),
     )
-    v2 = c.join(F.broadcast(upd), "c_custkey").select(
-        "c_custkey",
+    v2 = F.struct(
         F.lit(2).cast("int").alias("version"),
-        (cents(F.col("c_acctbal")) + F.col("n_orders") * 100).alias("acctbal_cents"),
+        (bal + F.col("n_orders") * 100).alias("acctbal_cents"),
         F.lit(True).alias("is_current"),
     )
-    return v1.unionByName(v2)
+    versions = F.when(F.col("n_orders").isNull(), F.array(v1)).otherwise(
+        F.array(v1, v2)
+    )
+    return merged.select(
+        "c_custkey", F.explode(versions).alias("v")
+    ).select(
+        "c_custkey",
+        F.col("v.version").alias("version"),
+        F.col("v.acctbal_cents").alias("acctbal_cents"),
+        F.col("v.is_current").alias("is_current"),
+    )

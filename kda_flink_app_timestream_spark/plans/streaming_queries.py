@@ -653,7 +653,12 @@ def stream_leftouter_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     "stream_tumbling_append_finalized",
     oracle="""
     WITH wm AS (
-        SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 MINUTE AS w FROM events
+        -- Spark tracks event-time stats in MILLISECONDS: the watermark
+        -- is floor_ms(max event time) - delay, so the oracle truncates
+        -- identically before subtracting
+        SELECT make_timestamp((epoch_us(max(CAST(ts AS TIMESTAMP))) // 1000) * 1000)
+               - INTERVAL 1 MINUTE AS w
+        FROM events
     )
     SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
@@ -706,7 +711,13 @@ def stream_tumbling_append_finalized(spark: SparkSession, sf_dir: str) -> DataFr
     "stream_session_append_finalized",
     oracle="""
     WITH wm AS (
-        SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 MINUTE AS w FROM events
+        -- ms-truncated like Spark's event-time stats (see tumbling twin);
+        -- session ends are ARBITRARY timestamps (last event + gap), so
+        -- without this a session ending in the sub-millisecond band
+        -- [floor_ms(max)-1min, max-1min) would flip between engines
+        SELECT make_timestamp((epoch_us(max(CAST(ts AS TIMESTAMP))) // 1000) * 1000)
+               - INTERVAL 1 MINUTE AS w
+        FROM events
     ),
     ordered AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -393,18 +393,23 @@ def events_retention_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnetic retention — the audit a migration or cost model runs
     before adopting the policy. 'now' is pinned to the dataset's max
     event time so the verdict is deterministic and replayable (a live
-    deployment passes the wall clock). At 100 TB the same CASE drives
+    deployment passes the wall clock); it stays in-plan as a broadcast
+    one-row aggregate, so the query is one scan + one crossJoin, no
+    driver round-trip. At 100 TB the same CASE drives
     the partition-pruning layout: day-partitioned writes make tier
     transitions directory moves/drops, never row rewrites."""
     ev = load_table(spark, sf_dir, "events")
-    now = ev.agg(F.max("ts")).collect()[0][0]
+    # 'now' stays IN-PLAN (broadcast one-row max aggregate, as the
+    # oracle's CTE does) — no driver collect, no second events scan
+    now_df = ev.agg(F.max("ts").alias("__now"))
     tier = (
-        F.when(F.col("ts") > F.lit(now) - F.expr("INTERVAL 24 HOURS"), "memory")
-        .when(F.col("ts") > F.lit(now) - F.expr("INTERVAL 7 DAYS"), "magnetic")
+        F.when(F.col("ts") > F.col("__now") - F.expr("INTERVAL 24 HOURS"), "memory")
+        .when(F.col("ts") > F.col("__now") - F.expr("INTERVAL 7 DAYS"), "magnetic")
         .otherwise("expired")
     )
     return (
-        ev.select(F.col("ts").alias("tsx"), tier.alias("tier"))
+        ev.crossJoin(F.broadcast(now_df))
+        .select(F.col("ts").alias("tsx"), tier.alias("tier"))
         .groupBy("tier")
         .agg(
             F.count("*").alias("n_points"),

@@ -420,12 +420,12 @@ def test_checkpoint_restart_restores_dedup_state(spark, tmp_path):
     keyed dedup over the first file with a checkpoint, stop, add a
     second file with overlapping keys, restart from the SAME
     checkpoint — keys already claimed in run 1 must NOT re-emit (the
-    state store restored them), while genuinely new keys must. This is
+    state store restored them), while genuinely new keys must. (The
+    file source tracks seen files by PATH, and every write creates a
+    uniquely-named part file, so no mtime games are needed.) This is
     the recovery contract the reference hand-rolled with ListState
     snapshots (TimestreamSink.java:150-172); Spark's checkpointLocation
     subsumes it."""
-    import time
-
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
@@ -454,7 +454,6 @@ def test_checkpoint_restart_restores_dedup_state(spark, tmp_path):
     first = {r["k"] for r in spark.read.parquet(out).collect()}
     assert first == {1, 2}
 
-    time.sleep(1.1)  # distinct mtime so the file source sees a new file
     spark.createDataFrame(
         [(2, "dup"), (3, "c")], "k long, v string"
     ).coalesce(1).write.mode("append").parquet(src)
