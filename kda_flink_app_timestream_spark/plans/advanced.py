@@ -1072,3 +1072,64 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.acctbal_cents").alias("acctbal_cents"),
         F.col("v.is_current").alias("is_current"),
     )
+
+
+_ADJACENT_PATTERN_ORACLE = """
+WITH seq AS (
+    SELECT user_id,
+           event_type,
+           CAST(ts AS TIMESTAMP) AS tsx,
+           event_id,
+           lead(event_type) OVER w AS next_type,
+           lead(CAST(ts AS TIMESTAMP)) OVER w AS next_ts,
+           lead(event_id) OVER w AS next_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       event_id AS error_event_id,
+       next_id AS purchase_event_id,
+       CAST(epoch_us(next_ts) - epoch_us(tsx) AS BIGINT) AS gap_micros
+FROM seq
+WHERE event_type = 'error' AND next_type = 'purchase'
+"""
+
+
+@query(
+    "events_adjacent_pattern",
+    oracle=_ADJACENT_PATTERN_ORACLE,
+    tags=("events", "sequence", "pattern"),
+)
+def events_adjacent_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency pattern detection (MATCH_RECOGNIZE-lite): find every
+    'error' IMMEDIATELY followed by a 'purchase' in the same user's
+    event sequence, with the exact gap — the purchase-after-failure
+    signal adjacency queries exist for (the funnel query matches
+    first-occurrence ordering; this matches consecutive-row patterns,
+    a different primitive). One lead() window over (user, ts,
+    event_id) — totally ordered, one shuffle; longer patterns chain
+    more lead() columns over the SAME window at zero extra shuffles.
+    Gap emitted as exact integer microseconds."""
+    from pyspark.sql import Window as W
+
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+        F.lead("event_id").over(w).alias("next_id"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "error") & (F.col("next_type") == "purchase")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("error_event_id"),
+        F.col("next_id").alias("purchase_event_id"),
+        (epoch_micros(F.col("next_ts")) - epoch_micros(F.col("ts"))).alias("gap_micros"),
+    )
