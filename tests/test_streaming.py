@@ -463,3 +463,58 @@ def test_checkpoint_restart_restores_dedup_state(spark, tmp_path):
     assert ks == [1, 2, 3], f"restart must dedup against restored state: {rows}"
     # and key 2 kept its FIRST-run value — state, not re-read luck
     assert ("2", "dup") not in {(str(k), v) for k, v in rows}
+
+
+def test_ignore_corrupt_files_survives_truncated_parquet(spark, tmp_path):
+    """A truncated/corrupt parquet file among thousands must not kill a
+    100 TB scan: with ``spark.sql.files.ignoreCorruptFiles`` the read
+    skips the bad file and returns every healthy row (default behavior
+    is fail-fast, the right call for correctness-critical runs — the
+    lever makes the trade-off explicit and recoverable)."""
+    import os
+
+    import pytest
+
+    out = str(tmp_path / "mixed")
+    spark.range(100).coalesce(1).write.parquet(out)
+    part = next(f for f in os.listdir(out) if f.endswith(".parquet"))
+    # second, truncated copy: valid magic prefix, no footer
+    with open(os.path.join(out, part), "rb") as f:
+        head = f.read(64)
+    with open(os.path.join(out, "zz_truncated.parquet"), "wb") as f:
+        f.write(head)
+
+    with pytest.raises(Exception):
+        spark.read.parquet(out).count()  # fail-fast default
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(out).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_observe_metrics_on_pipeline(spark, sf_dir):
+    """Production observability via ``df.observe``: accumulator-style
+    metrics computed inline during the normal action (no second scan)
+    — the hook a pipeline exports to its metrics system. Asserts the
+    observed row count and exact-cents sum equal a direct aggregation."""
+    from pyspark.sql import Observation
+
+    from kda_flink_app_timestream_spark.functions.exact import cents
+    from kda_flink_app_timestream_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("ingest_stats")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents(F.col("value"))).alias("value_cents"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    expected = ev.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents(F.col("value"))).alias("c")
+    ).collect()[0]
+    assert obs.get["n_rows"] == expected["n"]
+    assert obs.get["value_cents"] == expected["c"]
