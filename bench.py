@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "udtf_token_positions",
     "merge_upsert_customers",
     "scd2_customer_history",
+    "events_adjacent_pattern",
+    "stream_model_inference",
+    "dedup_collapse_then_clusters",
 ]
 
 

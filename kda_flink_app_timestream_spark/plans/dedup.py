@@ -580,3 +580,80 @@ def dedup_lineage_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH RECURSIVE "
         + _lineage_recursive_sql(_LINEAGE_PARENT_VIEW, _LINEAGE_NODES_VIEW).lstrip()
     )
+
+
+def _collapse_then_clusters_oracle() -> str:
+    inner_pairs = _ngram_overlap_oracle(
+        source_sql=(
+            "SELECT g AS doc_id, text FROM grp "
+            "WHERE len(str_split(text, ' ')) >= 3"
+        )
+    )
+    return f"""
+WITH RECURSIVE grp AS (
+    SELECT text, min(doc_id) AS g FROM documents GROUP BY text
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM ({inner_pairs}) p
+),
+und(a, b) AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+    SELECT a, b FROM und
+  UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+nodes(n) AS (SELECT a FROM und UNION SELECT b FROM und),
+comp AS (
+    SELECT n, least(n, min(r.b)) AS rep
+    FROM nodes LEFT JOIN reach r ON r.a = n
+    GROUP BY n
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.rep, grp.g) AS BIGINT) AS cluster_rep,
+       d.doc_id > coalesce(c.rep, grp.g) AS is_duplicate
+FROM documents d
+JOIN grp ON d.text = grp.text
+LEFT JOIN comp c ON c.n = grp.g
+"""
+
+
+@query(
+    "dedup_collapse_then_clusters",
+    oracle=_collapse_then_clusters_oracle(),
+    tags=("dedup", "clusters", "composition", "production"),
+)
+def dedup_collapse_then_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production dedup resolution, one registered
+    pipeline: exact-text collapse → near-dup pairs over UNIQUE texts →
+    connected components → keep-list mapped back to EVERY original
+    document (cluster_rep = min doc id across its exact-copy group and
+    its group's near-dup cluster; is_duplicate = everything but the
+    rep). This is the composition the 10× rehearsals mandate: on the
+    dup-heavy sf1 fixture the uncollapsed
+    ``dedup_cluster_representatives`` spends ~27 s generating 250 k
+    true cross-copy pairs and ~25 s propagating over them, while this
+    form resolves the SAME final keep-list with the clique work
+    replaced by one text group-by. Short docs (< 3 tokens, no
+    shingles) still collapse exact copies via their text group —
+    the output covers all documents, not just the pair graph."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = d.groupBy("text").agg(F.min("doc_id").alias("g"))
+    collapsed = groups.filter(F.size(tokens(F.col("text"))) >= 3).select(
+        F.col("g").alias("doc_id"), "text"
+    )
+    pairs = exact_jaccard_pairs(collapsed, threshold=JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    from ..operators.dedup import connected_components
+
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    doc_map = d.select("doc_id", "text").join(groups, "text")
+    final_rep = F.coalesce(F.col("cluster_rep"), F.col("g"))
+    return (
+        doc_map.join(comp, doc_map.g == comp.node, "left")
+        .select(
+            "doc_id",
+            final_rep.alias("cluster_rep"),
+            (F.col("doc_id") > final_rep).alias("is_duplicate"),
+        )
+    )
