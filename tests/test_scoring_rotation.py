@@ -104,3 +104,17 @@ def test_full_ordering_is_deterministic_and_window_covers_needy():
     never = [n for n in names if n not in scored_ever]
     missing = [n for n in never if n not in window]
     assert not missing, f"never-scored queries outside the window: {missing}"
+
+
+def test_bench_queries_all_registered():
+    """Every BENCH_QUERIES name must resolve in the registry — bench.py
+    silently skips unknown names (registry.get), so a typo would drop a
+    query from the measurement without any failure signal."""
+    import bench
+
+    from kda_flink_app_timestream_spark.plans import load_all_plans
+
+    reg = load_all_plans()
+    missing = [n for n in bench.BENCH_QUERIES if n not in reg]
+    assert not missing, f"bench names not in registry: {missing}"
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
