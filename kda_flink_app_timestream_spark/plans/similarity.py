@@ -498,3 +498,98 @@ def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.alias("n_hits"),
         (hits * (1000 // TOP_K)).alias("recall_permille"),
     )
+
+
+# --- intra-cluster diversity without pairs -----------------------------------
+
+DIVERSITY_SCALE = 10_000  # component quantization: floor(x * 1e4)
+
+_DIVERSITY_ORACLE = f"""
+WITH q AS (
+    SELECT label,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * {DIVERSITY_SCALE}) AS BIGINT)) AS v
+    FROM embeddings
+),
+per_row AS (
+    SELECT label,
+           CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS sq_norm,
+           v
+    FROM q
+),
+dims AS (
+    SELECT label, s.i AS dim, s.x AS x FROM (
+        SELECT label,
+               unnest(list_transform(v, (x, i) -> struct_pack(i := i, x := x))) AS s
+        FROM per_row
+    )
+),
+dim_sums AS (
+    SELECT label, dim, CAST(sum(x) AS BIGINT) AS sd FROM dims GROUP BY label, dim
+),
+norm_of_sum AS (
+    SELECT label, CAST(sum(sd * sd) AS BIGINT) AS sum_sq FROM dim_sums GROUP BY label
+),
+stats AS (
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(sq_norm) AS BIGINT) AS total_sq
+    FROM per_row GROUP BY label
+)
+SELECT s.label,
+       s.n AS n_vectors,
+       CAST(s.n * s.total_sq - ns.sum_sq AS BIGINT) AS pair_dist_numerator,
+       CAST(s.n * (s.n - 1) / 2 AS BIGINT) AS n_pairs,
+       CAST(floor(((s.n * s.total_sq - ns.sum_sq) * 2
+             + (s.n * (s.n - 1) / 2))
+            / ((s.n * (s.n - 1) / 2) * 2.0)) AS BIGINT) AS mean_sq_dist
+FROM stats s JOIN norm_of_sum ns ON s.label = ns.label
+"""
+
+
+@query(
+    "sim_cluster_diversity",
+    oracle=_DIVERSITY_ORACLE,
+    tags=("similarity", "diversity", "evaluation"),
+)
+def sim_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-cluster diversity WITHOUT materializing pairs: the mean
+    pairwise squared L2 distance per label via the algebraic identity
+    Σ_{{i<j}} |xi−xj|² = n·Σ|xi|² − |Σxi|² — two aggregates replace
+    C(n,2) pair rows, the difference between an O(N·d) scan and an
+    O(N²) join at corpus scale. The metric a diversity-aware data
+    selector (cluster-then-sample) reads to decide how many examples a
+    cluster deserves. Components quantized to exact integers
+    (floor(x·1e4)) so every sum/square is integer-exact on both
+    engines; mean is integer half-up over the exact rational."""
+    from ..functions.exact import floor_round
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * DIVERSITY_SCALE).cast("long"),
+    )
+    per_row = e.select(
+        "label",
+        v.alias("v"),
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sq_norm"),
+    )
+    dims = per_row.select("label", F.posexplode("v").alias("dim", "x"))
+    dim_sums = dims.groupBy("label", "dim").agg(F.sum("x").alias("sd"))
+    norm_of_sum = dim_sums.groupBy("label").agg(
+        F.sum(F.col("sd") * F.col("sd")).alias("sum_sq")
+    )
+    stats = per_row.groupBy("label").agg(
+        F.count("*").alias("n"), F.sum("sq_norm").alias("total_sq")
+    )
+    j = stats.join(norm_of_sum, "label")
+    numerator = F.col("n") * F.col("total_sq") - F.col("sum_sq")
+    n_pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    return j.select(
+        "label",
+        F.col("n").alias("n_vectors"),
+        numerator.cast("long").alias("pair_dist_numerator"),
+        n_pairs.alias("n_pairs"),
+        floor_round(numerator, n_pairs).cast("long").alias("mean_sq_dist"),
+    )

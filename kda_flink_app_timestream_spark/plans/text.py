@@ -675,3 +675,48 @@ def text_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (score >= INFER_THRESHOLD).alias("keep"),
     )
+
+
+_LENGTH_BUCKETING_ORACLE = """
+WITH f AS (
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(pow(2, ceil(log2(len(str_split(text, ' '))))) AS BIGINT) AS bucket
+    FROM documents
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+       CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+       CAST(count(*) * bucket - sum(n_tokens) AS BIGINT) AS wasted_tokens
+FROM f
+GROUP BY bucket
+"""
+
+
+@query(
+    "text_length_bucketing",
+    oracle=_LENGTH_BUCKETING_ORACLE,
+    tags=("text", "batching", "llm"),
+)
+def text_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching accounting: docs assigned to
+    power-of-two token-length buckets (the standard padding-efficiency
+    move — batching a 10-token doc with a 500-token doc pads 49× the
+    useful tokens), with per-bucket real/padded/wasted token totals —
+    the report that decides bucket boundaries before a training run.
+    Pure projection + one aggregate; exact integers (`log2`/`ceil`/
+    `pow` on integer token counts are IEEE-exact well past any
+    document length, and both engines compute the identical bucket)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens(F.col("text"))).cast("long")
+    bucket = F.pow(
+        F.lit(2.0), F.ceil(F.log2(n_tokens.cast("double")))
+    ).cast("long")
+    f = d.select(n_tokens.alias("n_tokens"), bucket.alias("bucket"))
+    return f.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("real_tokens"),
+        (F.count("*") * F.col("bucket")).alias("padded_tokens"),
+        (F.count("*") * F.col("bucket") - F.sum("n_tokens")).alias("wasted_tokens"),
+    )
