@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "events_adjacent_pattern",
     "stream_model_inference",
     "dedup_collapse_then_clusters",
+    "text_length_bucketing",
+    "sim_cluster_diversity",
 ]
 
 
