@@ -1110,10 +1110,6 @@ def events_adjacent_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id) — totally ordered, one shuffle; longer patterns chain
     more lead() columns over the SAME window at zero extra shuffles.
     Gap emitted as exact integer microseconds."""
-    from pyspark.sql import Window as W
-
-    from ..functions.time import epoch_micros
-
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(

@@ -637,7 +637,10 @@ def dedup_collapse_then_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles) still collapse exact copies via their text group —
     the output covers all documents, not just the pair graph."""
     d = load_table(spark, sf_dir, "documents")
-    groups = d.groupBy("text").agg(F.min("doc_id").alias("g"))
+    # cached: feeds BOTH the pair/components branch (forced during the
+    # propagation rounds) and the final doc_map join — uncached, the
+    # second branch re-scans documents and re-shuffles full texts
+    groups = d.groupBy("text").agg(F.min("doc_id").alias("g")).cache()
     collapsed = groups.filter(F.size(tokens(F.col("text"))) >= 3).select(
         F.col("g").alias("doc_id"), "text"
     )

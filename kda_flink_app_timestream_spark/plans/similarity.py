@@ -537,11 +537,13 @@ stats AS (
 )
 SELECT s.label,
        s.n AS n_vectors,
-       CAST(s.n * s.total_sq - ns.sum_sq AS BIGINT) AS pair_dist_numerator,
        CAST(s.n * (s.n - 1) / 2 AS BIGINT) AS n_pairs,
-       CAST(floor(((s.n * s.total_sq - ns.sum_sq) * 2
-             + (s.n * (s.n - 1) / 2))
-            / ((s.n * (s.n - 1) / 2) * 2.0)) AS BIGINT) AS mean_sq_dist
+       CASE WHEN s.n >= 2 THEN CAST(
+           (2 * (CAST(s.n AS HUGEINT) * CAST(s.total_sq AS HUGEINT)
+                 - CAST(ns.sum_sq AS HUGEINT))
+            + CAST(s.n * (s.n - 1) / 2 AS HUGEINT))
+           // (2 * CAST(s.n * (s.n - 1) / 2 AS HUGEINT)) AS BIGINT)
+       END AS mean_sq_dist
 FROM stats s JOIN norm_of_sum ns ON s.label = ns.label
 """
 
@@ -560,9 +562,10 @@ def sim_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     selector (cluster-then-sample) reads to decide how many examples a
     cluster deserves. Components quantized to exact integers
     (floor(x·1e4)) so every sum/square is integer-exact on both
-    engines; mean is integer half-up over the exact rational."""
-    from ..functions.exact import floor_round
-
+    engines; the mean is integer half-up over the exact rational,
+    computed in DECIMAL(38,0) (the numerator outgrows int64 past ~50 k
+    vectors per label — caught before it could ship by reviewing
+    against the 100× fixture shape)."""
     e = load_table(spark, sf_dir, "embeddings")
     v = F.transform(
         F.col("embedding"),
@@ -584,12 +587,32 @@ def sim_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("sq_norm").alias("total_sq")
     )
     j = stats.join(norm_of_sum, "label")
-    numerator = F.col("n") * F.col("total_sq") - F.col("sum_sq")
-    n_pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
-    return j.select(
-        "label",
-        F.col("n").alias("n_vectors"),
-        numerator.cast("long").alias("pair_dist_numerator"),
-        n_pairs.alias("n_pairs"),
-        floor_round(numerator, n_pairs).cast("long").alias("mean_sq_dist"),
+    # numerator ~ n² · d · scale² overflows int64 for labels past ~50 k
+    # vectors, so the mean is computed in exact DECIMAL(38,0) (integer
+    # half-up via integral `div` — positive operands, identical to the
+    # oracle's HUGEINT `//`); only the bounded mean (~d·scale²·2) is
+    # emitted, as BIGINT. Singleton labels have zero pairs: the mean is
+    # NULL on both engines, never a division.
+    dec = "decimal(38,0)"
+    numerator = (
+        F.col("n").cast(dec) * F.col("total_sq").cast(dec)
+        - F.col("sum_sq").cast(dec)
+    )
+    n_pairs_l = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    pairs_dec = n_pairs_l.cast(dec)
+    mean = F.when(
+        F.col("n") >= 2,
+        F.expr(
+            "CAST((2 * __num + __pairs) div (2 * __pairs) AS BIGINT)"
+        ),
+    )
+    return (
+        j.withColumn("__num", numerator)
+        .withColumn("__pairs", pairs_dec)
+        .select(
+            "label",
+            F.col("n").alias("n_vectors"),
+            n_pairs_l.alias("n_pairs"),
+            mean.alias("mean_sq_dist"),
+        )
     )

@@ -802,36 +802,7 @@ def stream_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch twin runs, so per-batch cost is scan + projection and the
     emitted set over all batches equals the batch run (the oracle is
     literally the batch query's oracle)."""
-    from .text import (
-        INFER_THRESHOLD,
-        INFER_W_CHARS_DIV10,
-        INFER_W_DISTINCT,
-        INFER_W_STOP,
-        INFER_W_TOKENS,
-    )
-    from ..functions.text import ENGLISH_STOPWORDS, marker_hits, tokens
+    from .text import score_documents
 
-    d = _documents_stream(spark, sf_dir)
-    toks = tokens(F.col("text"))
-    f = d.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
-        marker_hits(toks, ENGLISH_STOPWORDS).cast("long").alias("stop_hits"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-    )
-    score = (
-        INFER_W_STOP * F.col("stop_hits")
-        + INFER_W_DISTINCT * F.col("n_distinct")
-        + INFER_W_TOKENS * F.col("n_tokens")
-        + INFER_W_CHARS_DIV10 * F.floor(F.col("n_chars") / 10).cast("long")
-    ).cast("long")
-    scored = f.select(
-        "doc_id",
-        "n_tokens",
-        "stop_hits",
-        "n_distinct",
-        score.alias("score"),
-        (score >= INFER_THRESHOLD).alias("keep"),
-    )
+    scored = score_documents(_documents_stream(spark, sf_dir))
     return _run_to_memory(scored, spark, mode="append")

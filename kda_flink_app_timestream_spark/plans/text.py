@@ -632,27 +632,12 @@ FROM f
 """
 
 
-@query(
-    "text_model_inference",
-    oracle=_MODEL_INFERENCE_ORACLE,
-    tags=("text", "inference", "llm"),
-)
-def text_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear quality-classifier INFERENCE as a scan-side projection:
-    integer feature vector (token count, char count, stopword hits,
-    distinct-token count) dotted with inlined integer weights, verdict
-    at a fixed threshold — the fastText-style quality-filter scoring
-    pass of a pretraining pipeline (classifier itself trained offline;
-    only inference runs at corpus scale).
-
-    100 TB shape: zero shuffle, zero Python — the entire model is
-    literals inside one whole-stage-codegen projection, so throughput
-    is parquet-scan-bound. Exact integer arithmetic end-to-end (weights,
-    features, and the `div 10` char term are all integers), so the
-    oracle hash-matches bit-for-bit."""
+def score_documents(d: DataFrame) -> DataFrame:
+    """The inference projection itself, shared by the batch and
+    streaming twins (their equality contract is THIS single
+    definition): integer features → inlined-weight score → verdict."""
     from ..functions.text import marker_hits
 
-    d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     f = d.select(
         "doc_id",
@@ -675,6 +660,27 @@ def text_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (score >= INFER_THRESHOLD).alias("keep"),
     )
+
+
+@query(
+    "text_model_inference",
+    oracle=_MODEL_INFERENCE_ORACLE,
+    tags=("text", "inference", "llm"),
+)
+def text_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE as a scan-side projection:
+    integer feature vector (token count, char count, stopword hits,
+    distinct-token count) dotted with inlined integer weights, verdict
+    at a fixed threshold — the fastText-style quality-filter scoring
+    pass of a pretraining pipeline (classifier itself trained offline;
+    only inference runs at corpus scale).
+
+    100 TB shape: zero shuffle, zero Python — the entire model is
+    literals inside one whole-stage-codegen projection, so throughput
+    is parquet-scan-bound. Exact integer arithmetic end-to-end (weights,
+    features, and the `div 10` char term are all integers), so the
+    oracle hash-matches bit-for-bit."""
+    return score_documents(load_table(spark, sf_dir, "documents"))
 
 
 _LENGTH_BUCKETING_ORACLE = """

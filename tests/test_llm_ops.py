@@ -755,3 +755,52 @@ def test_twolevel_fine_assignment_paths_identical(spark, sf_dir):
         for r in kmeans_assign_twolevel(e, k=k, seed_collect_cap=0).collect()
     }
     assert closure == joined and closure
+
+
+def test_cluster_diversity_singleton_and_identity(spark):
+    """Singleton labels must yield NULL mean (zero pairs — the ANSI
+    divide-by-zero crash class), and the pair-free identity must equal
+    a brute-force pairwise computation on a multi-vector label."""
+    from itertools import combinations
+
+    from kda_flink_app_timestream_spark.plans.similarity import (
+        DIVERSITY_SCALE,
+        sim_cluster_diversity,
+    )
+
+    import math
+
+    vecs = {
+        "a": [[0.1 * i + 0.01 * d for d in range(64)] for i in range(4)],
+        "solo": [[0.5 + 0.001 * d for d in range(64)]],
+    }
+    rows = [
+        (label, i, v)
+        for label, vs in vecs.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "label string, vec_id long, embedding array<double>")
+    df.createOrReplaceTempView("__div_tmp")
+
+    import tempfile, os
+    out = os.path.join(tempfile.mkdtemp(), "emb")
+    df.write.parquet(out)
+
+    # reuse the registered query fn by pointing it at a dir shaped like
+    # a sf_dir (embeddings.parquet)
+    sfdir = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(sfdir, "embeddings.parquet"))
+    got = {r["label"]: r for r in sim_cluster_diversity(spark, sfdir).collect()}
+
+    assert got["solo"]["n_pairs"] == 0
+    assert got["solo"]["mean_sq_dist"] is None
+
+    q = [[math.floor(x * DIVERSITY_SCALE) for x in v] for v in vecs["a"]]
+    dists = [
+        sum((xi - yi) ** 2 for xi, yi in zip(x, y))
+        for x, y in combinations(q, 2)
+    ]
+    num, den = sum(dists), len(dists)
+    expected_mean = (2 * num + den) // (2 * den)
+    assert got["a"]["n_pairs"] == den
+    assert got["a"]["mean_sq_dist"] == expected_mean
