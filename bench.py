@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "dedup_collapse_then_clusters",
     "text_length_bucketing",
     "sim_cluster_diversity",
+    "timeseries_rate_of_change",
 ]
 
 

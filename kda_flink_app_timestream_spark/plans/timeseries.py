@@ -417,3 +417,73 @@ def events_retention_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tsx").alias("newest"),
         )
     )
+
+
+_RATE_ORACLE = """
+WITH seq AS (
+    SELECT user_id,
+           CAST(ts AS TIMESTAMP) AS tsx,
+           event_id,
+           CAST(round(value * 100) AS BIGINT) AS v_cents,
+           lag(CAST(round(value * 100) AS BIGINT)) OVER w AS prev_cents,
+           lag(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       event_id,
+       CAST(v_cents - prev_cents AS BIGINT) AS delta_cents,
+       CAST(epoch_us(tsx) - epoch_us(prev_ts) AS BIGINT) AS dt_micros,
+       CAST(floor(((v_cents - prev_cents) * 1000000 * 2
+             + (epoch_us(tsx) - epoch_us(prev_ts)))
+            / ((epoch_us(tsx) - epoch_us(prev_ts)) * 2.0)) AS BIGINT)
+           AS rate_cents_per_sec_e0
+FROM seq
+WHERE prev_cents IS NOT NULL AND epoch_us(tsx) > epoch_us(prev_ts)
+"""
+
+
+@query(
+    "timeseries_rate_of_change",
+    oracle=_RATE_ORACLE,
+    tags=("timeseries", "derivative", "rate"),
+)
+def timeseries_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete derivative per series (Timestream's ``rate()``/
+    ``derivative()`` family): consecutive-sample delta and
+    per-second rate for each (user, sample) pair — the counter/gauge
+    analysis every time-series store serves. One lag() window over
+    (series, ts, id); exact arithmetic throughout: value deltas in
+    integer cents, time deltas in integer microseconds, and the rate as
+    integer half-up of (delta_cents · 1e6) / dt_micros — i.e. whole
+    cents/second — so both engines emit identical integers (a float
+    division here would be the classic cross-engine last-bit trap).
+    dt > 0 is guaranteed by the total (ts, event_id) order only when ts
+    ties are impossible within a user; ties get dt=0 rows only if two
+    samples share an exact microsecond — then the rate would divide by
+    zero, so such rows are EXCLUDED on both sides by the same
+    predicate."""
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import cents, floor_round
+    from ..functions.time import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts"),
+        cents(F.col("value")).alias("v_cents"),
+        F.lag(cents(F.col("value"))).over(w).alias("prev_cents"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    delta = F.col("v_cents") - F.col("prev_cents")
+    dt = epoch_micros(F.col("ts")) - epoch_micros(F.col("prev_ts"))
+    return seq.filter(F.col("prev_cents").isNotNull() & (dt > 0)).select(
+        "user_id",
+        "event_id",
+        delta.alias("delta_cents"),
+        dt.alias("dt_micros"),
+        floor_round(delta * 1_000_000, dt).cast("long").alias("rate_cents_per_sec_e0"),
+    )
