@@ -98,6 +98,14 @@ _RESCORE_AFTER = {
     #   refactor row even though local parity passed
     "dedup_ngram_jaccard_pairs": 4,
     "dedup_collapse_then_jaccard": 4,
+    # r5 changes:
+    #   append-finalization oracles aligned to Spark's measured
+    #   window.end <= watermark tie direction (ADVICE r4; pinned by
+    #   tests/test_streaming.py::test_append_finalization_tie_*)
+    "stream_tumbling_append_finalized": 5,
+    "stream_session_append_finalized": 5,
+    #   watermark delay now derived from the staged data's actual span
+    "stream_dedup_within_watermark": 5,
 }
 
 

@@ -12,9 +12,12 @@ windows are the Spark-native extension (SURVEY §2.2).
 
 from __future__ import annotations
 
+import hashlib
 import itertools
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +36,20 @@ _mem_counter = itertools.count()
 STREAM_SPLIT_FILES = 4
 
 
+def _publish_stage_dir(build: str, stage: str) -> None:
+    """Atomically publish a fully-built stage directory: POSIX
+    ``rename(2)`` either installs ``build`` as ``stage`` whole or fails
+    because another process won the race — in which case the loser's
+    build is discarded and the winner's (complete by the same argument)
+    directory is used. No reader can ever observe a partial stage."""
+    try:
+        os.rename(build, stage)
+    except OSError:
+        if not os.path.isdir(stage):
+            raise
+        shutil.rmtree(build, ignore_errors=True)
+
+
 def _staged_stream_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Stage ``{sf_dir}/{name}.parquet`` as a directory of
     ``STREAM_SPLIT_FILES`` parquet part-files for the file streaming
@@ -49,9 +66,14 @@ def _staged_stream_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
     ``hash(src)`` key reused a pre-regeneration copy whenever
     PYTHONHASHSEED was pinned — exactly the stale-layout class this
     staging exists to prevent), while unchanged files reuse one staged
-    copy across processes instead of rewriting per run."""
-    import hashlib
+    copy across processes instead of rewriting per run.
 
+    Concurrency-safe (ADVICE r4): the split is written into a
+    process-unique build dir and atomically ``os.rename``-d into place,
+    so two processes racing on a cold stage can never interleave
+    half-written file sets — a reader sees either nothing (and builds
+    its own) or a complete, sealed directory. The loser of the rename
+    race discards its build and uses the winner's."""
     src = os.path.realpath(f"{sf_dir}/{name}.parquet")
     st = os.stat(src)
     key = hashlib.md5(
@@ -62,9 +84,11 @@ def _staged_stream_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
         f"{name}_stream_{STREAM_SPLIT_FILES}_{key}",
     )
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        build = f"{stage}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         load_table(spark, sf_dir, name).repartition(STREAM_SPLIT_FILES).write.mode(
             "overwrite"
-        ).parquet(stage)
+        ).parquet(build)
+        _publish_stage_dir(build, stage)
     return stage
 
 
@@ -471,10 +495,27 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     duplicate pair falls inside one watermark window, so the emitted
     key set equals batch DISTINCT and the oracle is exact; on a real
     unbounded stream the guarantee degrades gracefully to
-    "no duplicates closer than the delay"."""
+    "no duplicates closer than the delay".
+
+    The delay is DERIVED from the staged data's actual time span
+    (max − min + 1 day margin, one bounded aggregate at plan time) —
+    a hardcoded constant silently starts dropping rows as late the
+    moment a testdata round spans longer than it (ADVICE r4), and the
+    round-robin split puts the full span in every file, so any late
+    drop diverges from the DISTINCT oracle."""
     ev = _events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    span = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("span_s")
+        )
+        .collect()[0]["span_s"]
+    )
+    delay = f"{int(span) + 86400} seconds"
     dedup = (
-        ev.withWatermark("ts", "35 days")
+        ev.withWatermark("ts", delay)
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
@@ -502,42 +543,50 @@ def _time_ordered_sentinel_stage(spark: SparkSession, sf_dir: str) -> str:
     micro-batch AFTER the last real file, because eviction-driven
     output for batch N's watermark advance is emitted in batch N+1 and
     ``availableNow`` otherwise stops at N. A real deployment needs
-    neither trick — an unbounded stream always has a next batch."""
+    neither trick — an unbounded stream always has a next batch.
+
+    Built in a process-unique dir and atomically renamed into place
+    (``_publish_stage_dir``), so concurrent cold-start processes can
+    never expose a mis-ordered or partial file set (ADVICE r4): the
+    sentinel, mtime pinning, and marker all happen pre-publish, and
+    ``rename`` preserves the pinned mtimes."""
     base_stage = _staged_stream_dir(spark, sf_dir, "events")
     stage = base_stage + "_timeordered"
     if not os.path.exists(os.path.join(stage, "_SENTINEL_OK")):
+        import datetime
+
+        build = f"{stage}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         base = spark.read.parquet(base_stage)
         base.repartitionByRange(STREAM_SPLIT_FILES, "ts").sortWithinPartitions(
             "ts"
-        ).write.mode("overwrite").parquet(stage)
-        import datetime
-        import shutil
+        ).write.mode("overwrite").parquet(build)
 
         min_ts = base.agg(F.min("ts")).collect()[0][0]
         sentinel = spark.createDataFrame(
             [(-1, min_ts - datetime.timedelta(days=1), -999999, "click", 0.0, None)],
             base.schema,
         )
-        tmp = os.path.join(stage, "_sentinel_build")
+        tmp = os.path.join(build, "_sentinel_build")
         sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        shutil.move(os.path.join(tmp, part), os.path.join(stage, "zz_sentinel.parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(build, "zz_sentinel.parquet"))
         shutil.rmtree(tmp, ignore_errors=True)
         # pin mtimes: part files ascending by name (= ascending time
         # range), sentinel strictly last
         parts = sorted(
             f
-            for f in os.listdir(stage)
+            for f in os.listdir(build)
             if f.endswith(".parquet") and f != "zz_sentinel.parquet"
         )
-        t0 = os.path.getmtime(os.path.join(stage, parts[-1]))
+        t0 = os.path.getmtime(os.path.join(build, parts[-1]))
         for i, f in enumerate(parts):
-            os.utime(os.path.join(stage, f), (t0 + 10 * i, t0 + 10 * i))
+            os.utime(os.path.join(build, f), (t0 + 10 * i, t0 + 10 * i))
         os.utime(
-            os.path.join(stage, "zz_sentinel.parquet"),
+            os.path.join(build, "zz_sentinel.parquet"),
             (t0 + 10 * len(parts), t0 + 10 * len(parts)),
         )
-        open(os.path.join(stage, "_SENTINEL_OK"), "w").close()
+        open(os.path.join(build, "_SENTINEL_OK"), "w").close()
+        _publish_stage_dir(build, stage)
     return stage
 
 
@@ -666,7 +715,7 @@ def stream_leftouter_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events, wm
     WHERE time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
-          + INTERVAL '10 minutes' < wm.w
+          + INTERVAL '10 minutes' <= wm.w
     GROUP BY 1, 2
     """,
     tags=("streaming", "window", "tumbling", "append", "watermark"),
@@ -681,15 +730,17 @@ def stream_tumbling_append_finalized(spark: SparkSession, sf_dir: str) -> DataFr
     sentinel final batch flushes the last finalizable windows.
 
     Determinism: final watermark = global max ts − 1 minute (single
-    event-time column), so the emitted set is every window whose end <
+    event-time column), so the emitted set is every window whose end ≤
     that watermark — the oracle computes the same cutoff from the same
     data. Windows overlapping the last minute stay un-emitted, exactly
-    as a live pipeline would leave them open. (Spark closes a window
-    when the watermark strictly exceeds its end; an exact tie between
-    the watermark and a 10-minute boundary — a microsecond-precision
-    event landing on it — would flip one window, and the sentinel's
-    ancient click is dropped as late by construction so it never
-    contributes.) Exact integer cents keep the sums engine-portable."""
+    as a live pipeline would leave them open. Spark's eviction
+    predicate is ``window.end <= watermark`` — a window whose end
+    EQUALS the watermark exactly IS emitted (pinned empirically by
+    tests/test_streaming.py::test_append_finalization_tie_*, which
+    engineer the exact-tie micro-stream; the oracle's cutoff is
+    aligned to the same ``<=``). The sentinel's ancient click is
+    dropped as late by construction so it never contributes. Exact
+    integer cents keep the sums engine-portable."""
     ev = _events_stream_time_ordered(spark, sf_dir)
     from ..functions.exact import cents
 
@@ -744,7 +795,7 @@ def stream_tumbling_append_finalized(spark: SparkSession, sf_dir: str) -> DataFr
     )
     SELECT s.user_id, s.session_start, s.session_end, s.n_events
     FROM sessions s, wm
-    WHERE s.session_end < wm.w
+    WHERE s.session_end <= wm.w
     """,
     tags=("streaming", "window", "session", "append", "watermark"),
 )
@@ -759,8 +810,10 @@ def stream_session_append_finalized(spark: SparkSession, sf_dir: str) -> DataFra
     and append mode is the only proof merging+finalization interact
     correctly. Same determinism recipe as the tumbling append query:
     time-ordered staged split, 1-minute watermark, sentinel flush
-    batch, oracle recomputing the identical cutoff; sessions
-    overlapping the last minute stay open, exactly as live."""
+    batch, oracle recomputing the identical cutoff with the same
+    ``session_end <= watermark`` tie direction Spark uses (pinned by
+    tests/test_streaming.py::test_append_finalization_tie_session);
+    sessions overlapping the last minute stay open, exactly as live."""
     ev = _events_stream_time_ordered(spark, sf_dir)
     from ..streaming.windows import session_windowed
 

@@ -780,11 +780,8 @@ def test_cluster_diversity_singleton_and_identity(spark):
         for i, v in enumerate(vs)
     ]
     df = spark.createDataFrame(rows, "label string, vec_id long, embedding array<double>")
-    df.createOrReplaceTempView("__div_tmp")
 
     import tempfile, os
-    out = os.path.join(tempfile.mkdtemp(), "emb")
-    df.write.parquet(out)
 
     # reuse the registered query fn by pointing it at a dir shaped like
     # a sf_dir (embeddings.parquet)

@@ -518,3 +518,114 @@ def test_observe_metrics_on_pipeline(spark, sf_dir):
     ).collect()[0]
     assert obs.get["n_rows"] == expected["n"]
     assert obs.get["value_cents"] == expected["c"]
+
+
+def _tie_stage(spark, tmp_path, rows_per_file):
+    """Write one parquet file per micro-batch (ascending mtimes) for the
+    exact-watermark-tie probes below."""
+    import os as _os
+    import shutil as _shutil
+
+    stage = str(tmp_path / "stage")
+    _os.makedirs(stage, exist_ok=True)
+    for i, rows in enumerate(rows_per_file):
+        df = spark.createDataFrame(rows, "ts timestamp, k string")
+        tmp = str(tmp_path / f"tmp_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+        dest = _os.path.join(stage, f"f{i}.parquet")
+        _shutil.move(_os.path.join(tmp, part), dest)
+        t = 1700000000 + i * 10
+        _os.utime(dest, (t, t))
+    return stage
+
+
+def _run_append(spark, agg, name):
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_append_finalization_tie_tumbling(spark, tmp_path):
+    """Pin Spark's append-mode eviction predicate at the exact
+    watermark == window.end boundary (ADVICE r4): 1-min windows, 1-min
+    delay; an event at exactly 00:02:00 drives the watermark to exactly
+    00:01:00 — the end of the first window. Spark EMITS that window
+    (predicate is ``window.end <= watermark``, not strict ``<``); the
+    append-finalized oracles in plans/streaming_queries.py use the same
+    ``<=`` cutoff. A regression in either direction fails here, not by
+    data luck at sf0.01."""
+    T0 = datetime(2024, 1, 1, 0, 0, 0)
+    from datetime import timedelta
+
+    stage = _tie_stage(
+        spark,
+        tmp_path,
+        [
+            [(T0 + timedelta(seconds=30), "x")],
+            [(T0 + timedelta(minutes=2), "x")],  # wm -> exactly 00:01:00
+            [(T0 - timedelta(days=1), "x")],  # late sentinel: extra batch
+        ],
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 minute"))
+        .agg(F.count("*").alias("n"))
+    )
+    got = _run_append(spark, agg, "tie_tumbling")
+    starts = {str(r["s"]) for r in got.select(F.col("window.start").alias("s")).collect()}
+    assert "2024-01-01 00:00:00" in starts, (
+        "window whose end == watermark must finalize (<= predicate)"
+    )
+    # the [00:02, 00:03) window's end is past the final watermark: open
+    assert "2024-01-01 00:02:00" not in starts
+
+
+def test_append_finalization_tie_session(spark, tmp_path):
+    """Session-window twin of the tumbling tie test: session end =
+    last event + gap lands exactly ON the final watermark → emitted."""
+    T0 = datetime(2024, 1, 1, 0, 0, 0)
+    from datetime import timedelta
+
+    stage = _tie_stage(
+        spark,
+        tmp_path,
+        [
+            [(T0, "x")],  # session [00:00, 00:01) with 1-min gap
+            [(T0 + timedelta(minutes=2), "x")],  # wm -> exactly 00:01:00
+            [(T0 - timedelta(days=1), "x")],
+        ],
+    )
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "1 minute"), "k")
+        .agg(F.count("*").alias("n"))
+    )
+    got = _run_append(spark, agg, "tie_session")
+    ends = {
+        str(r["e"])
+        for r in got.select(F.col("session_window.end").alias("e")).collect()
+    }
+    assert "2024-01-01 00:01:00" in ends, (
+        "session whose end == watermark must finalize (<= predicate)"
+    )
