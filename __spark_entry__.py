@@ -66,8 +66,8 @@ _RESCORE_AFTER = {
     # r3 operator rewrites whose consumers got NO r3 driver row
     # (posting-list jaccard, connected-components join drop, minhash
     # rework, dot-fold revert; dedup_ngram_jaccard_pairs is in the r4
-    # block below, which supersedes its r3 flag):
-    "dedup_cluster_representatives": 3,
+    # block below, and dedup_cluster_representatives in the r5 block,
+    # each superseding its r3 flag):
     "dedup_minhash_pairs": 3,
     "dedup_embedding_pairs": 3,
     "sim_lsh_topk": 3,
@@ -106,6 +106,11 @@ _RESCORE_AFTER = {
     "stream_session_append_finalized": 5,
     #   watermark delay now derived from the staged data's actual span
     "stream_dedup_within_watermark": 5,
+    #   connected components rewritten: large-star/small-star contraction
+    #   (O(log n) rounds) replaces min-label propagation as the
+    #   production CC — every CC consumer needs a post-change row
+    "dedup_cluster_representatives": 5,
+    "dedup_collapse_then_clusters": 5,
 }
 
 

