@@ -94,6 +94,53 @@ def parse_service_logs(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+# The full Timestream MeasureValueType enum surface the engine types
+# (TimestreamPoint.java:27 — the AWS SDK enum; the reference only ever
+# emits DOUBLE, LogsToTimestreamPayloadFn.java:84, but the data model
+# commits to the enum via MeasureValueType.fromValue(s.toUpperCase()),
+# TimestreamPoint.java:62).
+MEASURE_VALUE_TYPES = ("DOUBLE", "BIGINT", "VARCHAR", "BOOLEAN")
+
+
+def typed_measure_projection(
+    df: DataFrame,
+    value_col: str = "measure_value",
+    type_col: str = "measure_value_type",
+) -> DataFrame:
+    """CASE WHEN typed projections for the full ``MeasureValueType``
+    enum over a mixed-type point stream (SURVEY §1.4): each row's
+    string ``measure_value`` is projected into exactly one of four
+    typed columns (``measure_double``/``measure_bigint``/
+    ``measure_varchar``/``measure_boolean``) selected by its type tag,
+    NULL in the other three.
+
+    Tag handling mirrors ``MeasureValueType.fromValue(s.toUpperCase())``
+    (TimestreamPoint.java:62): tags are trimmed + uppercased before the
+    dispatch (the normalized tag replaces ``type_col``), and a tag
+    outside the enum yields ``measure_type_valid = false`` with all
+    four projections NULL — the row survives for routing/repair instead
+    of failing the batch (the sink's rejection path is where invalid
+    records are reported, TimestreamSink.java:103-120).
+
+    Value casts are ``try_cast``: a malformed value under its declared
+    type degrades to NULL, never a batch abort (ANSI-safe). Pure
+    Catalyst expressions — whole-stage-codegen'd, no shuffle, scales as
+    a projection.
+    """
+    t = F.upper(F.trim(F.col(type_col)))
+    v = F.col(value_col)
+    return df.withColumns(
+        {
+            type_col: t,
+            "measure_type_valid": t.isin(*MEASURE_VALUE_TYPES),
+            "measure_double": F.when(t == "DOUBLE", v.try_cast("double")),
+            "measure_bigint": F.when(t == "BIGINT", v.try_cast("long")),
+            "measure_varchar": F.when(t == "VARCHAR", v),
+            "measure_boolean": F.when(t == "BOOLEAN", v.try_cast("boolean")),
+        }
+    )
+
+
 def build_service_log_text(
     operation: Column,
     aws_account_id: Column,

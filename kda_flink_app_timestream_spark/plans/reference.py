@@ -65,6 +65,90 @@ def parse_service_logs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "parse_typed_measures",
+    oracle="""
+    WITH pts AS (
+        SELECT event_id,
+               CASE (event_id % 5) WHEN 0 THEN 'DOUBLE' WHEN 1 THEN 'bigint'
+                    WHEN 2 THEN 'Varchar' WHEN 3 THEN 'BOOLEAN'
+                    ELSE 'garbage' END AS raw_tag,
+               value, user_id, event_type
+        FROM events
+    ),
+    vals AS (
+        SELECT event_id,
+               upper(trim(raw_tag)) AS measure_value_type,
+               CASE upper(trim(raw_tag))
+                 WHEN 'DOUBLE' THEN CAST(value AS VARCHAR)
+                 WHEN 'BIGINT' THEN CAST(user_id AS VARCHAR)
+                 WHEN 'VARCHAR' THEN event_type
+                 WHEN 'BOOLEAN' THEN CASE WHEN value > 0.5 THEN 'true'
+                                          ELSE 'false' END
+                 ELSE 'n/a' END AS measure_value
+        FROM pts
+    )
+    SELECT event_id, measure_value, measure_value_type,
+           measure_value_type IN ('DOUBLE','BIGINT','VARCHAR','BOOLEAN')
+               AS measure_type_valid,
+           CASE WHEN measure_value_type = 'DOUBLE'
+                THEN TRY_CAST(measure_value AS DOUBLE) END AS measure_double,
+           CASE WHEN measure_value_type = 'BIGINT'
+                THEN TRY_CAST(measure_value AS BIGINT) END AS measure_bigint,
+           CASE WHEN measure_value_type = 'VARCHAR'
+                THEN measure_value END AS measure_varchar,
+           CASE WHEN measure_value_type = 'BOOLEAN'
+                THEN TRY_CAST(measure_value AS BOOLEAN) END AS measure_boolean
+    FROM vals
+    """,
+    tags=("parse", "typed-measures", "reference-parity"),
+)
+def parse_typed_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed projections for the FULL ``MeasureValueType`` enum
+    (TimestreamPoint.java:27, 62) over a mixed-type measure stream —
+    the surface SURVEY §1.4 commits to beyond the reference's
+    DOUBLE-only usage (LogsToTimestreamPayloadFn.java:84). The fixture
+    derives a deterministic mixed stream from ``events``: the type tag
+    cycles through the enum in MIXED casing ('DOUBLE', 'bigint',
+    'Varchar', 'BOOLEAN') plus an invalid 'garbage' tag, exercising the
+    ``fromValue(s.toUpperCase())`` normalization and the
+    invalid-tag-survives-as-flagged-row contract; values are drawn from
+    the matching column (value/user_id/event_type/threshold-boolean).
+    ``typed_measure_projection`` then routes each row into exactly one
+    typed column via CASE WHEN + try_cast — a pure codegen projection.
+    """
+    from ..functions.parse import typed_measure_projection
+
+    e = load_table(spark, sf_dir, "events")
+    up = F.upper(
+        F.element_at(
+            F.array(
+                *[F.lit(x) for x in ("DOUBLE", "bigint", "Varchar", "BOOLEAN", "garbage")]
+            ),
+            (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("int"),
+        )
+    )
+    raw_tag = F.element_at(
+        F.array(
+            *[F.lit(x) for x in ("DOUBLE", "bigint", "Varchar", "BOOLEAN", "garbage")]
+        ),
+        (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("int"),
+    )
+    val = (
+        F.when(up == "DOUBLE", F.col("value").cast("string"))
+        .when(up == "BIGINT", F.col("user_id").cast("string"))
+        .when(up == "VARCHAR", F.col("event_type"))
+        .when(up == "BOOLEAN", F.when(F.col("value") > 0.5, "true").otherwise("false"))
+        .otherwise(F.lit("n/a"))
+    )
+    pts = e.select(
+        "event_id",
+        val.alias("measure_value"),
+        raw_tag.alias("measure_value_type"),
+    )
+    return typed_measure_projection(pts)
+
+
+@query(
     "asof_join_purchase_signup",
     oracle="""
     WITH purchases AS (

@@ -629,3 +629,58 @@ def test_append_finalization_tie_session(spark, tmp_path):
     assert "2024-01-01 00:01:00" in ends, (
         "session whose end == watermark must finalize (<= predicate)"
     )
+
+
+def test_typed_measure_projection_full_enum(spark):
+    """The full MeasureValueType enum surface (TimestreamPoint.java:27,
+    62): per-row CASE WHEN routing into exactly one typed column,
+    fromValue-style case-insensitive tag normalization, invalid tags
+    flagged (not failed), malformed values degrading to NULL via
+    try_cast instead of aborting the batch under ANSI mode."""
+    from kda_flink_app_timestream_spark.functions.parse import (
+        typed_measure_projection,
+    )
+
+    rows = [
+        ("1.5", "DOUBLE"),
+        ("42", "bigint"),          # lowercased tag normalizes
+        ("hello", " Varchar "),    # padding + mixed case
+        ("true", "BOOLEAN"),
+        ("false", "boolean"),
+        ("oops", "DOUBLE"),        # malformed double -> NULL, no abort
+        ("12.9", "BIGINT"),        # non-integral bigint -> NULL
+        ("1", "MULTI"),            # outside the typed enum -> invalid
+        ("x", "garbage"),          # invalid tag
+    ]
+    df = spark.createDataFrame(rows, "measure_value string, measure_value_type string")
+    out = {
+        (r["measure_value"], r["measure_value_type"]): r
+        for r in typed_measure_projection(df).collect()
+    }
+
+    r = out[("1.5", "DOUBLE")]
+    assert (r["measure_double"], r["measure_type_valid"]) == (1.5, True)
+    assert r["measure_bigint"] is None and r["measure_boolean"] is None
+
+    r = out[("42", "BIGINT")]  # tag column is normalized in place
+    assert (r["measure_bigint"], r["measure_type_valid"]) == (42, True)
+
+    r = out[("hello", "VARCHAR")]
+    assert (r["measure_varchar"], r["measure_type_valid"]) == ("hello", True)
+
+    assert out[("true", "BOOLEAN")]["measure_boolean"] is True
+    assert out[("false", "BOOLEAN")]["measure_boolean"] is False
+
+    r = out[("oops", "DOUBLE")]
+    assert r["measure_double"] is None and r["measure_type_valid"] is True
+
+    assert out[("12.9", "BIGINT")]["measure_bigint"] is None
+
+    for key in (("1", "MULTI"), ("x", "GARBAGE")):
+        r = out[key]
+        assert r["measure_type_valid"] is False
+        assert all(
+            r[c] is None
+            for c in ("measure_double", "measure_bigint", "measure_varchar",
+                      "measure_boolean")
+        )
