@@ -149,6 +149,109 @@ def parse_typed_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kinesis_incremental_consume",
+    oracle="""
+    SELECT make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS time,
+           'latency' AS measure_name,
+           CAST(value AS VARCHAR) AS measure_value,
+           value AS measure_value_double,
+           'DOUBLE' AS measure_value_type,
+           lpad(CAST(user_id AS VARCHAR), 12, '0') AS aws_account_id,
+           event_type AS operation,
+           'GLUE' AS caller_service
+    FROM events
+    WHERE event_id <= 1500
+    """,
+    tags=("kinesis", "streaming", "incremental", "reference-parity"),
+)
+def kinesis_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END incremental Kinesis consumption (the last
+    reference-parity surface, VERDICT r4 #1): events rows are rendered
+    into the generator's exact gzip'd service-log wire format
+    (timestream_kinesis_data_gen.py:24-36, 75-78; partition key =
+    account id) and produced in THREE waves to an in-process fake
+    Kinesis endpoint (real boto3 wire protocol, 4 shards); the
+    jar-free ``KinesisMicroBatchPoller`` consumes them in three
+    incremental polls — persisted shard positions, commit-per-batch,
+    exactly-once boundaries — and the union of the three batches is
+    gunzipped and parsed back into points. The oracle is the identity
+    over the same events slice, so a record lost, duplicated, or
+    corrupted across ANY batch boundary hash-mismatches.
+
+    Driver-side produce/poll is the point here (this is the dev/proof
+    surface; production uses the connector where executors own shards
+    — streaming/source.py); decode + parse run as Spark plans.
+    """
+    import gzip as _gzip
+    import tempfile
+
+    from ..streaming.kinesis_dev import KinesisMicroBatchPoller
+    from ..streaming.kinesis_fake import FakeKinesis
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 1500)
+    rendered = e.select(
+        build_service_log_text(
+            operation=F.col("event_type"),
+            aws_account_id=F.lpad(F.col("user_id").cast("string"), 12, "0"),
+            latency=F.col("value").cast("string"),
+            end_time_millis=epoch_millis(F.col("ts")),
+            caller_service=F.lit("GLUE"),
+        ).alias("value"),
+        F.lpad(F.col("user_id").cast("string"), 12, "0").alias("pk"),
+        F.pmod(F.col("event_id"), F.lit(3)).alias("wave"),
+    ).collect()
+    waves: dict[int, list] = {0: [], 1: [], 2: []}
+    for r in rendered:
+        waves[int(r["wave"])].append((r["value"], r["pk"]))
+
+    batch_dfs = []
+    with FakeKinesis() as fk:
+        import boto3
+
+        client = boto3.client(
+            "kinesis",
+            endpoint_url=fk.endpoint_url,
+            region_name="us-east-1",
+            aws_access_key_id="test",
+            aws_secret_access_key="test",
+        )
+        client.create_stream(StreamName="events-log", ShardCount=4)
+        poller = KinesisMicroBatchPoller(
+            spark,
+            "events-log",
+            checkpoint_dir=tempfile.mkdtemp(prefix="kinesis_inc_ckpt_"),
+            boto3_client=client,
+            decode="gzip",
+            interval_millis=0,
+        )
+        for w in (0, 1, 2):
+            recs = [
+                {"Data": _gzip.compress(v.encode()), "PartitionKey": pk}
+                for v, pk in waves[w]
+            ]
+            for i in range(0, len(recs), 500):  # PutRecords API cap
+                client.put_records(StreamName="events-log", Records=recs[i : i + 500])
+            bid, df = poller.poll()
+            batch_dfs.append(df)
+            poller.commit(bid)
+
+    union = batch_dfs[0]
+    for df in batch_dfs[1:]:
+        union = union.unionAll(df)
+    parsed = parse_service_logs(union)
+    return parsed.select(
+        "time",
+        "measure_name",
+        "measure_value",
+        "measure_value_double",
+        "measure_value_type",
+        "aws_account_id",
+        "operation",
+        "caller_service",
+    )
+
+
+@query(
     "asof_join_purchase_signup",
     oracle="""
     WITH purchases AS (

@@ -1,228 +1,9 @@
-"""Minimal in-process fake of the Amazon Kinesis Streams HTTP API.
+"""Test-package shim: the in-process fake Kinesis endpoint moved into
+the engine package (it backs the jar-free consumer surface, including
+resharding — ``kda_flink_app_timestream_spark.streaming.kinesis_fake``).
+Kept so existing test imports stay stable."""
 
-Implements just enough of the public wire protocol
-(application/x-amz-json-1.1, ``X-Amz-Target: Kinesis_20131202.<Op>``)
-for boto3 to create streams, put records, and drain shards — so the
-engine's consumer path runs a REAL produce→consume round-trip in the
-sandbox (VERDICT r3 #4: the live-endpoint test had never executed).
-Shard routing follows the real service: md5(partition_key) mapped into
-per-shard 128-bit hash ranges.
-
-Pure stdlib; no auth (signatures are accepted unverified, like
-kinesalite). Not a test file itself — test support imported by
-test_kinesis_source.py.
-"""
-
-from __future__ import annotations
-
-import base64
-import hashlib
-import json
-import threading
-import time
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-_MAX_HASH = (1 << 128) - 1
-
-
-class _Stream:
-    def __init__(self, name: str, shard_count: int):
-        self.name = name
-        step = (_MAX_HASH + 1) // shard_count
-        self.shards = []
-        for i in range(shard_count):
-            start = i * step
-            end = _MAX_HASH if i == shard_count - 1 else (i + 1) * step - 1
-            self.shards.append(
-                {
-                    "ShardId": f"shardId-{i:012d}",
-                    "HashKeyRange": {
-                        "StartingHashKey": str(start),
-                        "EndingHashKey": str(end),
-                    },
-                    "SequenceNumberRange": {"StartingSequenceNumber": "0"},
-                    "records": [],
-                }
-            )
-        self._seq = 0
-
-    def shard_for(self, partition_key: str) -> dict:
-        h = int.from_bytes(hashlib.md5(partition_key.encode()).digest(), "big")
-        for s in self.shards:
-            if int(s["HashKeyRange"]["StartingHashKey"]) <= h <= int(
-                s["HashKeyRange"]["EndingHashKey"]
-            ):
-                return s
-        raise AssertionError("hash outside all shard ranges")
-
-    def put(self, data_b64: str, partition_key: str) -> tuple[str, str]:
-        self._seq += 1
-        seq = str(self._seq)
-        shard = self.shard_for(partition_key)
-        shard["records"].append(
-            {
-                "SequenceNumber": seq,
-                "ApproximateArrivalTimestamp": time.time(),
-                "Data": data_b64,
-                "PartitionKey": partition_key,
-            }
-        )
-        return shard["ShardId"], seq
-
-
-class FakeKinesis:
-    """An HTTP server + stream registry. Use as a context manager:
-
-    >>> with FakeKinesis() as fk:
-    ...     client = boto3.client("kinesis", endpoint_url=fk.endpoint_url, ...)
-    """
-
-    def __init__(self):
-        self.streams: dict[str, _Stream] = {}
-        self._lock = threading.Lock()
-        outer = self
-
-        class Handler(BaseHTTPRequestHandler):
-            def log_message(self, *a):  # silence request logging
-                pass
-
-            def do_POST(self):
-                ln = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(ln) or b"{}")
-                op = (self.headers.get("X-Amz-Target") or "").split(".")[-1]
-                with outer._lock:
-                    try:
-                        out, status = outer._dispatch(op, body), 200
-                    except _ApiError as ex:
-                        out, status = {"__type": ex.code, "message": ex.msg}, 400
-                payload = json.dumps(out).encode()
-                self.send_response(status)
-                self.send_header("Content-Type", "application/x-amz-json-1.1")
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
-
-        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-        self.endpoint_url = f"http://127.0.0.1:{self._server.server_address[1]}"
-        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
-
-    def __enter__(self) -> "FakeKinesis":
-        self._thread.start()
-        return self
-
-    def __exit__(self, *exc) -> None:
-        self._server.shutdown()
-        self._server.server_close()
-
-    # --- operation dispatch ---------------------------------------------
-
-    def _stream(self, name: str) -> _Stream:
-        if name not in self.streams:
-            raise _ApiError("ResourceNotFoundException", f"Stream {name} not found")
-        return self.streams[name]
-
-    def _dispatch(self, op: str, body: dict) -> dict:
-        if op == "CreateStream":
-            name = body["StreamName"]
-            if name in self.streams:
-                raise _ApiError("ResourceInUseException", f"Stream {name} exists")
-            self.streams[name] = _Stream(name, body.get("ShardCount", 1))
-            return {}
-        if op in ("DescribeStream", "DescribeStreamSummary"):
-            s = self._stream(body["StreamName"])
-            desc = {
-                "StreamName": s.name,
-                "StreamARN": f"arn:aws:kinesis:local:000000000000:stream/{s.name}",
-                "StreamStatus": "ACTIVE",
-                "RetentionPeriodHours": 24,
-                "StreamCreationTimestamp": 0,
-                "EnhancedMonitoring": [],
-            }
-            if op == "DescribeStreamSummary":
-                return {
-                    "StreamDescriptionSummary": {
-                        **desc, "OpenShardCount": len(s.shards),
-                    }
-                }
-            shards = [
-                {k: v for k, v in sh.items() if k != "records"} for sh in s.shards
-            ]
-            return {
-                "StreamDescription": {**desc, "Shards": shards, "HasMoreShards": False}
-            }
-        if op == "ListShards":
-            s = self._stream(body["StreamName"])
-            return {
-                "Shards": [
-                    {k: v for k, v in sh.items() if k != "records"}
-                    for sh in s.shards
-                ]
-            }
-        if op == "PutRecord":
-            s = self._stream(body["StreamName"])
-            shard_id, seq = s.put(body["Data"], body["PartitionKey"])
-            return {"ShardId": shard_id, "SequenceNumber": seq}
-        if op == "PutRecords":
-            s = self._stream(body["StreamName"])
-            out = []
-            for rec in body["Records"]:
-                shard_id, seq = s.put(rec["Data"], rec["PartitionKey"])
-                out.append({"ShardId": shard_id, "SequenceNumber": seq})
-            return {"FailedRecordCount": 0, "Records": out}
-        if op == "GetShardIterator":
-            s = self._stream(body["StreamName"])
-            shard = next(
-                sh for sh in s.shards if sh["ShardId"] == body["ShardId"]
-            )
-            it_type = body["ShardIteratorType"]
-            if it_type == "TRIM_HORIZON":
-                idx = 0
-            elif it_type == "LATEST":
-                idx = len(shard["records"])
-            elif it_type in ("AT_SEQUENCE_NUMBER", "AFTER_SEQUENCE_NUMBER"):
-                target = body["StartingSequenceNumber"]
-                idx = next(
-                    (
-                        i
-                        for i, r in enumerate(shard["records"])
-                        if r["SequenceNumber"] == target
-                    ),
-                    len(shard["records"]),
-                )
-                if it_type == "AFTER_SEQUENCE_NUMBER":
-                    idx += 1
-            else:
-                raise _ApiError("InvalidArgumentException", it_type)
-            return {"ShardIterator": self._token(s.name, body["ShardId"], idx)}
-        if op == "GetRecords":
-            name, shard_id, idx = self._untoken(body["ShardIterator"])
-            s = self._stream(name)
-            shard = next(sh for sh in s.shards if sh["ShardId"] == shard_id)
-            limit = body.get("Limit", 10000)
-            recs = shard["records"][idx : idx + limit]
-            new_idx = idx + len(recs)
-            return {
-                "Records": recs,
-                "NextShardIterator": self._token(name, shard_id, new_idx),
-                "MillisBehindLatest": 0
-                if new_idx >= len(shard["records"])
-                else 1000,
-            }
-        raise _ApiError("UnknownOperationException", op)
-
-    @staticmethod
-    def _token(stream: str, shard_id: str, idx: int) -> str:
-        raw = json.dumps({"s": stream, "h": shard_id, "i": idx}).encode()
-        return base64.b64encode(raw).decode()
-
-    @staticmethod
-    def _untoken(token: str) -> tuple[str, str, int]:
-        d = json.loads(base64.b64decode(token))
-        return d["s"], d["h"], d["i"]
-
-
-class _ApiError(Exception):
-    def __init__(self, code: str, msg: str):
-        super().__init__(msg)
-        self.code = code
-        self.msg = msg
+from kda_flink_app_timestream_spark.streaming.kinesis_fake import (  # noqa: F401
+    FakeKinesis,
+    _ApiError,
+)
