@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .sink import RejectedRecords
+
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 POINT_COLUMNS = (
@@ -198,6 +200,117 @@ def jdbc_upsert_sink(
             .option("driver", driver)
             .mode("append")
             .save()
+        )
+
+    return write
+
+
+def jdbc_rejecting_batch_writer(
+    spark,
+    url: str,
+    table: str,
+    columns: tuple[str, ...],
+):
+    """``write_batch`` closure implementing the per-record
+    rejection-repair protocol (TimestreamSink.java:103-120) against a
+    REAL SQL writer: batch ``PreparedStatement`` inserts; when the
+    batch violates a table constraint the transaction is rolled back
+    atomically, every record is probed individually inside the (still
+    uncommitted) transaction to identify the offenders, and
+    ``RejectedRecords(indices)`` is raised — the sink's
+    ``write_chunked`` then drops exactly those records and re-lands the
+    keepers, mirroring the reference's reverse-index removal +
+    retained-buffer semantics on a database instead of a fake.
+
+    Driver-side JVM connection by design: this is the dev/proof twin
+    (embedded Derby in tests) of the two executor-parallel production
+    writers — Spark's JDBC writer for set loads and the boto3
+    Timestream backend for true per-record service rejections. The
+    probe loop is bounded by the sink batch size (default 50,
+    StreamingJob.java:174), never corpus-sized.
+    """
+    jvm = spark._jvm
+    collist = ", ".join(f'"{c}"' for c in columns)
+    qs = ", ".join("?" for _ in columns)
+    insert_sql = f'INSERT INTO "{table}" ({collist}) VALUES ({qs})'
+
+    def _set_params(ps, rec: dict) -> None:
+        pmd = ps.getParameterMetaData()
+        for i, c in enumerate(columns, start=1):
+            v = rec.get(c)
+            if v is None:
+                ps.setNull(i, pmd.getParameterType(i))
+            else:
+                ps.setObject(i, v)
+
+    def write_batch(batch: list[dict]) -> None:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            conn.setAutoCommit(False)
+            ps = conn.prepareStatement(insert_sql)
+            try:
+                try:
+                    for rec in batch:
+                        _set_params(ps, rec)
+                        ps.addBatch()
+                    ps.executeBatch()
+                    conn.commit()
+                    return
+                except Exception as batch_exc:
+                    conn.rollback()
+                    # probe each record in-transaction to find the
+                    # offenders; nothing from the probe is ever committed
+                    bad: list[int] = []
+                    reason = str(batch_exc)
+                    for idx, rec in enumerate(batch):
+                        try:
+                            _set_params(ps, rec)
+                            ps.executeUpdate()
+                        except Exception as rec_exc:
+                            bad.append(idx)
+                            reason = _sql_state(rec_exc) or str(rec_exc)
+                    conn.rollback()
+                    if not bad:
+                        # batch-level failure with no per-record culprit
+                        # (lock timeout, connection loss): not a
+                        # rejection — fail the batch so it retries
+                        raise batch_exc
+                    raise RejectedRecords(bad, reason) from batch_exc
+            finally:
+                ps.close()
+        finally:
+            conn.close()
+
+    return write_batch
+
+
+def jdbc_repair_sink(
+    url: str,
+    table: str,
+    columns: tuple[str, ...],
+    batch_size: int | None = None,
+    on_rejected=None,
+):
+    """``foreachBatch`` callable: chunked rejecting-writer inserts with
+    per-record repair — the full reference sink contract
+    (TimestreamSink.java:28-142: size-triggered flush + rejection
+    repair; partial batches always flush) against a JDBC target.
+    Row iteration is a driver-side ``toLocalIterator`` (streamed, one
+    partition in memory at a time) because the repair probe needs the
+    JVM connection — use ``jdbc_point_sink`` (Spark's executor-parallel
+    JDBC writer) when the target enforces nothing the plan can't
+    pre-validate."""
+    from .sink import DEFAULT_BATCH_SIZE, write_chunked
+
+    def write(batch_df, epoch_id: int) -> None:
+        wb = jdbc_rejecting_batch_writer(
+            batch_df.sparkSession, url, table, columns
+        )
+        write_chunked(
+            batch_df.toLocalIterator(),
+            wb,
+            batch_size or DEFAULT_BATCH_SIZE,
+            on_rejected,
         )
 
     return write

@@ -163,3 +163,113 @@ def test_upsert_delete_failure_fails_the_batch(spark):
     write = jdbc_upsert_sink(url, "wrongshape", ("k",))
     with pytest.raises(Exception, match="(?i)column|42X04"):
         write(batch, 0)
+
+
+def test_jdbc_rejection_repair_poisoned_batch(spark):
+    """The reference's per-record rejection repair
+    (TimestreamSink.java:103-120) against a REAL writer: a Derby table
+    with a NOT NULL constraint receives a poisoned batch — the k
+    offending records are identified by the in-transaction probe,
+    reported through on_rejected with their reason, and exactly n-k
+    rows land; the happy path stays one atomic batch insert."""
+    from kda_flink_app_timestream_spark.streaming.jdbc import (
+        jdbc_rejecting_batch_writer,
+    )
+    from kda_flink_app_timestream_spark.streaming.sink import write_chunked
+
+    url = "jdbc:derby:memory:kda_reject;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    stmt = conn.createStatement()
+    stmt.executeUpdate(
+        'CREATE TABLE "pts" ("measure_name" VARCHAR(64) NOT NULL, '
+        '"measure_value" DOUBLE)'
+    )
+    stmt.close()
+    conn.close()
+
+    n, poisoned = 23, {3, 11, 12, 20}  # spread across 5-record chunks
+    rows = [
+        {
+            "measure_name": None if i in poisoned else f"latency_{i}",
+            "measure_value": float(i),
+        }
+        for i in range(n)
+    ]
+    rejected_reports = []
+
+    def on_rejected(bad, rr):
+        rejected_reports.append((bad, rr.reason))
+
+    wb = jdbc_rejecting_batch_writer(spark, url, "pts", ("measure_name", "measure_value"))
+    written, rejected = write_chunked(rows, wb, batch_size=5, on_rejected=on_rejected)
+
+    assert (written, rejected) == (n - len(poisoned), len(poisoned))
+    landed = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", '"pts"')
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+        .collect()
+    )
+    assert len(landed) == n - len(poisoned)
+    assert {r["measure_value"] for r in landed} == {
+        float(i) for i in range(n) if i not in poisoned
+    }
+    # every rejection was reported with the SQL-state reason
+    reported = [rec for bad, _ in rejected_reports for rec in bad]
+    assert {r["measure_value"] for r in reported} == {float(i) for i in poisoned}
+    assert all(reason == "23502" for _, reason in rejected_reports)  # NOT NULL
+
+
+def test_jdbc_repair_sink_streaming_end_to_end(spark, tmp_path):
+    """The full sink contract through a streaming foreachBatch: blobs
+    missing EndTime parse to NULL time, violate the target's NOT NULL
+    constraint, get repaired out per-record; the good records land."""
+    from kda_flink_app_timestream_spark.streaming.jdbc import jdbc_repair_sink
+
+    url = "jdbc:derby:memory:kda_repair_stream;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    stmt = conn.createStatement()
+    stmt.executeUpdate(
+        'CREATE TABLE "rpts" ("time" TIMESTAMP NOT NULL, '
+        '"measure_value_double" DOUBLE)'
+    )
+    stmt.close()
+    conn.close()
+
+    src = str(tmp_path / "src")
+    good = [f"Time={i}.5 ms\nEndTime={1_700_000_000_000 + i}" for i in range(20)]
+    bad = ["Time=9.9 ms\nProgram=NoEndTime", "Time=8.8 ms\nEOE"]
+    spark.createDataFrame([(v,) for v in good + bad], ["value"]).coalesce(
+        1
+    ).write.json(src)
+
+    rejects = []
+    sink = jdbc_repair_sink(
+        url,
+        "rpts",
+        ("time", "measure_value_double"),
+        batch_size=7,
+        on_rejected=lambda bad_recs, rr: rejects.extend(bad_recs),
+    )
+    stream = spark.readStream.schema("value string").json(src)
+    q = (
+        parse_service_logs(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    landed = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", '"rpts"')
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+    )
+    assert landed.count() == 20
+    assert len(rejects) == 2
+    assert all(r["time"] is None for r in rejects)
