@@ -48,13 +48,194 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return df.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB: pixel decode requires an image library not present in this
-    container. The signature and schema are the real contract."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv (not in this environment); "
-        "plug a decoder into byte_histogram_features's mapInPandas loop"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG writer (pure stdlib zlib + the public PNG spec):
+    8-bit grayscale/RGB/RGBA, non-interlaced, filter 0 scanlines. The
+    fixture generator for the decode path — synthetic image payloads in
+    tests and catalog queries come from here."""
+    import binascii
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+    if arr.ndim == 2:
+        color_type = 0
+    elif arr.shape[2] == 3:
+        color_type = 2
+    elif arr.shape[2] == 4:
+        color_type = 6
+    else:
+        raise ValueError(f"unsupported channel count {arr.shape[2]}")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
     )
+
+
+def decode_png(data: bytes):
+    """Minimal PNG reader (pure stdlib, public spec): 8-bit
+    grayscale/RGB/RGBA, non-interlaced, all five scanline filters
+    (None/Sub/Up/Average/Paeth), CRC-verified chunks. Returns a numpy
+    uint8 array (h, w) or (h, w, channels). Raises ValueError on
+    anything outside that envelope — callers degrade the row, not the
+    batch."""
+    import binascii
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if bytes(data[:8]) != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat = 8, b""
+    w = h = color_type = None
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = bytes(data[pos + 4 : pos + 8])
+        body = bytes(data[pos + 8 : pos + 8 + length])
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if binascii.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = w * channels
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("scanline data size mismatch")
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need the left pixel
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    line[i] = (line[i] + a) & 0xFF
+                elif f == 3:
+                    line[i] = (line[i] + (a + b) // 2) & 0xFF
+                else:  # Paeth predictor, per the spec
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter {f}")
+        prev = line
+        img[y] = line.astype(np.uint8)
+    return img.reshape(h, w, channels) if channels > 1 else img.reshape(h, w)
+
+
+def _decode_payload_bytes(payload: bytes):
+    """One payload → pixel array. Prefers PIL when installed (any
+    format it knows); falls back to the built-in PNG reader, so the
+    decode path is REAL in environments without image libraries. Raises
+    on undecodable payloads — the mapInPandas wrapper degrades the row."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # optional dependency, absent in CI
+
+        import numpy as np
+
+        with Image.open(BytesIO(bytes(payload))) as im:
+            return np.asarray(im)
+    except ImportError:
+        return decode_png(bytes(payload))
+
+
+def decode_image(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode over a binary payload column (completes the
+    multimodal story the r1-r4 stub documented): Arrow-batched
+    ``mapInPandas``, one decoded row per payload with dimensions,
+    channel count, and an exact pixel checksum (sum of all channel
+    values — the deterministic, engine-portable stand-in for a feature
+    vector). A payload that fails to decode (wrong format, corrupt
+    bytes, unsupported variant) emits ``decode_ok = false`` with NULL
+    features instead of failing the micro-batch — per-record
+    degradation, the same posture as the sink's rejection repair.
+
+    Decoder selection is feature-gated per executor: PIL when
+    installed, else the built-in pure-stdlib PNG reader — so the path
+    executes (not just type-checks) in this container. At 100 TB the
+    payload column stays unprojected until this operator, Arrow batch
+    size bounds executor memory, and the per-row python work is the
+    codec itself — the irreducible cost of a decode stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok, ws, hs, cs, sums = [], [], [], [], []
+            for payload in pdf[payload_col]:
+                try:
+                    arr = _decode_payload_bytes(payload)
+                    h, w = arr.shape[:2]
+                    c = 1 if arr.ndim == 2 else arr.shape[2]
+                    ok.append(True)
+                    ws.append(w)
+                    hs.append(h)
+                    cs.append(c)
+                    sums.append(int(arr.sum(dtype="int64")))
+                except Exception:
+                    ok.append(False)
+                    ws.append(None)
+                    hs.append(None)
+                    cs.append(None)
+                    sums.append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "decode_ok": pd.Series(ok, dtype="bool"),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "channels": pd.Series(cs, dtype="Int32"),
+                    "pixel_checksum": pd.Series(sums, dtype="Int64"),
+                }
+            )
+
+    schema = (
+        f"{id_col} long, decode_ok boolean, width int, height int, "
+        "channels int, pixel_checksum long"
+    )
+    return scatter(df).mapInPandas(run, schema=schema)
 
 
 def byte_histogram_features(

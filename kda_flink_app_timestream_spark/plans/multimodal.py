@@ -157,3 +157,67 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     any relational table."""
     d = load_table(spark, sf_dir, "documents")
     return byte_histogram_features(attach_payload(d))
+
+
+# The encode->decode round trip is the identity on pixels, so the
+# oracle computes the SAME stats directly from the deterministic pixel
+# formula — a real decode bug (filter math, channel order, dimension
+# swap) breaks the checksum. Corrupt payloads (every 10th doc gets its
+# PNG magic clobbered) must degrade per-row.
+_DECODE_W, _DECODE_H = 16, 12
+_DECODE_ORACLE = f"""
+SELECT doc_id,
+       (doc_id % 10 <> 0) AS decode_ok,
+       CASE WHEN doc_id % 10 <> 0 THEN {_DECODE_W} END AS width,
+       CASE WHEN doc_id % 10 <> 0 THEN {_DECODE_H} END AS height,
+       CASE WHEN doc_id % 10 <> 0 THEN 1 END AS channels,
+       CASE WHEN doc_id % 10 <> 0 THEN (
+           SELECT CAST(sum((doc_id * 31 + i * 7) % 256) AS BIGINT)
+           FROM range({_DECODE_W * _DECODE_H}) t(i)
+       ) END AS pixel_checksum
+FROM documents
+"""
+
+
+@query(
+    "multimodal_image_decode",
+    oracle=_DECODE_ORACLE,
+    tags=("multimodal", "image", "decode", "pandas-udf"),
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (closes the r1-r4 stub): each doc
+    gets a deterministic 16×12 grayscale image (pixel i = (doc_id·31 +
+    i·7) mod 256) ENCODED to actual PNG bytes and DECODED back through
+    ``decode_image`` — PIL when installed, else the built-in
+    pure-stdlib PNG reader — inside Arrow-batched ``mapInPandas``.
+    Every 10th payload is corrupted (magic clobbered) and must emit
+    ``decode_ok = false`` with NULL features rather than failing the
+    batch. The oracle recomputes dimensions/channels/checksum from the
+    pixel formula: encode→decode is the identity, so any codec defect
+    hash-mismatches."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_image, encode_png
+
+    w, h = _DECODE_W, _DECODE_H
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                px = ((int(doc_id) * 31 + np.arange(w * h) * 7) % 256).astype(
+                    np.uint8
+                ).reshape(h, w)
+                png = encode_png(px)
+                if int(doc_id) % 10 == 0:
+                    png = b"\x00" * 8 + png[8:]  # clobber the magic
+                payloads.append(png)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_png = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    return decode_image(with_png)
