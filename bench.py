@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     "text_length_bucketing",
     "sim_cluster_diversity",
     "timeseries_rate_of_change",
+    # r5: the two new non-trivial paths — full PNG encode+decode through
+    # mapInPandas (the per-row python codec cost is the point), and the
+    # incremental Kinesis produce->poll->parse machinery
+    "multimodal_image_decode",
+    "kinesis_incremental_consume",
 ]
 
 
@@ -154,6 +159,27 @@ def main() -> None:
             # either way, so timings are unaffected
             spark.catalog.clearCache()
 
+    # one-shot FULL sweep (VERDICT r4 #6): every registered query not in
+    # the regression list above runs ONCE so no query's cost is unknown;
+    # surprises (> 2 s) are called out separately. Single-pass times on
+    # this host carry 4-10x contention noise — treat the >2s list as a
+    # triage queue, not a regression gate (that's what BENCH_QUERIES is
+    # for).
+    full_sweep: dict[str, float] = {}
+    for name in registry:
+        if name in timings:
+            continue
+        t0 = time.perf_counter()
+        try:
+            registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            full_sweep[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # a sweep failure must be visible, not fatal
+            full_sweep[name] = -1.0
+            print(f"full_sweep FAILED {name}: {ex}", file=sys.stderr)
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     # tier split (VERDICT r3 #7): queries tagged `test-config` are
     # oracle-pinned configurations deliberately retained for the
@@ -176,6 +202,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "tiers": tiers,
+                "full_sweep": full_sweep,
+                "full_sweep_over_2s": sorted(
+                    n for n, v in full_sweep.items() if v > 2.0 or v < 0
+                ),
                 "sf": sf,
             }
         )

@@ -448,3 +448,57 @@ def test_connected_components_star_vs_truth_and_path_depth(spark):
         for r in connected_components_propagation(small).collect()
     }
     assert prop == truth(cases["two_components"])
+
+
+def test_aqe_skew_join_splits_hot_key_unsalted(spark):
+    """Production guidance, measured (VERDICT r4 #8): for pure JOIN
+    skew, AQE's skew-join handles a pathological hot key UNSALTED — the
+    final adaptive plan carries SortMergeJoin(skew=true) with a skewed
+    AQEShuffleRead, i.e. the hot partition was split at runtime without
+    any manual salting — and the result matches the logical join. The
+    skew thresholds here are scaled to test data volume (64KB where
+    production defaults are 256MB; the *ratio* partition/median that
+    triggers the split is the same mechanism). Manual salting
+    (``salted_join``) remains the tool for the cases AQE cannot split:
+    WINDOW/groupBy partitions and joins below its size thresholds."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one hot key carrying 200k of ~201k rows — the unsalted hash
+        # partitioning sends it all to a single reducer
+        big = spark.range(0, 200_000).select(
+            (F.col("id") * 0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(0, 800).select((F.col("id") % 8 + 1).alias("k"), F.col("id").alias("v"))
+        )
+        dim = spark.range(0, 9).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        joined = big.join(dim, "k").select(
+            F.sum(F.col("v") + F.col("w")).alias("s"), F.count("*").alias("n")
+        )
+        row = joined.collect()[0]
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the hot partition"
+        assert "skewed" in plan, "no skewed AQEShuffleRead in the final plan"
+        # correctness unchanged by the runtime split
+        expected_n = 200_000 + 800
+        expected_s = sum(range(200_000)) + 0 * 200_000 + sum(
+            (i % 8 + 1) * 10 + i for i in range(800)
+        )
+        assert (row["n"], row["s"]) == (expected_n, expected_s)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
