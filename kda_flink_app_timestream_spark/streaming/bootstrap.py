@@ -60,3 +60,51 @@ def initialize(spark: SparkSession, database: str, table: str) -> None:
     (StreamingJob.java:176-178)."""
     create_database(spark, database)
     create_table(spark, database, table)
+
+
+def initialize_timestream_boto3(
+    database: str,
+    table: str,
+    *,
+    region: str = "us-east-1",
+    endpoint_url: str | None = None,
+    client_kwargs: dict | None = None,
+    memory_retention_hours: int = MEMORY_RETENTION_HOURS,
+    magnetic_retention_days: int = MAGNETIC_RETENTION_DAYS,
+) -> None:
+    """The boto3 control-plane bootstrap against a REAL Timestream
+    endpoint (or LocalStack / the in-process
+    ``timestream_fake.FakeTimestream``): exactly
+    TimestreamInitializer.java:17-58 — create database then table,
+    catching ``ConflictException`` for idempotence (:36-39, :53-56),
+    with the reference's retention tiers (24 h memory / 7 d magnetic,
+    :12-13, 47-50). The Spark-catalog variant above stays the default
+    for SQL targets; this is the path a real Timestream deployment
+    runs eagerly before starting the query (StreamingJob.java:176-178).
+    """
+    try:
+        import boto3
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("boto3 required for the Timestream bootstrap") from exc
+
+    client = boto3.client(
+        "timestream-write",
+        region_name=region,
+        endpoint_url=endpoint_url,
+        **(client_kwargs or {}),
+    )
+    try:
+        client.create_database(DatabaseName=database)
+    except client.exceptions.ConflictException:
+        pass  # TimestreamInitializer.java:36-39
+    try:
+        client.create_table(
+            DatabaseName=database,
+            TableName=table,
+            RetentionProperties={
+                "MemoryStoreRetentionPeriodInHours": memory_retention_hours,
+                "MagneticStoreRetentionPeriodInDays": magnetic_retention_days,
+            },
+        )
+    except client.exceptions.ConflictException:
+        pass  # TimestreamInitializer.java:53-56

@@ -146,11 +146,17 @@ def timestream_backend_factory(
     *,
     max_retries: int = 10,  # maxErrorRetry, TimestreamSink.java:61
     timeout_s: int = 20,  # requestTimeout, TimestreamSink.java:60
+    endpoint_url: str | None = None,
+    client_kwargs: dict[str, Any] | None = None,
 ):
     """Production backend: Amazon Timestream ``write_records`` via boto3
     (TimestreamSink.java:90-101), translating per-record rejections into
-    the ``RejectedRecords`` protocol (:103-120). boto3 isn't installed in
-    this environment — gated behind import."""
+    the ``RejectedRecords`` protocol (:103-120). ``endpoint_url`` points
+    it at a LocalStack / in-process fake endpoint
+    (``timestream_fake.FakeTimestream``) — the factory is constructed on
+    the EXECUTOR, so the whole path (client build, request signing, wire
+    shape, rejection parse) runs for real in tests; gated behind the
+    boto3 import for environments without it."""
 
     def factory():
         try:
@@ -165,11 +171,13 @@ def timestream_backend_factory(
         client = boto3.client(
             "timestream-write",
             region_name=region,
+            endpoint_url=endpoint_url,
             config=Config(
                 retries={"max_attempts": max_retries},
                 read_timeout=timeout_s,
                 max_pool_connections=500,
             ),
+            **(client_kwargs or {}),
         )
 
         def write_batch(batch):

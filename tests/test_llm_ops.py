@@ -417,9 +417,13 @@ def test_frame_sample_explodes(spark):
     assert sorted(by_doc[2]) == [0]
 
 
-def test_decode_image_is_honest_stub(spark, docs):
-    with pytest.raises(NotImplementedError):
-        decode_image(attach_payload(docs))
+def test_decode_image_rejects_non_image_payload(spark, docs):
+    """decode_image is no longer a stub (r5) — but a text payload is
+    not an image: every such row must degrade to decode_ok=false, not
+    crash the batch or return fabricated pixels."""
+    out = decode_image(attach_payload(docs)).collect()
+    assert out and all(r["decode_ok"] is False for r in out)
+    assert all(r["pixel_checksum"] is None for r in out)
 
 
 # --- curation operators ------------------------------------------------------
