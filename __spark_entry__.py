@@ -78,16 +78,8 @@ _RESCORE_AFTER = {
     "asof_join_forward_tolerance": 4,
     #   integer-quantized projection oracle (plans/similarity.py)
     "sim_random_projection": 4,
-    #   streaming staging rewritten to multi-file / maxFilesPerTrigger=1
-    #   (every streaming query now genuinely crosses >=3 micro-batches)
-    "stream_tumbling_events": 4,
-    "stream_sliding_events": 4,
-    "stream_session_windows": 4,
-    "stream_interval_join": 4,
-    "stream_dedup_minhash_bands": 4,
-    "stream_dedup_keys": 4,
-    "stream_stateful_running_counts": 4,
-    "stream_static_enrichment_join": 4,
+    #   (the r4 staging-rewrite flags for the stream_* family are
+    #   superseded by the r5 block below — same names, keyed 5)
     #   k-means assignment vectorized path + cached update rounds
     #   (operators/clustering.py — results proven identical, rescore anyway)
     "sim_kmeans_clusters": 4,
@@ -111,6 +103,20 @@ _RESCORE_AFTER = {
     #   production CC — every CC consumer needs a post-change row
     "dedup_cluster_representatives": 5,
     "dedup_collapse_then_clusters": 5,
+    #   stream staging rewritten to build-then-atomic-rename (ADVICE r4
+    #   concurrency): staged CONTENT is unchanged, but per the r2 lesson
+    #   every query whose implementation file changed gets a post-change
+    #   row (the window fits all of these plus the 26 r1-stale greens)
+    "stream_tumbling_events": 5,
+    "stream_sliding_events": 5,
+    "stream_session_windows": 5,
+    "stream_interval_join": 5,
+    "stream_dedup_minhash_bands": 5,
+    "stream_dedup_keys": 5,
+    "stream_stateful_running_counts": 5,
+    "stream_static_enrichment_join": 5,
+    "stream_model_inference": 5,
+    "stream_leftouter_interval_join": 5,
 }
 
 
