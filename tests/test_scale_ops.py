@@ -109,6 +109,11 @@ def test_salted_join_rejects_right_preserving_joins(spark):
         # partitioning; funnel stages are hash aggregates over user_id
         ("timeseries_ohlc", ["Window", "HashAggregate"]),
         ("events_funnel_conversion", ["HashAggregate"]),
+        # r5 additions: the typed-measure projection must stay a pure
+        # scan-side projection (no Exchange anywhere), and the image
+        # decode must be a shuffle-free chain of Arrow stages
+        ("parse_typed_measures", ["Scan parquet", "Project"]),
+        ("multimodal_image_decode", ["MapInPandas", "Scan parquet"]),
     ],
 )
 def test_headline_plans_have_expected_operators(spark, sf_dir, name, expectations):
@@ -502,3 +507,20 @@ def test_aqe_skew_join_splits_hot_key_unsalted(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_typed_measures_and_decode_are_exchange_free(spark, sf_dir):
+    """The two r5 projection-shaped queries must plan with ZERO
+    key-based shuffles: typed measures is a scan-side CASE WHEN
+    projection (no Exchange at all); image decode is mapInPandas
+    chained on the scan — its only Exchange is ``scatter``'s deliberate
+    round-robin that spreads the CPU-bound codec over cores (a
+    REPARTITION_BY_NUM, never a hash partitioning)."""
+    plan = _physical_plan(REGISTRY["parse_typed_measures"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, f"typed measures shuffles:\n{plan[:1500]}"
+
+    plan = _physical_plan(REGISTRY["multimodal_image_decode"].fn(spark, sf_dir))
+    assert "hashpartitioning" not in plan, f"decode hash-shuffles:\n{plan[:1500]}"
+    assert plan.count("Exchange") == plan.count("RoundRobinPartitioning"), (
+        f"decode has a non-scatter Exchange:\n{plan[:1500]}"
+    )
