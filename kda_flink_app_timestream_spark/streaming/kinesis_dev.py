@@ -334,6 +334,7 @@ class KinesisMicroBatchPoller:
             )["ShardIterator"]
         rows: list[tuple] = []
         last_seq, retired, first = after_seq, False, True
+        stalled, prev_behind = 0, None
         while it:
             if not first and self._interval_s > 0:
                 # SHARD_GETRECORDS_INTERVAL_MILLIS pacing between repeat
@@ -343,6 +344,28 @@ class KinesisMicroBatchPoller:
             resp = self._client.get_records(
                 ShardIterator=it, Limit=self._max_per_get
             )
+            # same stall guard as the snapshot reader: empty pages are
+            # normal mid-drain, but consecutive empties with no
+            # MillisBehindLatest progress mean a throttled/stuck
+            # endpoint — fail LOUDLY rather than spin forever (the
+            # checkpoint was not advanced, so the next poll retries
+            # this batch cleanly)
+            behind = resp.get("MillisBehindLatest", 0)
+            if resp["Records"]:
+                stalled = 0
+            elif behind != 0:
+                stalled = (
+                    stalled + 1
+                    if prev_behind is not None and behind >= prev_behind
+                    else 0
+                )
+                if stalled > 100:
+                    raise RuntimeError(
+                        f"KinesisMicroBatchPoller stalled on shard {shard_id}: "
+                        f"{stalled} consecutive empty GetRecords pages with no "
+                        f"MillisBehindLatest progress (still {behind} ms behind)"
+                    )
+            prev_behind = behind
             done = False
             for rec in resp["Records"]:
                 if end_seq is not None and int(rec["SequenceNumber"]) > int(end_seq):

@@ -389,3 +389,40 @@ def test_incremental_poller_resharding_split_then_merge(spark, tmp_path):
             poller.commit(bid)
             collected += [r["value"] for r in df.collect()]
         assert sorted(collected) == sorted(f"merged-{i}" for i in range(6))
+
+
+def test_incremental_poller_stall_guard(spark, tmp_path):
+    """A throttled endpoint that keeps returning empty pages with no
+    MillisBehindLatest progress must fail LOUDLY (the checkpoint wasn't
+    advanced, so the next poll retries cleanly) — never spin forever."""
+    from kda_flink_app_timestream_spark.streaming.kinesis_dev import (
+        KinesisMicroBatchPoller,
+    )
+
+    class StuckClient:
+        def list_shards(self, **kw):
+            return {"Shards": [{"ShardId": "shardId-000000000000"}]}
+
+        def get_shard_iterator(self, **kw):
+            return {"ShardIterator": "it0"}
+
+        def get_records(self, **kw):
+            return {
+                "Records": [],
+                "NextShardIterator": "it0",
+                "MillisBehindLatest": 5000,  # forever behind, never progresses
+            }
+
+    poller = KinesisMicroBatchPoller(
+        spark,
+        "stuck",
+        checkpoint_dir=str(tmp_path / "ck"),
+        boto3_client=StuckClient(),
+        interval_millis=0,
+    )
+    with pytest.raises(RuntimeError, match="stalled on shard"):
+        poller.poll()
+    # nothing was checkpointed: recovery starts batch 0 from scratch
+    import os
+
+    assert os.listdir(str(tmp_path / "ck" / "offsets")) == []
