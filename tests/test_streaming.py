@@ -684,3 +684,35 @@ def test_typed_measure_projection_full_enum(spark):
             for c in ("measure_double", "measure_bigint", "measure_varchar",
                       "measure_boolean")
         )
+
+
+def test_publish_stage_dir_loser_discards_build(tmp_path):
+    """The atomic-staging race contract: when another process already
+    published the stage, the loser's rename fails, its build dir is
+    discarded, and the winner's directory is untouched."""
+    import os
+
+    from kda_flink_app_timestream_spark.plans.streaming_queries import (
+        _publish_stage_dir,
+    )
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    open(os.path.join(stage, "winner.parquet"), "w").write("w")
+
+    build = str(tmp_path / "stage.build-loser")
+    os.makedirs(build)
+    open(os.path.join(build, "loser.parquet"), "w").write("l")
+
+    _publish_stage_dir(build, stage)
+    assert not os.path.exists(build)
+    assert os.listdir(stage) == ["winner.parquet"]
+
+    # and a genuine failure (no stage, rename impossible) propagates
+    import pytest as _pytest
+
+    missing_parent = str(tmp_path / "no" / "such" / "stage")
+    build2 = str(tmp_path / "stage.build-2")
+    os.makedirs(build2)
+    with _pytest.raises(OSError):
+        _publish_stage_dir(build2, missing_parent)
