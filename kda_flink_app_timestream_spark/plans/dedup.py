@@ -660,3 +660,76 @@ def dedup_collapse_then_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") > final_rep).alias("is_duplicate"),
         )
     )
+
+
+def _minhash_eval_oracle() -> str:
+    from ..functions.exact import sql_floor_round
+
+    exact = _ngram_overlap_oracle()
+    mh = _minhash_oracle()
+    prec = sql_floor_round("b.n_both", "(SELECT count(*) FROM m)", 4)
+    rec = sql_floor_round("b.n_both", "(SELECT count(*) FROM e)", 4)
+    return f"""
+WITH e AS (SELECT doc_a, doc_b FROM ({exact}) x),
+m AS (SELECT doc_a, doc_b FROM ({mh}) y),
+b AS (SELECT count(*) AS n_both FROM e JOIN m USING (doc_a, doc_b))
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM m) AS BIGINT) AS n_minhash,
+       CAST(b.n_both AS BIGINT) AS n_both,
+       {prec} / 10000.0 AS precision_minhash,
+       {rec} / 10000.0 AS recall_minhash
+FROM b
+"""
+
+
+@query(
+    "dedup_minhash_eval",
+    oracle=_minhash_eval_oracle(),
+    tags=("dedup", "minhash", "evaluation"),
+)
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality EVALUATION (the near-dup analog of
+    ``sim_ann_recall``): precision/recall of the MinHash+LSH candidate
+    path against exact n-gram Jaccard ground truth at the same 0.3
+    threshold, as one metrics row — the measurement a pipeline owner
+    uses to tune bands/hashes before trusting approximate dedup at
+    100 TB. Both pair sets come from the production operators (banded
+    candidates, inverted-index exact scoring — no all-pairs stage on
+    either side); the intersection is a join of two narrow (doc_a,
+    doc_b) frames; ratios round through the exact integer half-up
+    formula so the single output row hash-matches the oracle, whose two
+    CTE bodies are the SAME generated SQL the individual pair queries
+    run."""
+    from ..functions.exact import floor_round
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(tokens(F.col("text"))) >= 3
+    )
+    exact = exact_jaccard_pairs(d, threshold=JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    mh = minhash_near_dup_pairs(d, threshold=JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    counts = (
+        exact.withColumn("__e", F.lit(1))
+        .join(mh.withColumn("__m", F.lit(1)), ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.count("__e").alias("n_exact"),
+            F.count("__m").alias("n_minhash"),
+            F.count(F.when(F.col("__e").isNotNull() & F.col("__m").isNotNull(), 1)).alias(
+                "n_both"
+            ),
+        )
+    )
+    return counts.select(
+        "n_exact",
+        "n_minhash",
+        "n_both",
+        (floor_round(F.col("n_both"), F.col("n_minhash"), 4) / 10000.0).alias(
+            "precision_minhash"
+        ),
+        (floor_round(F.col("n_both"), F.col("n_exact"), 4) / 10000.0).alias(
+            "recall_minhash"
+        ),
+    )
