@@ -132,7 +132,13 @@ def typed_measure_projection(
     return df.withColumns(
         {
             type_col: t,
-            "measure_type_valid": t.isin(*MEASURE_VALUE_TYPES),
+            # coalesce: a NULL tag (upstream parse miss) must read as
+            # INVALID, not NULL — a NULL here vanishes from BOTH sides
+            # of a valid/~valid routing split and the row never reaches
+            # the repair path
+            "measure_type_valid": F.coalesce(
+                t.isin(*MEASURE_VALUE_TYPES), F.lit(False)
+            ),
             "measure_double": F.when(t == "DOUBLE", v.try_cast("double")),
             "measure_bigint": F.when(t == "BIGINT", v.try_cast("long")),
             "measure_varchar": F.when(t == "VARCHAR", v),

@@ -541,7 +541,10 @@ def connected_components(
             break
     if not converged:
         # silently returning partial labels would make cluster
-        # representatives disagree with the true transitive closure
+        # representatives disagree with the true transitive closure.
+        # (release the cached base first: a driver that catches and
+        # retries must not accumulate a pinned edge set per attempt)
+        e0.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "large-star/small-star rounds — max_iter is set far above the "

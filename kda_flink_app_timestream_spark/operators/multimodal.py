@@ -107,6 +107,11 @@ def decode_png(data: bytes):
     w = h = color_type = None
     while pos + 12 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 12 + length > len(data):
+            # the documented contract is ValueError on any malformed
+            # input — without this, a declared length overrunning the
+            # buffer surfaces as struct.error from the short CRC slice
+            raise ValueError("truncated chunk")
         tag = bytes(data[pos + 4 : pos + 8])
         body = bytes(data[pos + 8 : pos + 8 + length])
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])

@@ -119,20 +119,13 @@ def parse_typed_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.parse import typed_measure_projection
 
     e = load_table(spark, sf_dir, "events")
-    up = F.upper(
-        F.element_at(
-            F.array(
-                *[F.lit(x) for x in ("DOUBLE", "bigint", "Varchar", "BOOLEAN", "garbage")]
-            ),
-            (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("int"),
-        )
-    )
     raw_tag = F.element_at(
         F.array(
             *[F.lit(x) for x in ("DOUBLE", "bigint", "Varchar", "BOOLEAN", "garbage")]
         ),
         (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("int"),
     )
+    up = F.upper(raw_tag)
     val = (
         F.when(up == "DOUBLE", F.col("value").cast("string"))
         .when(up == "BIGINT", F.col("user_id").cast("string"))
@@ -183,6 +176,7 @@ def kinesis_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     — streaming/source.py); decode + parse run as Spark plans.
     """
     import gzip as _gzip
+    import shutil
     import tempfile
 
     from ..streaming.kinesis_dev import KinesisMicroBatchPoller
@@ -216,24 +210,33 @@ def kinesis_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
             aws_secret_access_key="test",
         )
         client.create_stream(StreamName="events-log", ShardCount=4)
-        poller = KinesisMicroBatchPoller(
-            spark,
-            "events-log",
-            checkpoint_dir=tempfile.mkdtemp(prefix="kinesis_inc_ckpt_"),
-            boto3_client=client,
-            decode="gzip",
-            interval_millis=0,
-        )
-        for w in (0, 1, 2):
-            recs = [
-                {"Data": _gzip.compress(v.encode()), "PartitionKey": pk}
-                for v, pk in waves[w]
-            ]
-            for i in range(0, len(recs), 500):  # PutRecords API cap
-                client.put_records(StreamName="events-log", Records=recs[i : i + 500])
-            bid, df = poller.poll()
-            batch_dfs.append(df)
-            poller.commit(bid)
+        # the checkpoint only needs to outlive the three polls: remove
+        # it afterwards so repeated bench/verify invocations don't
+        # accumulate dirs in the system tempdir
+        ckpt = tempfile.mkdtemp(prefix="kinesis_inc_ckpt_")
+        try:
+            poller = KinesisMicroBatchPoller(
+                spark,
+                "events-log",
+                checkpoint_dir=ckpt,
+                boto3_client=client,
+                decode="gzip",
+                interval_millis=0,
+            )
+            for w in (0, 1, 2):
+                recs = [
+                    {"Data": _gzip.compress(v.encode()), "PartitionKey": pk}
+                    for v, pk in waves[w]
+                ]
+                for i in range(0, len(recs), 500):  # PutRecords API cap
+                    client.put_records(
+                        StreamName="events-log", Records=recs[i : i + 500]
+                    )
+                bid, df = poller.poll()
+                batch_dfs.append(df)
+                poller.commit(bid)
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
     union = batch_dfs[0]
     for df in batch_dfs[1:]:

@@ -36,18 +36,32 @@ _mem_counter = itertools.count()
 STREAM_SPLIT_FILES = 4
 
 
-def _publish_stage_dir(build: str, stage: str) -> None:
+def _publish_stage_dir(build: str, stage: str, marker: str) -> None:
     """Atomically publish a fully-built stage directory: POSIX
     ``rename(2)`` either installs ``build`` as ``stage`` whole or fails
-    because another process won the race — in which case the loser's
-    build is discarded and the winner's (complete by the same argument)
-    directory is used. No reader can ever observe a partial stage."""
-    try:
-        os.rename(build, stage)
-    except OSError:
-        if not os.path.isdir(stage):
-            raise
-        shutil.rmtree(build, ignore_errors=True)
+    because a directory already sits there. The existing directory is
+    accepted as the winner ONLY if it carries the completeness
+    ``marker`` — a partial stage left behind by a crashed pre-atomic
+    run must not be adopted (it would silently feed every later
+    streaming query a truncated file set); it is removed and the rename
+    retried once. No reader can ever observe a partial published
+    stage."""
+    for attempt in range(2):
+        try:
+            os.rename(build, stage)
+            return
+        except OSError:
+            if not os.path.isdir(stage):
+                raise
+            if os.path.exists(os.path.join(stage, marker)):
+                shutil.rmtree(build, ignore_errors=True)  # complete winner
+                return
+            if attempt == 0:
+                shutil.rmtree(stage, ignore_errors=True)  # stale partial
+    raise RuntimeError(
+        f"could not publish stage {stage}: a marker-less directory keeps "
+        "reappearing (another process repeatedly crashing mid-publish?)"
+    )
 
 
 def _staged_stream_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
@@ -88,7 +102,7 @@ def _staged_stream_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
         load_table(spark, sf_dir, name).repartition(STREAM_SPLIT_FILES).write.mode(
             "overwrite"
         ).parquet(build)
-        _publish_stage_dir(build, stage)
+        _publish_stage_dir(build, stage, "_SUCCESS")
     return stage
 
 
@@ -586,7 +600,7 @@ def _time_ordered_sentinel_stage(spark: SparkSession, sf_dir: str) -> str:
             (t0 + 10 * len(parts), t0 + 10 * len(parts)),
         )
         open(os.path.join(build, "_SENTINEL_OK"), "w").close()
-        _publish_stage_dir(build, stage)
+        _publish_stage_dir(build, stage, "_SENTINEL_OK")
     return stage
 
 

@@ -259,14 +259,25 @@ def jdbc_rejecting_batch_writer(
                 except Exception as batch_exc:
                     conn.rollback()
                     # probe each record in-transaction to find the
-                    # offenders; nothing from the probe is ever committed
+                    # offenders; nothing from the probe is ever
+                    # committed. Each probe runs inside its OWN
+                    # savepoint: on engines where a failed statement
+                    # dooms the whole transaction (PostgreSQL's "current
+                    # transaction is aborted"), a probe without
+                    # savepoints would misclassify every record after
+                    # the first offender as rejected — silent data loss
+                    # invisible on Derby, whose errors are
+                    # statement-level.
                     bad: list[int] = []
                     reason = str(batch_exc)
                     for idx, rec in enumerate(batch):
+                        sp = conn.setSavepoint()
                         try:
                             _set_params(ps, rec)
                             ps.executeUpdate()
+                            conn.releaseSavepoint(sp)
                         except Exception as rec_exc:
+                            conn.rollback(sp)
                             bad.append(idx)
                             reason = _sql_state(rec_exc) or str(rec_exc)
                     conn.rollback()

@@ -129,27 +129,8 @@ def kinesis_snapshot_read(
                     )
             prev_behind = behind
             for rec in resp["Records"]:
-                data = rec["Data"]
-                if isinstance(data, (bytes, bytearray)):
-                    if decode == "none":
-                        # connector contract: CAST(data AS STRING) = UTF-8
-                        value = bytes(data).decode("utf-8", errors="replace")
-                    else:
-                        # a binary decode step follows: latin-1 is
-                        # byte-preserving, and the gzip UDF re-encodes
-                        # latin-1, so raw bytes round-trip exactly
-                        value = bytes(data).decode("latin-1")
-                else:
-                    value = str(data)
-                ts = rec.get("ApproximateArrivalTimestamp")
-                if isinstance(ts, (int, float)):
-                    ts = _dt.datetime.fromtimestamp(ts, tz=_dt.timezone.utc)
-                if ts is not None and ts.tzinfo is not None:
-                    ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-                rows.append(
-                    (value, rec.get("PartitionKey"), rec["SequenceNumber"],
-                     shard_id, ts)
-                )
+                value, pk, seq, ts = _decode_record(rec, decode)
+                rows.append((value, pk, seq, shard_id, ts))
             it = resp.get("NextShardIterator")
 
     df = spark.createDataFrame(rows, SNAPSHOT_SCHEMA)
@@ -380,8 +361,11 @@ class KinesisMicroBatchPoller:
                 break
             if done or (end_seq is not None and last_seq == end_seq):
                 break
-            if resp.get("MillisBehindLatest", 0) == 0 and not resp["Records"]:
-                break  # caught up to the tip
+            if behind == 0:
+                # caught up to the tip — break immediately (records or
+                # not): another GetRecords would only burn one
+                # interval-sleep + one empty RPC per shard per poll
+                break
         return rows, last_seq, retired
 
     def poll(self) -> tuple[int, DataFrame]:

@@ -685,34 +685,60 @@ def test_typed_measure_projection_full_enum(spark):
                       "measure_boolean")
         )
 
+    # a NULL tag must read as INVALID (False), never NULL — a NULL flag
+    # falls out of BOTH branches of a valid/~valid routing split
+    null_tag = spark.createDataFrame(
+        [("7", None)], "measure_value string, measure_value_type string"
+    )
+    r = typed_measure_projection(null_tag).collect()[0]
+    assert r["measure_type_valid"] is False
+    assert r["measure_double"] is None and r["measure_varchar"] is None
+
 
 def test_publish_stage_dir_loser_discards_build(tmp_path):
-    """The atomic-staging race contract: when another process already
-    published the stage, the loser's rename fails, its build dir is
-    discarded, and the winner's directory is untouched."""
+    """The atomic-staging race contract: a COMPLETE existing stage
+    (carries the marker) wins and the loser's build is discarded; a
+    marker-less leftover (crashed pre-atomic run) is replaced by the
+    complete build instead of being silently adopted; a genuinely
+    impossible rename propagates."""
     import os
 
     from kda_flink_app_timestream_spark.plans.streaming_queries import (
         _publish_stage_dir,
     )
 
+    # (a) complete winner already published -> loser discards its build
     stage = str(tmp_path / "stage")
     os.makedirs(stage)
     open(os.path.join(stage, "winner.parquet"), "w").write("w")
+    open(os.path.join(stage, "_SUCCESS"), "w").close()
 
     build = str(tmp_path / "stage.build-loser")
     os.makedirs(build)
     open(os.path.join(build, "loser.parquet"), "w").write("l")
 
-    _publish_stage_dir(build, stage)
+    _publish_stage_dir(build, stage, "_SUCCESS")
     assert not os.path.exists(build)
-    assert os.listdir(stage) == ["winner.parquet"]
+    assert sorted(os.listdir(stage)) == ["_SUCCESS", "winner.parquet"]
 
-    # and a genuine failure (no stage, rename impossible) propagates
+    # (b) stale marker-LESS leftover -> replaced by the complete build
+    stale = str(tmp_path / "stale_stage")
+    os.makedirs(stale)
+    open(os.path.join(stale, "partial.parquet"), "w").write("p")
+
+    build2 = str(tmp_path / "stale_stage.build")
+    os.makedirs(build2)
+    open(os.path.join(build2, "full.parquet"), "w").write("f")
+    open(os.path.join(build2, "_SUCCESS"), "w").close()
+
+    _publish_stage_dir(build2, stale, "_SUCCESS")
+    assert sorted(os.listdir(stale)) == ["_SUCCESS", "full.parquet"]
+
+    # (c) a genuine failure (no parent dir, rename impossible) propagates
     import pytest as _pytest
 
     missing_parent = str(tmp_path / "no" / "such" / "stage")
-    build2 = str(tmp_path / "stage.build-2")
-    os.makedirs(build2)
+    build3 = str(tmp_path / "stage.build-3")
+    os.makedirs(build3)
     with _pytest.raises(OSError):
-        _publish_stage_dir(build2, missing_parent)
+        _publish_stage_dir(build3, missing_parent, "_SUCCESS")
