@@ -102,7 +102,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     from kda_flink_app_timestream_spark.plans import load_all_plans
-    from kda_flink_app_timestream_spark.session import build_spark
+    from kda_flink_app_timestream_spark.session import build_spark, release_deferred
 
     registry = load_all_plans()
     spark = build_spark(app_name="kda-spark-bench")
@@ -156,7 +156,10 @@ def main() -> None:
             # across queries — drop them so a 60+-query session doesn't
             # accumulate dead cached partitions in executor memory
             # (ADVICE r4); each timed run pays its own cache builds
-            # either way, so timings are unaffected
+            # either way, so timings are unaffected; release_deferred
+            # additionally frees localCheckpoint RDDs (clearCache only
+            # touches the SQL cache layer)
+            release_deferred()
             spark.catalog.clearCache()
 
     # one-shot FULL sweep (VERDICT r4 #6): every registered query not in
@@ -178,6 +181,7 @@ def main() -> None:
         except Exception as ex:  # a sweep failure must be visible, not fatal
             full_sweep[name] = -1.0
             print(f"full_sweep FAILED {name}: {ex}", file=sys.stderr)
+        release_deferred()
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)

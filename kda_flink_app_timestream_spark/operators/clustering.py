@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import defer_release
 from ..sources.batch import scatter
 from .similarity import as_double
 
@@ -207,6 +208,7 @@ def kmeans_assign(
     pts = scatter(
         df.select(F.col(id_col).alias("pid"), quantize_vec(F.col(vec_col)).alias("qv"))
     ).cache()
+    defer_release(pts)  # the returned assignment still reads it
     return _lloyd(pts, k, iters).select(
         F.col("pid").alias(id_col),
         F.col("cid").alias("cluster_id"),
@@ -278,6 +280,7 @@ def kmeans_assign_twolevel(
         .select("pid", "qv", F.col("cid").alias("ccid"))
         .cache()
     )
+    defer_release(pts, coarse)
 
     mins = coarse.groupBy("ccid").agg(F.min("pid").alias("pid")).select("pid")
     hash_hit = (
@@ -294,6 +297,7 @@ def kmeans_assign_twolevel(
         .select("ccid", "pid", "qv")
         .cache()
     )
+    defer_release(seeds_df)
     n_seeds = seeds_df.count()
     if n_seeds > seed_collect_cap:
         s = seeds_df.select(

@@ -28,6 +28,7 @@ import hashlib
 
 from ..functions.text import portable_hash64, tokens, word_shingles
 from ..functions.exact import floor_round
+from ..session import defer_release, release_storage
 from ..sources.batch import scatter
 
 NUM_MINHASHES = 8
@@ -189,6 +190,7 @@ def minhash_near_dup_pairs(
     estimate join — without the cache the shingle+hash expression would
     re-evaluate three times."""
     sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes).cache()
+    defer_release(sig)  # the returned pairs frame still reads it
     pairs = lsh_candidate_pairs(
         sig, id_col, num_bands=num_bands, num_hashes=num_hashes,
         max_band_freq=max_band_freq,
@@ -278,6 +280,7 @@ def shingle_overlap_counts(
     # this, and set size is a free F.size() instead of a groupBy(id)
     # shuffle over the whole index
     docs = toked.select(F.col(id_col), hashed.alias("hs")).cache()
+    defer_release(docs)
     sizes = docs.select(F.col(id_col), F.size("hs").alias("n_shingles"))
     sh = docs.select(F.col(id_col), F.explode("hs").alias("shingle"))
 
@@ -292,6 +295,7 @@ def shingle_overlap_counts(
         .select("shingle")
         .cache()
     )
+    defer_release(hot)
     sh_cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # per-doc HOT shingles (short arrays, empty for most docs) let
     # the score stay exact without joining the full shingle sets:
@@ -506,6 +510,14 @@ def connected_components(
     n_e = e0.count()  # materialize through the adaptive SQL path, not .rdd
     e = e0
     converged = False
+    # each round's localCheckpoint pins an RDD in executor storage for
+    # the session's lifetime unless released (ADVICE r5): once round
+    # N+1's frame is materialized (its count() below), round N's frame
+    # has no remaining consumer — unpersist it then. Only the FINAL
+    # round's frame stays alive past the loop: ``rep`` is derived from
+    # it lazily and a localCheckpoint'd frame cannot be recomputed after
+    # unpersist (its lineage is cut by design).
+    prev_ckpt: DataFrame | None = None
     for _ in range(max_iter):
         # ---- large-star ------------------------------------------------
         nbr = e.select(F.col("l").alias("v"), F.col("h").alias("u")).union(
@@ -535,6 +547,9 @@ def connected_components(
         )
         n_small = small.count()
         done = _edge_set_equal(small, n_small, e, n_e)
+        if prev_ckpt is not None:
+            release_storage(prev_ckpt)
+        prev_ckpt = small
         e, n_e = small, n_small
         if done:
             converged = True
@@ -545,6 +560,8 @@ def connected_components(
         # (release the cached base first: a driver that catches and
         # retries must not accumulate a pinned edge set per attempt)
         e0.unpersist()
+        if prev_ckpt is not None:
+            release_storage(prev_ckpt)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "large-star/small-star rounds — max_iter is set far above the "
@@ -561,6 +578,10 @@ def connected_components(
         .distinct()
     )
     e0.unpersist()
+    # the final round's checkpointed frame must outlive this function
+    # (rep reads it lazily and its lineage is cut) — release it once
+    # the consuming query's result has been collected
+    defer_release(e)
     return rep
 
 
@@ -617,6 +638,7 @@ def connected_components_propagation(
             break
     und.unpersist()
     if changed != 0:
+        cached_step.unpersist()
         # silently returning partial labels would make cluster
         # representatives disagree with the true transitive closure
         raise RuntimeError(
@@ -624,4 +646,5 @@ def connected_components_propagation(
             f"({changed} labels still changing); raise max_iter or switch "
             "to large-star/small-star for graphs with diameter > max_iter"
         )
+    defer_release(cached_step)  # final round's cache — rep still reads it
     return rep.select(F.col("node"), F.col("rep").alias("cluster_rep"))

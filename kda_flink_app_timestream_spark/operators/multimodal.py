@@ -4,11 +4,14 @@ structs, with decode / feature-extract / frame-sample operators.
 
 The Spark-side plumbing is real — BinaryType columns, metadata structs,
 Arrow-batched ``mapInPandas`` with explicit output schemas, partition
-shape — while the actual codec step is STUBBED: image/audio libraries
-are not in this container, so ``decode_image`` raises
-NotImplementedError and feature extraction uses a deterministic
-byte-histogram stand-in. Swapping a real decoder into
-``byte_histogram_features``'s inner loop changes nothing structurally.
+shape — and so is the image codec: ``decode_image`` decodes PNG via a
+pure-stdlib zlib/filter codec (``decode_png``) and prefers PIL when it
+is importable (gated import-try), degrading PER ROW — an undecodable
+payload yields ``decode_ok = false`` with NULL features, never a task
+failure. Audio/video stay deterministic stand-ins (byte histogram /
+fixed-stride frame sampling) because those libs aren't in this
+container; swapping a real decoder into the inner loop changes nothing
+structurally.
 
 At 100 TB: payloads dominate row size → keep them in their own parquet
 column (columnar pruning skips them unless selected), size

@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..session import configure_runtime
+from ..session import configure_runtime, release_deferred
 
 
 @dataclass(frozen=True)
@@ -53,6 +53,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             configure_runtime(spark)
+            # release the PREVIOUS query's deferred caches: its result
+            # has been consumed by now (driver/bench/tests collect each
+            # query before building the next), so nothing recomputes
+            release_deferred()
             return fn(spark, sf_dir)
 
         REGISTRY[name] = Query(

@@ -23,6 +23,7 @@ from ..operators.clustering import (
     kmeans_assign_twolevel,
 )
 from ..operators.similarity import embedding_near_dup_pairs
+from ..session import defer_release
 from ..sources.batch import load_table
 from .catalog import query
 from .dedup import COSINE_THRESHOLD
@@ -143,6 +144,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     k ∝ corpus size AND banded sub-bucketing, same output contract."""
     e = load_table(spark, sf_dir, "embeddings")
     asg = kmeans_assign(e, k=KMEANS_K, iters=KMEANS_ITERS).cache()
+    defer_release(asg)
     with_cluster = e.join(asg.select("vec_id", "cluster_id"), "vec_id")
     pairs = embedding_near_dup_pairs(
         with_cluster, threshold=COSINE_THRESHOLD, block_col="cluster_id", n_bands=0
@@ -275,6 +277,7 @@ def dedup_semantic_prune_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame
         e, k=k, iters=KMEANS_ITERS,
         target_cluster_size=TARGET_CLUSTER_SIZE, seed_tag=_SEED_TAG,
     ).cache()
+    defer_release(asg)
     with_cluster = e.join(asg.select("vec_id", "cluster_id"), "vec_id")
     pairs = embedding_near_dup_pairs(
         with_cluster, threshold=COSINE_THRESHOLD, block_col="cluster_id"
@@ -394,6 +397,7 @@ def dedup_semantic_prune_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     k = scaled_k(e.count())
     asg = kmeans_assign(e, k=k, iters=KMEANS_ITERS).cache()
+    defer_release(asg)
     with_cluster = e.join(asg.select("vec_id", "cluster_id"), "vec_id")
     pairs = embedding_near_dup_pairs(
         with_cluster, threshold=COSINE_THRESHOLD, block_col="cluster_id"

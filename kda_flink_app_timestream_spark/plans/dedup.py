@@ -25,6 +25,7 @@ from ..operators.dedup import (
     simhash,
 )
 from ..operators.similarity import embedding_near_dup_pairs
+from ..session import defer_release
 from ..sources.batch import load_table
 from .catalog import query
 
@@ -574,6 +575,7 @@ def dedup_lineage_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    defer_release(parent, nodes)  # the recursion reads both per level
     parent.createOrReplaceTempView(_LINEAGE_PARENT_VIEW)
     nodes.createOrReplaceTempView(_LINEAGE_NODES_VIEW)
     return spark.sql(
@@ -641,6 +643,7 @@ def dedup_collapse_then_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # propagation rounds) and the final doc_map join — uncached, the
     # second branch re-scans documents and re-shuffles full texts
     groups = d.groupBy("text").agg(F.min("doc_id").alias("g")).cache()
+    defer_release(groups)
     collapsed = groups.filter(F.size(tokens(F.col("text"))) >= 3).select(
         F.col("g").alias("doc_id"), "text"
     )

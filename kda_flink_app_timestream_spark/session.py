@@ -98,6 +98,62 @@ def resolve_config(
     return merged
 
 
+# --- deferred storage release ------------------------------------------
+#
+# Plan functions cache/persist/localCheckpoint intermediates that the
+# RETURNED (lazy) DataFrame still needs — unpersisting before the caller
+# collects would either recompute expensive pipelines or (for
+# checkpointed frames, whose lineage is cut) fail outright. But never
+# unpersisting accumulates one pinned frame per query across the
+# driver's 50-query correctness sweep (VERDICT r5). Contract: a plan fn
+# registers every cached frame it leaves alive via ``defer_release``;
+# the catalog's ``query`` wrapper drains the pending list when the NEXT
+# query is built (by which point the previous query's result has been
+# consumed — the driver, bench, and tests all collect each result before
+# moving on), and ``release_deferred`` lets a session end clean. So no
+# plan-function cache outlives its query by more than one query build.
+
+_PENDING_RELEASES: list = []
+
+
+def defer_release(*frames) -> None:
+    """Register cached/persisted/localCheckpoint-ed frames for release
+    once the current query's result has been consumed (drained at the
+    next catalog-query build, or explicitly via ``release_deferred``).
+    Do NOT use the frames after the drain: a checkpointed frame cannot
+    be recomputed once unpersisted."""
+    _PENDING_RELEASES.extend(frames)
+
+
+def release_storage(df) -> None:
+    """Free ALL executor storage a frame holds: the SQL-cache entry
+    (``DataFrame.unpersist``) AND the underlying internal RDD — the
+    latter is what a ``localCheckpoint`` pins, and ``unpersist()`` on
+    the Dataset alone never releases it (it only uncaches the SQL
+    layer; the checkpointed ``LogicalRDD`` stays in
+    ``getPersistentRDDs`` forever otherwise)."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass  # session stopped / already released — nothing to free
+    try:
+        # a localCheckpoint'd Dataset analyzes to a LogicalRDD whose
+        # ``rdd`` member is the persisted RDD itself (queryExecution
+        # .toRdd() would wrap it in a fresh unpersisted projection)
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # plan is not RDD-backed (normal cache) or context stopped
+
+
+def release_deferred() -> None:
+    """Unpersist every frame registered by ``defer_release``. Safe to
+    call repeatedly; frames whose context is already stopped are
+    skipped."""
+    pending, _PENDING_RELEASES[:] = _PENDING_RELEASES[:], []
+    for df in pending:
+        release_storage(df)
+
+
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an externally-built session.
 

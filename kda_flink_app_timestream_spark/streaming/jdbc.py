@@ -270,6 +270,18 @@ def jdbc_rejecting_batch_writer(
                     # statement-level.
                     bad: list[int] = []
                     reason = str(batch_exc)
+                    # the JDBC spec does NOT guarantee executeBatch
+                    # clears the batch list on failure (ADVICE r5): a
+                    # driver that keeps leftover parameter sets would
+                    # replay them on the probe's executeUpdate and
+                    # misattribute rejections — clear explicitly first
+                    try:
+                        ps.clearBatch()
+                    except Exception:
+                        # a driver whose statement is unusable after the
+                        # failure: probe with a fresh statement instead
+                        ps.close()
+                        ps = conn.prepareStatement(insert_sql)
                     for idx, rec in enumerate(batch):
                         sp = conn.setSavepoint()
                         try:
