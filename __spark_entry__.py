@@ -117,6 +117,31 @@ _RESCORE_AFTER = {
     "stream_static_enrichment_join": 5,
     "stream_model_inference": 5,
     "stream_leftouter_interval_join": 5,
+    # r6 changes (storage-release discipline + poller rework): every
+    # consumer of a file whose non-comment source changed gets a
+    # post-change driver row, per the r2 lesson — local parity runs
+    # are not driver rows.
+    #   operators/dedup.py: deferred-release of the minhash signature /
+    #   shingle-index caches, per-round checkpoint release + final-frame
+    #   deferral in both CC implementations; plans/dedup.py: deferred
+    #   caches + the parametrized minhash oracle generator
+    "dedup_minhash_pairs": 6,
+    "dedup_minhash_eval": 6,
+    "dedup_ngram_jaccard_pairs": 6,
+    "dedup_collapse_then_jaccard": 6,
+    "dedup_cluster_representatives": 6,
+    "dedup_collapse_then_clusters": 6,
+    "dedup_lineage_recursive": 6,
+    "dedup_embedding_pairs": 6,
+    #   operators/clustering.py + plans/clustering.py: deferred-release
+    #   of the quantized-corpus / coarse-assignment / seed caches
+    "sim_kmeans_clusters": 6,
+    "dedup_semantic_prune": 6,
+    "dedup_semantic_prune_scaled": 6,
+    "dedup_semantic_prune_twolevel": 6,
+    #   streaming/kinesis_dev.py: _drain_shard extraction, adaptive
+    #   reads, fixpoint shard admission, executor-parallel mode
+    "kinesis_incremental_consume": 6,
 }
 
 

@@ -14,13 +14,12 @@ from pyspark.sql import functions as F
 from ..functions.text import sql_portable_hash64, tokens
 from ..operators.dedup import (
     MAX_SHINGLE_DOC_FREQ,
-    MINHASH_A,
-    MINHASH_B,
     MINHASH_PRIME,
     NUM_BANDS,
     NUM_MINHASHES,
     SIMHASH_BITS,
     exact_jaccard_pairs,
+    minhash_coeffs,
     minhash_near_dup_pairs,
     simhash,
 )
@@ -55,19 +54,25 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_sig_ctes() -> str:
+def minhash_sig_ctes(
+    num_hashes: int = NUM_MINHASHES, num_bands: int = NUM_BANDS
+) -> str:
     """Shared DuckDB CTE chain ``docs → sh → bases → sig → bands`` — the
     SQL twin of operators/dedup.py:minhash_signature + the band-key
-    layout of lsh_candidate_pairs. Reused by the batch pair oracle below
+    layout of lsh_candidate_pairs, generated for ANY (hashes, bands)
+    setting from the same md5-derived coefficient family the Spark side
+    uses. Defaults are the oracle-matched test values; the tuning-sweep
+    oracle instantiates the grid. Reused by the batch pair oracle below
     and the streaming band-dedup oracle (plans/streaming_queries.py)."""
-    rows_per_band = NUM_MINHASHES // NUM_BANDS
+    coeff_a, coeff_b = minhash_coeffs(num_hashes)
+    rows_per_band = num_hashes // num_bands
     base = sql_portable_hash64("x", "mh")
     mh = ", ".join(
-        f"list_min(list_transform(basev, h -> (h * {MINHASH_A[s]} + {MINHASH_B[s]}) "
+        f"list_min(list_transform(basev, h -> (h * {coeff_a[s]} + {coeff_b[s]}) "
         f"% {MINHASH_PRIME}))"
-        for s in range(NUM_MINHASHES)
+        for s in range(num_hashes)
     )
-    band_values = ", ".join(f"({b})" for b in range(NUM_BANDS))
+    band_values = ", ".join(f"({b})" for b in range(num_bands))
     key_parts = " || ':' || ".join(
         f"CAST(sig[{rows_per_band} * b.i + {r + 1}] AS VARCHAR)"
         for r in range(rows_per_band)
@@ -95,13 +100,15 @@ def minhash_sig_ctes() -> str:
     )"""
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(
+    num_hashes: int = NUM_MINHASHES, num_bands: int = NUM_BANDS
+) -> str:
     matches = " + ".join(
         f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
-        for i in range(NUM_MINHASHES)
+        for i in range(num_hashes)
     )
     return f"""
-    WITH {minhash_sig_ctes()},
+    WITH {minhash_sig_ctes(num_hashes, num_bands)},
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
         FROM bands a
@@ -110,11 +117,11 @@ def _minhash_oracle() -> str:
                      AND a.doc_id < b2.doc_id
     )
     SELECT doc_a, doc_b,
-           round(({matches}) / {float(NUM_MINHASHES)}, 4) AS est_jaccard
+           round(({matches}) / {float(num_hashes)}, 4) AS est_jaccard
     FROM cand
     JOIN sig sa ON cand.doc_a = sa.doc_id
     JOIN sig sb ON cand.doc_b = sb.doc_id
-    WHERE round(({matches}) / {float(NUM_MINHASHES)}, 4) >= {JACCARD_THRESHOLD}
+    WHERE round(({matches}) / {float(num_hashes)}, 4) >= {JACCARD_THRESHOLD}
     """
 
 
@@ -736,3 +743,106 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_minhash"
         ),
     )
+
+
+# The tuning grid: (hashes, bands) with rows-per-band fixed at 2, so the
+# band count scales with signature width — the axis a pipeline owner
+# actually sweeps (more hashes = tighter estimates AND more band lookups;
+# the LSH s-curve steepens with rows-per-band held constant).
+MINHASH_TUNING_GRID: tuple[tuple[int, int], ...] = ((8, 4), (16, 8), (32, 16))
+
+
+def _minhash_tuning_oracle() -> str:
+    from ..functions.exact import sql_floor_round
+
+    exact = _ngram_overlap_oracle()
+    prec = sql_floor_round("b.n_both", "(SELECT count(*) FROM m)", 4)
+    rec = sql_floor_round("b.n_both", "(SELECT count(*) FROM e)", 4)
+    parts = []
+    for num_hashes, num_bands in MINHASH_TUNING_GRID:
+        mh = _minhash_oracle(num_hashes, num_bands)
+        parts.append(f"""
+SELECT * FROM (
+WITH e AS (SELECT doc_a, doc_b FROM ({exact}) x),
+m AS (SELECT doc_a, doc_b FROM ({mh}) y),
+b AS (SELECT count(*) AS n_both FROM e JOIN m USING (doc_a, doc_b))
+SELECT CAST({num_hashes} AS INT) AS num_hashes,
+       CAST({num_bands} AS INT) AS num_bands,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM m) AS BIGINT) AS n_minhash,
+       CAST(b.n_both AS BIGINT) AS n_both,
+       {prec} / 10000.0 AS precision_minhash,
+       {rec} / 10000.0 AS recall_minhash
+FROM b
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "dedup_minhash_tuning",
+    oracle=_minhash_tuning_oracle(),
+    tags=("dedup", "minhash", "evaluation", "tuning"),
+)
+def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash TUNING CURVE (VERDICT r5 #4 — generalizing
+    ``dedup_minhash_eval`` from one point to the grid a 100 TB owner
+    reads before fixing a banding config): one precision/recall row per
+    (num_hashes, num_bands) setting in ``MINHASH_TUNING_GRID``, each
+    evaluated against the SAME exact-Jaccard ground truth at the same
+    0.3 threshold.
+
+    Ground truth is computed ONCE (inverted-index exact scoring, cached
+    + deferred-release); each grid setting re-runs only the banded
+    candidate path at its own signature width — so sweep cost is
+    #settings × the approximate path, never #settings × the exact path,
+    and nothing in either path is all-pairs. The per-setting rows union
+    into one frame (3 rows — a metrics table, not data volume). Ratios
+    go through the exact integer half-up formula so every row
+    hash-matches the oracle, whose per-setting CTE bodies are the same
+    generated SQL as the individual pair queries at that setting."""
+    from ..functions.exact import floor_round
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(tokens(F.col("text"))) >= 3
+    )
+    exact = (
+        exact_jaccard_pairs(d, threshold=JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    defer_release(exact)
+    out: DataFrame | None = None
+    for num_hashes, num_bands in MINHASH_TUNING_GRID:
+        mh = minhash_near_dup_pairs(
+            d,
+            threshold=JACCARD_THRESHOLD,
+            num_hashes=num_hashes,
+            num_bands=num_bands,
+        ).select("doc_a", "doc_b")
+        counts = (
+            exact.withColumn("__e", F.lit(1))
+            .join(mh.withColumn("__m", F.lit(1)), ["doc_a", "doc_b"], "full_outer")
+            .agg(
+                F.count("__e").alias("n_exact"),
+                F.count("__m").alias("n_minhash"),
+                F.count(
+                    F.when(F.col("__e").isNotNull() & F.col("__m").isNotNull(), 1)
+                ).alias("n_both"),
+            )
+        )
+        row = counts.select(
+            F.lit(num_hashes).alias("num_hashes"),
+            F.lit(num_bands).alias("num_bands"),
+            "n_exact",
+            "n_minhash",
+            "n_both",
+            (floor_round(F.col("n_both"), F.col("n_minhash"), 4) / 10000.0).alias(
+                "precision_minhash"
+            ),
+            (floor_round(F.col("n_both"), F.col("n_exact"), 4) / 10000.0).alias(
+                "recall_minhash"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out

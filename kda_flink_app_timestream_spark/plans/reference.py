@@ -440,3 +440,119 @@ def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_seconds=600,
     )
     return joined.select("purchase_id", "user_id", "click_id_next")
+
+
+@query(
+    "kinesis_parallel_consume",
+    oracle="""
+    SELECT make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS time,
+           'latency' AS measure_name,
+           CAST(value AS VARCHAR) AS measure_value,
+           value AS measure_value_double,
+           'DOUBLE' AS measure_value_type,
+           lpad(CAST(user_id AS VARCHAR), 12, '0') AS aws_account_id,
+           event_type AS operation,
+           'GLUE' AS caller_service
+    FROM events
+    WHERE event_id <= 1200
+    """,
+    tags=("kinesis", "streaming", "parallel", "reference-parity"),
+)
+def kinesis_parallel_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTOR-PARALLEL incremental Kinesis consumption (VERDICT r5
+    #2 — the scale shape of the reference's parallel subtask
+    consumption, StreamingJob.java:98-106): the same gzip'd
+    service-log wire format as ``kinesis_incremental_consume``,
+    produced in TWO waves to a 4-shard in-process fake endpoint, but
+    consumed with ``executor_parallel=True`` — each shard is drained
+    by its own mapInPandas task holding its own boto3 client, batches
+    stage to parquet under the checkpoint, and the driver only ever
+    collects the #shards-sized ledger rows. The oracle is the identity
+    over the same events slice, so any record lost, duplicated, or
+    corrupted across the task fan-out or a batch boundary
+    hash-mismatches.
+
+    The returned frame READS the staged parquet (data rows never pass
+    through the driver); the checkpoint dir is handed to
+    ``defer_release`` for removal once the consumer has collected —
+    the same deferred-consumption contract plan-level caches follow.
+    """
+    import gzip as _gzip
+    import shutil
+    import tempfile
+
+    from ..session import defer_release
+    from ..streaming.kinesis_dev import KinesisMicroBatchPoller
+    from ..streaming.kinesis_fake import FakeKinesis
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 1200)
+    rendered = e.select(
+        build_service_log_text(
+            operation=F.col("event_type"),
+            aws_account_id=F.lpad(F.col("user_id").cast("string"), 12, "0"),
+            latency=F.col("value").cast("string"),
+            end_time_millis=epoch_millis(F.col("ts")),
+            caller_service=F.lit("GLUE"),
+        ).alias("value"),
+        F.lpad(F.col("user_id").cast("string"), 12, "0").alias("pk"),
+        F.pmod(F.col("event_id"), F.lit(2)).alias("wave"),
+    ).collect()
+    waves: dict[int, list] = {0: [], 1: []}
+    for r in rendered:
+        waves[int(r["wave"])].append((r["value"], r["pk"]))
+
+    ckpt = tempfile.mkdtemp(prefix="kinesis_par_ckpt_")
+    defer_release(lambda: shutil.rmtree(ckpt, ignore_errors=True))
+    batch_dfs = []
+    with FakeKinesis() as fk:
+        import boto3
+
+        producer = boto3.client(
+            "kinesis",
+            endpoint_url=fk.endpoint_url,
+            region_name="us-east-1",
+            aws_access_key_id="test",
+            aws_secret_access_key="test",
+        )
+        producer.create_stream(StreamName="events-par", ShardCount=4)
+        poller = KinesisMicroBatchPoller(
+            spark,
+            "events-par",
+            checkpoint_dir=ckpt,
+            region="us-east-1",
+            endpoint_url=fk.endpoint_url,
+            decode="gzip",
+            interval_millis=0,
+            executor_parallel=True,
+            client_kwargs={
+                "aws_access_key_id": "test",
+                "aws_secret_access_key": "test",
+            },
+        )
+        for w in (0, 1):
+            recs = [
+                {"Data": _gzip.compress(v.encode()), "PartitionKey": pk}
+                for v, pk in waves[w]
+            ]
+            for i in range(0, len(recs), 500):  # PutRecords API cap
+                producer.put_records(
+                    StreamName="events-par", Records=recs[i : i + 500]
+                )
+            bid, df = poller.poll()
+            batch_dfs.append(df)
+            poller.commit(bid)
+
+    union = batch_dfs[0]
+    for df in batch_dfs[1:]:
+        union = union.unionAll(df)
+    parsed = parse_service_logs(union)
+    return parsed.select(
+        "time",
+        "measure_name",
+        "measure_value",
+        "measure_value_double",
+        "measure_value_type",
+        "aws_account_id",
+        "operation",
+        "caller_service",
+    )

@@ -117,11 +117,13 @@ _PENDING_RELEASES: list = []
 
 
 def defer_release(*frames) -> None:
-    """Register cached/persisted/localCheckpoint-ed frames for release
+    """Register cached/persisted/localCheckpoint-ed frames — or
+    zero-arg cleanup CALLABLES (e.g. staging-dir removal) — for release
     once the current query's result has been consumed (drained at the
     next catalog-query build, or explicitly via ``release_deferred``).
     Do NOT use the frames after the drain: a checkpointed frame cannot
-    be recomputed once unpersisted."""
+    be recomputed once unpersisted, and a cleaned-up staging dir cannot
+    be re-read."""
     _PENDING_RELEASES.extend(frames)
 
 
@@ -151,6 +153,12 @@ def release_deferred() -> None:
     skipped."""
     pending, _PENDING_RELEASES[:] = _PENDING_RELEASES[:], []
     for df in pending:
+        if callable(df) and not hasattr(df, "unpersist"):
+            try:
+                df()
+            except Exception:
+                pass  # cleanup best-effort — same posture as unpersist
+            continue
         release_storage(df)
 
 
