@@ -135,12 +135,14 @@ def main() -> None:
         _staged_stream_dir(spark, sf_dir, table)
     _time_ordered_sentinel_stage(spark, sf_dir)
 
-    # Two passes, report each query's best time: this VM shows 4-10x
+    # Three passes, report each query's best time: this VM shows 4-10x
     # run-to-run swings from host contention (a 2s query sporadically
-    # reads 20s+), and min-of-2 recovers the steady-state cost of the
-    # PLAN — the thing this benchmark exists to measure.
+    # reads 20s+). Min-of-N recovers the steady-state cost of the PLAN —
+    # the thing this benchmark exists to measure — and min-of-3
+    # (VERDICT r5 #7) stops one contended pass from setting a band the
+    # way min-of-2 occasionally let it.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in BENCH_QUERIES:
             q = registry.get(name)
             if q is None:
@@ -204,6 +206,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "passes": 3,  # headline timings are min-of-3
                 "queries": timings,
                 "tiers": tiers,
                 "full_sweep": full_sweep,
