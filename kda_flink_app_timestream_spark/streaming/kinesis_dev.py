@@ -302,12 +302,17 @@ def _drain_shard(
     return rows, last_seq, retired, limit
 
 
-# one extra column pair over SNAPSHOT_SCHEMA: each shard task emits its
-# data rows plus ONE ledger row (is_meta=true) carrying the shard's new
+# extra columns over SNAPSHOT_SCHEMA: each shard task emits its data
+# rows plus ONE ledger row (is_meta=true) carrying the shard's new
 # position (sequence_number = last consumed seq, or the starting
-# after_seq when nothing arrived) and its retire flag — so the driver
-# learns the offsets from a #shards-sized collect, never from the data
-PARALLEL_READ_SCHEMA = SNAPSHOT_SCHEMA + ", is_meta boolean, retired boolean"
+# after_seq when nothing arrived), its retire flag, and — under
+# adaptive reads — the shard's adapted GetRecords Limit to seed the
+# next poll's fetches (the executor-side twin of the driver poller's
+# ``_shard_limits`` carry). The driver learns the offsets from a
+# #shards-sized collect, never from the data.
+PARALLEL_READ_SCHEMA = (
+    SNAPSHOT_SCHEMA + ", is_meta boolean, retired boolean, next_limit int"
+)
 
 
 def read_shards_distributed(
@@ -333,11 +338,14 @@ def read_shards_distributed(
     fan-out): adding executors adds read throughput, and no record ever
     passes through the driver.
 
-    ``tasks`` is ``[(shard_id, after_seq | None, end_seq | None)]``;
-    the returned DataFrame has ``PARALLEL_READ_SCHEMA`` — data rows
-    (``is_meta = false``) in per-shard arrival order plus exactly one
-    ledger row per shard (``is_meta = true``) carrying its new position
-    and retire flag. Values are RAW (byte-preserving latin-1 for
+    ``tasks`` is ``[(shard_id, after_seq | None, end_seq | None,
+    start_limit | None)]`` — ``start_limit`` seeds the shard's first
+    GetRecords Limit under adaptive reads (carried between polls by the
+    poller's ledger). The returned DataFrame has
+    ``PARALLEL_READ_SCHEMA`` — data rows (``is_meta = false``) in
+    per-shard arrival order plus exactly one ledger row per shard
+    (``is_meta = true``) carrying its new position, retire flag, and
+    adapted next Limit. Values are RAW (byte-preserving latin-1 for
     ``decode="gzip"``); the consumer applies ``decode_payload`` after
     splitting off the meta rows, exactly like the driver-side path.
 
@@ -369,7 +377,10 @@ def read_shards_distributed(
                     )
                 after = task_row.after_seq if task_row.after_seq is not None else None
                 end = task_row.end_seq if task_row.end_seq is not None else None
-                rows, last_seq, retired, _ = _drain_shard(
+                # nullable ints cross the Arrow boundary as NaN floats
+                sl = task_row.start_limit
+                start_limit = None if pd.isna(sl) else int(sl)
+                rows, last_seq, retired, next_limit = _drain_shard(
                     client,
                     stream_name,
                     task_row.shard_id,
@@ -379,11 +390,13 @@ def read_shards_distributed(
                     interval_millis=interval_millis,
                     max_records_per_get=max_records_per_get,
                     use_adaptive_reads=use_adaptive_reads,
+                    start_limit=start_limit,
                 )
                 data = pd.DataFrame(rows, columns=data_cols)
                 data["arrival_ts"] = pd.to_datetime(data["arrival_ts"])
                 data["is_meta"] = False
                 data["retired"] = False
+                data["next_limit"] = None
                 meta = pd.DataFrame(
                     [
                         {
@@ -394,6 +407,7 @@ def read_shards_distributed(
                             "arrival_ts": None,
                             "is_meta": True,
                             "retired": retired,
+                            "next_limit": next_limit if use_adaptive_reads else None,
                         }
                     ]
                 )
@@ -401,7 +415,7 @@ def read_shards_distributed(
                 yield pd.concat([data, meta], ignore_index=True)
 
     tasks_df = spark.createDataFrame(
-        tasks, "shard_id string, after_seq string, end_seq string"
+        tasks, "shard_id string, after_seq string, end_seq string, start_limit int"
     )
     # one shard per task: round-robin into exactly len(tasks) partitions
     # so every shard's network drain runs concurrently (a hash
@@ -679,7 +693,12 @@ class KinesisMicroBatchPoller:
         # drop them so the checkpoint dir doesn't grow per poll
         self._gc_staging(keep_from=batch_id - 1)
         tasks = [
-            (sid, pos["after_seq"], None)
+            (
+                sid,
+                pos["after_seq"],
+                None,
+                self._shard_limits.get(sid) if self._adaptive else None,
+            )
             for sid, pos in positions.items()
             if not pos.get("retired")
         ]
@@ -714,6 +733,10 @@ class KinesisMicroBatchPoller:
                 else prev["after_seq"],
                 "retired": bool(m["retired"]),
             }
+            if self._adaptive and m["next_limit"] is not None:
+                # executor-side twin of the driver poll's limit carry:
+                # the adapted Limit seeds this shard's next-poll fetches
+                self._shard_limits[m["shard_id"]] = int(m["next_limit"])
         _atomic_write_json(
             os.path.join(self._offsets_dir, f"{batch_id}.json"),
             {"batch_id": batch_id, "shards": positions, "staged": True},
@@ -721,7 +744,7 @@ class KinesisMicroBatchPoller:
         return batch_id, self._from_staging(staged)
 
     def _from_staging(self, staged: DataFrame) -> DataFrame:
-        df = staged.filter(~F.col("is_meta")).drop("is_meta", "retired")
+        df = staged.filter(~F.col("is_meta")).drop("is_meta", "retired", "next_limit")
         if self._decode != "none":
             df = df.withColumn(
                 "value", decode_payload(F.col("value"), codec=self._decode)

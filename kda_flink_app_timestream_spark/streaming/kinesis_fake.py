@@ -150,6 +150,11 @@ class FakeKinesis:
 
     def __init__(self):
         self.streams: dict[str, _Stream] = {}
+        # (shard_id, Limit) per GetRecords request, in arrival order —
+        # lets tests observe the Limit each consumer actually sent,
+        # including from executor tasks whose clients the test can't
+        # wrap (the adaptive-reads carry is asserted server-side)
+        self.get_records_log: list[tuple[str, int]] = []
         self._lock = threading.Lock()
         outer = self
 
@@ -272,6 +277,7 @@ class FakeKinesis:
             s = self._stream(name)
             shard = s._shard(shard_id)
             limit = body.get("Limit", 10000)
+            self.get_records_log.append((shard_id, limit))
             recs = shard["records"][idx : idx + limit]
             new_idx = idx + len(recs)
             drained = new_idx >= len(shard["records"])

@@ -619,3 +619,62 @@ def test_executor_parallel_poller_matches_driver_poller(spark, tmp_path):
         bid_p3, df_p3 = par_poller.poll()
         assert df_p3.count() == 0
         assert df_p3.columns == df_p2.columns
+
+
+def test_executor_parallel_adaptive_limit_carry(spark, tmp_path):
+    """Adaptive reads in executor-parallel mode: each shard's ledger
+    meta row carries the adapted GetRecords Limit back to the driver,
+    which seeds the NEXT poll's executor fetches — the executor-side
+    twin of the driver poller's ``_shard_limits`` carry. Executor
+    clients can't be wrapped by the test, so the Limits actually sent
+    are asserted SERVER-side via the fake endpoint's request log."""
+    from kda_flink_app_timestream_spark.streaming.kinesis_dev import (
+        KinesisMicroBatchPoller,
+    )
+
+    from .fake_kinesis import FakeKinesis
+
+    with FakeKinesis() as fk:
+        client = _fake_client(fk)
+        client.create_stream(StreamName="padapt", ShardCount=1)
+
+        def put(size, n):
+            client.put_records(
+                StreamName="padapt",
+                Records=[
+                    {"Data": b"x" * size, "PartitionKey": f"k{i}"}
+                    for i in range(n)
+                ],
+            )
+
+        poller = KinesisMicroBatchPoller(
+            spark,
+            "padapt",
+            checkpoint_dir=str(tmp_path / "ck"),
+            region="us-east-1",
+            endpoint_url=fk.endpoint_url,
+            interval_millis=1000,  # the reference default the sizing targets
+            use_adaptive_reads=True,
+            executor_parallel=True,
+            client_kwargs={
+                "aws_access_key_id": "test",
+                "aws_secret_access_key": "test",
+            },
+        )
+        put(2048, 10)
+        bid, df = poller.poll()
+        assert df.count() == 10
+        poller.commit(bid)
+        # first-ever fetch had no size signal -> API max went out; the
+        # observed 2 KiB average sized the carry to 2 MiB / 2 KiB = 1024
+        assert fk.get_records_log[0] == ("shardId-000000000000", 10000)
+        assert poller._shard_limits["shardId-000000000000"] == 1024
+
+        mark = len(fk.get_records_log)
+        put(64 * 1024, 3)  # bigger records -> limit shrinks to 32
+        bid2, df2 = poller.poll()
+        assert df2.count() == 3
+        poller.commit(bid2)
+        # the second poll's first executor fetch USED the carried limit
+        assert fk.get_records_log[mark] == ("shardId-000000000000", 1024)
+        assert poller._shard_limits["shardId-000000000000"] == 32
