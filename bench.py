@@ -93,6 +93,12 @@ BENCH_QUERIES = [
     # incremental Kinesis produce->poll->parse machinery
     "multimodal_image_decode",
     "kinesis_incremental_consume",
+    # r6: the two new non-trivial paths — the banded-candidate tuning
+    # grid (3 settings sharing one exact ground truth), and the
+    # executor-parallel staged Kinesis consumption (mapInPandas shard
+    # fan-out + parquet staging + ledger-collect offsets)
+    "dedup_minhash_tuning",
+    "kinesis_parallel_consume",
 ]
 
 

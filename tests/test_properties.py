@@ -311,3 +311,101 @@ def test_overlap_scorers_match_naive(spark, docs):
     }
     assert got_jac == {k: v[0] for k, v in expected.items()}
     assert got_cont == {k: v[1] for k, v in expected.items()}
+
+
+# --- Kinesis shard admission (parent-before-child fixpoint) -------------
+
+
+@st.composite
+def _reshard_forest(draw):
+    """A random SplitShard/MergeShards lineage forest plus a random
+    ListShards discovery order, with some CLOSED parents optionally
+    dropped from discovery (expired past the retention window)."""
+    n_roots = draw(st.integers(1, 4))
+    shards = [{"ShardId": f"s{i:03d}"} for i in range(n_roots)]
+    open_ids = [s["ShardId"] for s in shards]
+    closed_ids: list[str] = []
+    next_id = n_roots
+    for _ in range(draw(st.integers(0, 5))):
+        if not open_ids:
+            break
+        do_merge = len(open_ids) >= 2 and draw(st.booleans())
+        if do_merge:
+            pair = draw(
+                st.lists(
+                    st.sampled_from(sorted(open_ids)),
+                    min_size=2,
+                    max_size=2,
+                    unique=True,
+                )
+            )
+            for p in pair:
+                open_ids.remove(p)
+                closed_ids.append(p)
+            child = {
+                "ShardId": f"s{next_id:03d}",
+                "ParentShardId": pair[0],
+                "AdjacentParentShardId": pair[1],
+            }
+            shards.append(child)
+            open_ids.append(child["ShardId"])
+            next_id += 1
+        else:
+            p = draw(st.sampled_from(sorted(open_ids)))
+            open_ids.remove(p)
+            closed_ids.append(p)
+            for _ in range(2):
+                child = {"ShardId": f"s{next_id:03d}", "ParentShardId": p}
+                shards.append(child)
+                open_ids.append(child["ShardId"])
+                next_id += 1
+    # expire a random subset of CLOSED shards out of the discovery list
+    # (an absent parent must never block its child)
+    expired = {
+        cid for cid in closed_ids if draw(st.booleans()) and draw(st.booleans())
+    }
+    visible = [s for s in shards if s["ShardId"] not in expired]
+    return draw(st.permutations(visible))
+
+
+@settings(max_examples=60, deadline=None)
+@given(discovered=_reshard_forest())
+def test_admit_shards_parent_before_child_fixpoint(discovered):
+    """ADVICE r5 #3's fix, property-tested: under ANY ListShards order
+    and ANY subset of expired ancestors, _admit_shards never admits a
+    child while a DISCOVERED parent is untracked or still draining, a
+    parent absent from discovery never blocks its child, and repeated
+    polls (each fully draining what they admitted) admit every shard
+    within one generation per poll."""
+    from kda_flink_app_timestream_spark.streaming.kinesis_dev import (
+        KinesisMicroBatchPoller,
+    )
+
+    discovered = list(discovered)
+    by_id = {s["ShardId"]: s for s in discovered}
+    discovered_ids = set(by_id)
+    positions: dict[str, dict] = {}
+    rounds = 0
+    while len(positions) < len(discovered):
+        before = set(positions)
+        KinesisMicroBatchPoller._admit_shards(positions, discovered)
+        new = set(positions) - before
+        for sid in new:
+            sh = by_id[sid]
+            for p in (sh.get("ParentShardId"), sh.get("AdjacentParentShardId")):
+                if p is not None and p in discovered_ids:
+                    assert p in positions and positions[p]["retired"], (
+                        f"{sid} admitted before discovered parent {p} retired "
+                        f"(order: {[s['ShardId'] for s in discovered]})"
+                    )
+        # every poll must make progress until the forest is admitted
+        assert new, (
+            f"admission stalled at {sorted(positions)} of "
+            f"{sorted(discovered_ids)}"
+        )
+        # simulate the poll fully draining + retiring what it tracks
+        for sid in positions:
+            positions[sid]["retired"] = True
+        rounds += 1
+        assert rounds <= len(discovered) + 1
+    assert set(positions) == discovered_ids
