@@ -13,6 +13,7 @@ Usage: python scripts/rehearse_window.py [N]
 from __future__ import annotations
 
 import datetime
+import decimal
 import os
 import sys
 import time
@@ -38,8 +39,10 @@ def _norm(v):
         return round(v, 9)
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         return str(pd.Timestamp(v))
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, decimal.Decimal):
+        return round(float(v), 9)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
     return v
@@ -78,15 +81,20 @@ def main() -> int:
                 print(f"{name}: rows-only ({len(srows)} rows, "
                       f"{time.time() - t0:.1f}s)")
                 continue
-            ora = con.execute(sqls[name]).fetch_df()
-            ocols = sorted(ora.columns.tolist())
+            # fetchall(), not fetch_df(): pandas coerces nullable BIGINT
+            # columns to float64 (5 -> 5.0) and NULL timestamps to NaT,
+            # which false-positives every NULL-bearing query
+            cur = con.execute(sqls[name])
+            raw_cols = [d[0] for d in cur.description]
+            raw = cur.fetchall()
+            ocols = sorted(raw_cols)
             if ocols != cols:
                 failures.append(name)
                 print(f"{name}: SCHEMA MISMATCH spark={cols} oracle={ocols}")
                 continue
+            order = [raw_cols.index(c) for c in cols]
             orows = sorted(
-                repr(tuple(_norm(v) for v in row))
-                for row in ora[cols].itertuples(index=False, name=None)
+                repr(tuple(_norm(row[i]) for i in order)) for row in raw
             )
             if srows == orows:
                 print(f"{name}: OK ({len(srows)} rows, "
