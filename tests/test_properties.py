@@ -409,3 +409,54 @@ def test_admit_shards_parent_before_child_fixpoint(discovered):
         rounds += 1
         assert rounds <= len(discovered) + 1
     assert set(positions) == discovered_ids
+
+
+# --- Adaptive GetRecords limit sizing (pure function) -------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    avg_size=st.integers(1, 1 << 20),
+    n_records=st.integers(1, 10_000),
+    interval_millis=st.integers(1, 10_000),
+    current=st.integers(1, 10_000),
+)
+def test_adapt_limit_respects_throughput_ceiling(
+    avg_size, n_records, interval_millis, current
+):
+    """The adapted Limit (a) stays in [1, SHARD_GETRECORDS_MAX], (b)
+    never requests more bytes per interval than the 2 MiB/s/shard
+    ceiling allows — except the API-minimum 1 record when a single
+    record is itself above the per-interval budget — and (c) is a
+    one-step fixpoint under constant record size."""
+    from kda_flink_app_timestream_spark.streaming.kinesis_dev import (
+        KINESIS_SHARD_BYTES_PER_SEC_LIMIT,
+        SHARD_GETRECORDS_MAX,
+        _adapt_limit,
+    )
+
+    batch_bytes = avg_size * n_records
+    nxt = _adapt_limit(batch_bytes, n_records, interval_millis, current)
+    assert 1 <= nxt <= SHARD_GETRECORDS_MAX
+    budget = KINESIS_SHARD_BYTES_PER_SEC_LIMIT * (interval_millis / 1000.0)
+    if nxt > 1:
+        assert nxt * avg_size <= budget
+    # one-step convergence: a batch OF the adapted size at the same avg
+    # record size re-adapts to the same limit
+    again = _adapt_limit(avg_size * nxt, nxt, interval_millis, nxt)
+    assert again == nxt
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    current=st.integers(1, 10_000),
+    n_records=st.integers(0, 5),
+    batch_bytes=st.integers(0, 100),
+)
+def test_adapt_limit_empty_batch_keeps_current(current, n_records, batch_bytes):
+    """No size signal (empty batch either way) -> carry current."""
+    from kda_flink_app_timestream_spark.streaming.kinesis_dev import _adapt_limit
+
+    if n_records > 0 and batch_bytes > 0:
+        return
+    assert _adapt_limit(batch_bytes, n_records, 1000, current) == current
