@@ -644,6 +644,14 @@ class KinesisMicroBatchPoller:
         the snapshot schema plus nothing extra — call ``commit(batch_id)``
         after durably processing the result."""
         ids = self._batch_ids()
+        if self._adaptive and ids and not self._shard_limits:
+            # adapted limits survive a RESTART, not just the next poll:
+            # a fresh poller re-seeds from the last offsets file so its
+            # first fetch honors the 2 MiB/s/shard sizing instead of
+            # overshooting from the API max (the same hazard the
+            # cross-poll carry closes, at process granularity)
+            for sid, lim in self._read_offsets(ids[-1]).get("limits", {}).items():
+                self._shard_limits[sid] = int(lim)
         if ids and not self._is_committed(ids[-1]):
             return self._replay(ids[-1], ids)
         batch_id = (ids[-1] + 1) if ids else 0
@@ -666,7 +674,8 @@ class KinesisMicroBatchPoller:
 
         _atomic_write_json(
             os.path.join(self._offsets_dir, f"{batch_id}.json"),
-            {"batch_id": batch_id, "shards": positions},
+            {"batch_id": batch_id, "shards": positions,
+             "limits": dict(self._shard_limits)},
         )
         return batch_id, self._to_df(rows)
 
@@ -706,7 +715,8 @@ class KinesisMicroBatchPoller:
         if not tasks:
             _atomic_write_json(
                 os.path.join(self._offsets_dir, f"{batch_id}.json"),
-                {"batch_id": batch_id, "shards": positions, "staged": False},
+                {"batch_id": batch_id, "shards": positions, "staged": False,
+                 "limits": dict(self._shard_limits)},
             )
             return batch_id, self._to_df([])
         raw = read_shards_distributed(
@@ -739,7 +749,8 @@ class KinesisMicroBatchPoller:
                 self._shard_limits[m["shard_id"]] = int(m["next_limit"])
         _atomic_write_json(
             os.path.join(self._offsets_dir, f"{batch_id}.json"),
-            {"batch_id": batch_id, "shards": positions, "staged": True},
+            {"batch_id": batch_id, "shards": positions, "staged": True,
+             "limits": dict(self._shard_limits)},
         )
         return batch_id, self._from_staging(staged)
 

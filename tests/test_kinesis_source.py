@@ -678,3 +678,143 @@ def test_executor_parallel_adaptive_limit_carry(spark, tmp_path):
         # the second poll's first executor fetch USED the carried limit
         assert fk.get_records_log[mark] == ("shardId-000000000000", 1024)
         assert poller._shard_limits["shardId-000000000000"] == 32
+
+
+def test_adaptive_limit_survives_restart(spark, tmp_path):
+    """A RESTARTED adaptive poller must seed its first fetch from the
+    limits persisted in the last offsets file — not re-start at the
+    10 000-record API max and overshoot the 2 MiB/s/shard sizing (the
+    same hazard the cross-poll carry closes, at process granularity).
+    Asserted server-side via the fake endpoint's per-request Limit
+    log."""
+    from kda_flink_app_timestream_spark.streaming.kinesis_dev import (
+        KinesisMicroBatchPoller,
+    )
+
+    from .fake_kinesis import FakeKinesis
+
+    with FakeKinesis() as fk:
+        client = _fake_client(fk)
+        client.create_stream(StreamName="radapt", ShardCount=1)
+
+        def put(size, n):
+            client.put_records(
+                StreamName="radapt",
+                Records=[
+                    {"Data": b"x" * size, "PartitionKey": f"k{i}"}
+                    for i in range(n)
+                ],
+            )
+
+        common = dict(
+            region="us-east-1",
+            endpoint_url=fk.endpoint_url,
+            interval_millis=1000,
+            use_adaptive_reads=True,
+            boto3_client=client,
+        )
+        poller = KinesisMicroBatchPoller(
+            spark, "radapt", checkpoint_dir=str(tmp_path / "ck"), **common
+        )
+        put(2048, 10)  # 2 KiB avg -> adapted limit 2 MiB / 2 KiB = 1024
+        bid, df = poller.poll()
+        assert df.count() == 10
+        poller.commit(bid)
+        assert poller._shard_limits["shardId-000000000000"] == 1024
+
+        # fresh process: new poller over the same checkpoint
+        restarted = KinesisMicroBatchPoller(
+            spark, "radapt", checkpoint_dir=str(tmp_path / "ck"), **common
+        )
+        put(2048, 5)
+        mark = len(fk.get_records_log)
+        bid2, df2 = restarted.poll()
+        assert df2.count() == 5
+        restarted.commit(bid2)
+        # the restarted poller's FIRST fetch used the persisted 1024,
+        # not the 10000 API max
+        assert fk.get_records_log[mark] == ("shardId-000000000000", 1024)
+
+
+def test_executor_parallel_restart_replays_staged_without_network(
+    spark, tmp_path
+):
+    """A fresh poller over the checkpoint of a crashed-before-commit
+    executor-parallel poll must re-deliver the staged batch with its
+    ORIGINAL membership and ZERO GetRecords calls (the staging parquet
+    IS the replay source), then resume incrementally after commit."""
+    import gzip as _gzip
+
+    from kda_flink_app_timestream_spark.streaming.kinesis_dev import (
+        KinesisMicroBatchPoller,
+    )
+
+    from .fake_kinesis import FakeKinesis
+
+    with FakeKinesis() as fk:
+        client = _fake_client(fk)
+        client.create_stream(StreamName="prestart", ShardCount=3)
+
+        def put(tag, n):
+            client.put_records(
+                StreamName="prestart",
+                Records=[
+                    {
+                        "Data": _gzip.compress(f"{tag}-{i}".encode()),
+                        "PartitionKey": f"key-{i}",
+                    }
+                    for i in range(n)
+                ],
+            )
+
+        common = dict(
+            region="us-east-1",
+            endpoint_url=fk.endpoint_url,
+            decode="gzip",
+            interval_millis=0,
+            executor_parallel=True,
+            client_kwargs={
+                "aws_access_key_id": "test",
+                "aws_secret_access_key": "test",
+            },
+        )
+        poller = KinesisMicroBatchPoller(
+            spark, "prestart", checkpoint_dir=str(tmp_path / "ck"), **common
+        )
+        put("a", 30)
+        bid, df = poller.poll()
+        key = lambda r: (r["shard_id"], int(r["sequence_number"]), r["value"])  # noqa: E731
+        original = sorted(
+            map(key, df.select("value", "shard_id", "sequence_number").collect())
+        )
+        assert len(original) == 30
+        # crash before commit: drop the poller, records keep arriving
+        del poller
+        put("late", 7)
+
+        restarted = KinesisMicroBatchPoller(
+            spark, "prestart", checkpoint_dir=str(tmp_path / "ck"), **common
+        )
+        mark = len(fk.get_records_log)
+        rbid, rdf = restarted.poll()
+        assert rbid == bid
+        assert (
+            sorted(
+                map(
+                    key,
+                    rdf.select(
+                        "value", "shard_id", "sequence_number"
+                    ).collect(),
+                )
+            )
+            == original
+        )
+        # zero network: the staged parquet answered the replay
+        assert len(fk.get_records_log) == mark
+        restarted.commit(rbid)
+
+        bid2, df2 = restarted.poll()
+        assert bid2 == rbid + 1
+        vals = sorted(r["value"] for r in df2.collect())
+        assert vals == sorted(f"late-{i}" for i in range(7))
+        restarted.commit(bid2)
