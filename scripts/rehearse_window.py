@@ -27,9 +27,17 @@ def main() -> int:
     spec = sys.argv[1] if len(sys.argv) > 1 else "50"
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
-    from pyspark.sql import SparkSession
+    if os.environ.get("REHEARSE_SESSION") == "build":
+        # 10x+ sweeps need the tuned session (driver memory sized for
+        # scale); the DEFAULT stays a vanilla session because the
+        # driver's harness uses one — that's the contract under test
+        from kda_flink_app_timestream_spark.session import build_spark
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+        spark = build_spark(app_name="rehearse-window")
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
 
     import __spark_entry__ as e
     from tests.oracle_utils import compare_query, duckdb_connection
