@@ -763,8 +763,7 @@ def _minhash_tuning_oracle() -> str:
         mh = _minhash_oracle(num_hashes, num_bands)
         parts.append(f"""
 SELECT * FROM (
-WITH e AS (SELECT doc_a, doc_b FROM ({exact}) x),
-m AS (SELECT doc_a, doc_b FROM ({mh}) y),
+WITH m AS (SELECT doc_a, doc_b FROM ({mh}) y),
 b AS (SELECT count(*) AS n_both FROM e JOIN m USING (doc_a, doc_b))
 SELECT CAST({num_hashes} AS INT) AS num_hashes,
        CAST({num_bands} AS INT) AS num_bands,
@@ -775,7 +774,11 @@ SELECT CAST({num_hashes} AS INT) AS num_hashes,
        {rec} / 10000.0 AS recall_minhash
 FROM b
 )""")
-    return "\nUNION ALL\n".join(parts)
+    # ONE top-level exact-ground-truth CTE shared by every grid branch —
+    # inlining it per branch made DuckDB recompute the expensive exact
+    # pipeline once per setting (the Spark side shares one cached frame)
+    branches = "\nUNION ALL\n".join(parts)
+    return f"WITH e AS (SELECT doc_a, doc_b FROM ({exact}) x)\n{branches}"
 
 
 @query(

@@ -141,6 +141,128 @@ def parse_typed_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed_measure_projection(pts)
 
 
+def _kinesis_produce_consume_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    event_cap: int,
+    n_waves: int,
+    stream_name: str,
+    executor_parallel: bool,
+) -> DataFrame:
+    """Shared produce→poll→parse scaffold for the two Kinesis consume
+    queries: render ``events`` rows (event_id <= ``event_cap``) into the
+    generator's exact gzip'd service-log wire format
+    (timestream_kinesis_data_gen.py:24-36, 75-78; partition key =
+    account id), produce them in ``n_waves`` waves to a 4-shard
+    in-process fake endpoint (real boto3 wire protocol, 500-record
+    PutRecords chunks), consume each wave with one incremental
+    ``KinesisMicroBatchPoller`` poll+commit, and parse the union back
+    into points.
+
+    ``executor_parallel`` picks the consumption mode AND the checkpoint
+    lifetime: the driver-side poller's rows are in memory, so its
+    checkpoint is removed as soon as the polls finish; the parallel
+    poller's returned frame READS the staged parquet, so cleanup is
+    handed to ``defer_release`` — the same deferred-consumption
+    contract plan-level caches follow.
+    """
+    import gzip as _gzip
+    import shutil
+    import tempfile
+
+    from ..session import defer_release
+    from ..streaming.kinesis_dev import KinesisMicroBatchPoller
+    from ..streaming.kinesis_fake import FakeKinesis
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= event_cap)
+    rendered = e.select(
+        build_service_log_text(
+            operation=F.col("event_type"),
+            aws_account_id=F.lpad(F.col("user_id").cast("string"), 12, "0"),
+            latency=F.col("value").cast("string"),
+            end_time_millis=epoch_millis(F.col("ts")),
+            caller_service=F.lit("GLUE"),
+        ).alias("value"),
+        F.lpad(F.col("user_id").cast("string"), 12, "0").alias("pk"),
+        F.pmod(F.col("event_id"), F.lit(n_waves)).alias("wave"),
+    ).collect()
+    waves: dict[int, list] = {w: [] for w in range(n_waves)}
+    for r in rendered:
+        waves[int(r["wave"])].append((r["value"], r["pk"]))
+
+    ckpt = tempfile.mkdtemp(prefix=f"kinesis_{stream_name}_ckpt_")
+    if executor_parallel:
+        defer_release(lambda: shutil.rmtree(ckpt, ignore_errors=True))
+    batch_dfs = []
+    try:
+        with FakeKinesis() as fk:
+            import boto3
+
+            producer = boto3.client(
+                "kinesis",
+                endpoint_url=fk.endpoint_url,
+                region_name="us-east-1",
+                aws_access_key_id="test",
+                aws_secret_access_key="test",
+            )
+            producer.create_stream(StreamName=stream_name, ShardCount=4)
+            if executor_parallel:
+                poller = KinesisMicroBatchPoller(
+                    spark,
+                    stream_name,
+                    checkpoint_dir=ckpt,
+                    region="us-east-1",
+                    endpoint_url=fk.endpoint_url,
+                    decode="gzip",
+                    interval_millis=0,
+                    executor_parallel=True,
+                    client_kwargs={
+                        "aws_access_key_id": "test",
+                        "aws_secret_access_key": "test",
+                    },
+                )
+            else:
+                poller = KinesisMicroBatchPoller(
+                    spark,
+                    stream_name,
+                    checkpoint_dir=ckpt,
+                    boto3_client=producer,
+                    decode="gzip",
+                    interval_millis=0,
+                )
+            for w in range(n_waves):
+                recs = [
+                    {"Data": _gzip.compress(v.encode()), "PartitionKey": pk}
+                    for v, pk in waves[w]
+                ]
+                for i in range(0, len(recs), 500):  # PutRecords API cap
+                    producer.put_records(
+                        StreamName=stream_name, Records=recs[i : i + 500]
+                    )
+                bid, df = poller.poll()
+                batch_dfs.append(df)
+                poller.commit(bid)
+    finally:
+        if not executor_parallel:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    union = batch_dfs[0]
+    for df in batch_dfs[1:]:
+        union = union.unionAll(df)
+    parsed = parse_service_logs(union)
+    return parsed.select(
+        "time",
+        "measure_name",
+        "measure_value",
+        "measure_value_double",
+        "measure_value_type",
+        "aws_account_id",
+        "operation",
+        "caller_service",
+    )
+
+
 @query(
     "kinesis_incremental_consume",
     oracle="""
@@ -175,82 +297,13 @@ def kinesis_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface; production uses the connector where executors own shards
     — streaming/source.py); decode + parse run as Spark plans.
     """
-    import gzip as _gzip
-    import shutil
-    import tempfile
-
-    from ..streaming.kinesis_dev import KinesisMicroBatchPoller
-    from ..streaming.kinesis_fake import FakeKinesis
-
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 1500)
-    rendered = e.select(
-        build_service_log_text(
-            operation=F.col("event_type"),
-            aws_account_id=F.lpad(F.col("user_id").cast("string"), 12, "0"),
-            latency=F.col("value").cast("string"),
-            end_time_millis=epoch_millis(F.col("ts")),
-            caller_service=F.lit("GLUE"),
-        ).alias("value"),
-        F.lpad(F.col("user_id").cast("string"), 12, "0").alias("pk"),
-        F.pmod(F.col("event_id"), F.lit(3)).alias("wave"),
-    ).collect()
-    waves: dict[int, list] = {0: [], 1: [], 2: []}
-    for r in rendered:
-        waves[int(r["wave"])].append((r["value"], r["pk"]))
-
-    batch_dfs = []
-    with FakeKinesis() as fk:
-        import boto3
-
-        client = boto3.client(
-            "kinesis",
-            endpoint_url=fk.endpoint_url,
-            region_name="us-east-1",
-            aws_access_key_id="test",
-            aws_secret_access_key="test",
-        )
-        client.create_stream(StreamName="events-log", ShardCount=4)
-        # the checkpoint only needs to outlive the three polls: remove
-        # it afterwards so repeated bench/verify invocations don't
-        # accumulate dirs in the system tempdir
-        ckpt = tempfile.mkdtemp(prefix="kinesis_inc_ckpt_")
-        try:
-            poller = KinesisMicroBatchPoller(
-                spark,
-                "events-log",
-                checkpoint_dir=ckpt,
-                boto3_client=client,
-                decode="gzip",
-                interval_millis=0,
-            )
-            for w in (0, 1, 2):
-                recs = [
-                    {"Data": _gzip.compress(v.encode()), "PartitionKey": pk}
-                    for v, pk in waves[w]
-                ]
-                for i in range(0, len(recs), 500):  # PutRecords API cap
-                    client.put_records(
-                        StreamName="events-log", Records=recs[i : i + 500]
-                    )
-                bid, df = poller.poll()
-                batch_dfs.append(df)
-                poller.commit(bid)
-        finally:
-            shutil.rmtree(ckpt, ignore_errors=True)
-
-    union = batch_dfs[0]
-    for df in batch_dfs[1:]:
-        union = union.unionAll(df)
-    parsed = parse_service_logs(union)
-    return parsed.select(
-        "time",
-        "measure_name",
-        "measure_value",
-        "measure_value_double",
-        "measure_value_type",
-        "aws_account_id",
-        "operation",
-        "caller_service",
+    return _kinesis_produce_consume_roundtrip(
+        spark,
+        sf_dir,
+        event_cap=1500,
+        n_waves=3,
+        stream_name="events-log",
+        executor_parallel=False,
     )
 
 
@@ -477,82 +530,11 @@ def kinesis_parallel_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``defer_release`` for removal once the consumer has collected —
     the same deferred-consumption contract plan-level caches follow.
     """
-    import gzip as _gzip
-    import shutil
-    import tempfile
-
-    from ..session import defer_release
-    from ..streaming.kinesis_dev import KinesisMicroBatchPoller
-    from ..streaming.kinesis_fake import FakeKinesis
-
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 1200)
-    rendered = e.select(
-        build_service_log_text(
-            operation=F.col("event_type"),
-            aws_account_id=F.lpad(F.col("user_id").cast("string"), 12, "0"),
-            latency=F.col("value").cast("string"),
-            end_time_millis=epoch_millis(F.col("ts")),
-            caller_service=F.lit("GLUE"),
-        ).alias("value"),
-        F.lpad(F.col("user_id").cast("string"), 12, "0").alias("pk"),
-        F.pmod(F.col("event_id"), F.lit(2)).alias("wave"),
-    ).collect()
-    waves: dict[int, list] = {0: [], 1: []}
-    for r in rendered:
-        waves[int(r["wave"])].append((r["value"], r["pk"]))
-
-    ckpt = tempfile.mkdtemp(prefix="kinesis_par_ckpt_")
-    defer_release(lambda: shutil.rmtree(ckpt, ignore_errors=True))
-    batch_dfs = []
-    with FakeKinesis() as fk:
-        import boto3
-
-        producer = boto3.client(
-            "kinesis",
-            endpoint_url=fk.endpoint_url,
-            region_name="us-east-1",
-            aws_access_key_id="test",
-            aws_secret_access_key="test",
-        )
-        producer.create_stream(StreamName="events-par", ShardCount=4)
-        poller = KinesisMicroBatchPoller(
-            spark,
-            "events-par",
-            checkpoint_dir=ckpt,
-            region="us-east-1",
-            endpoint_url=fk.endpoint_url,
-            decode="gzip",
-            interval_millis=0,
-            executor_parallel=True,
-            client_kwargs={
-                "aws_access_key_id": "test",
-                "aws_secret_access_key": "test",
-            },
-        )
-        for w in (0, 1):
-            recs = [
-                {"Data": _gzip.compress(v.encode()), "PartitionKey": pk}
-                for v, pk in waves[w]
-            ]
-            for i in range(0, len(recs), 500):  # PutRecords API cap
-                producer.put_records(
-                    StreamName="events-par", Records=recs[i : i + 500]
-                )
-            bid, df = poller.poll()
-            batch_dfs.append(df)
-            poller.commit(bid)
-
-    union = batch_dfs[0]
-    for df in batch_dfs[1:]:
-        union = union.unionAll(df)
-    parsed = parse_service_logs(union)
-    return parsed.select(
-        "time",
-        "measure_name",
-        "measure_value",
-        "measure_value_double",
-        "measure_value_type",
-        "aws_account_id",
-        "operation",
-        "caller_service",
+    return _kinesis_produce_consume_roundtrip(
+        spark,
+        sf_dir,
+        event_cap=1200,
+        n_waves=2,
+        stream_name="events-par",
+        executor_parallel=True,
     )

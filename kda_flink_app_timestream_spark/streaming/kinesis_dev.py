@@ -61,8 +61,12 @@ def _adapt_limit(
     batch_bytes: int, n_records: int, interval_millis: int, current: int
 ) -> int:
     """Next GetRecords Limit under adaptive reads; ``current`` is kept
-    when the batch was empty (no size signal)."""
-    if n_records <= 0 or batch_bytes <= 0:
+    when the batch was empty (no size signal) OR when there is no poll
+    interval to budget against — interval 0 means unpaced draining
+    (dev/test mode), where sizing ``target`` from a 0-second byte
+    budget would collapse the Limit to 1 and turn a drain into one RPC
+    per record."""
+    if n_records <= 0 or batch_bytes <= 0 or interval_millis <= 0:
         return current
     avg = batch_bytes / n_records
     target = KINESIS_SHARD_BYTES_PER_SEC_LIMIT * (interval_millis / 1000.0) / avg
@@ -318,7 +322,7 @@ PARALLEL_READ_SCHEMA = (
 def read_shards_distributed(
     spark: SparkSession,
     stream_name: str,
-    tasks: list[tuple[str, str | None, str | None]],
+    tasks: list[tuple[str, str | None, str | None, int | None]],
     *,
     region: str = "us-east-1",
     endpoint_url: str | None = None,

@@ -58,18 +58,19 @@ def main() -> int:
                 n_rows = df.count()
                 print(f"{name}: rows-only ({n_rows} rows, "
                       f"{time.time() - t0:.1f}s)")
-                continue
-            problems = compare_query(df, con, sqls[name], name)
-            if problems:
-                failures.append(name)
-                for p in problems:
-                    print(p[:400])
             else:
-                print(f"{name}: OK ({time.time() - t0:.1f}s)")
+                problems = compare_query(df, con, sqls[name], name)
+                if problems:
+                    failures.append(name)
+                    for p in problems:
+                        print(p[:400])
+                else:
+                    print(f"{name}: OK ({time.time() - t0:.1f}s)")
         except Exception as exc:  # noqa: BLE001 — rehearsal must not abort
             failures.append(name)
             print(f"{name}: ERROR {type(exc).__name__}: {exc}")
-        spark.catalog.clearCache()
+        finally:
+            spark.catalog.clearCache()
 
     print(f"\n{len(names) - len(failures)}/{len(names)} green")
     if failures:

@@ -462,6 +462,9 @@ def test_adapt_limit_formula():
     assert _adapt_limit(4 * (4 << 20), 4, 1000, 10000) == 1
     # no size signal -> unchanged
     assert _adapt_limit(0, 0, 1000, 777) == 777
+    # no poll interval (unpaced dev/test drain) -> no byte budget to
+    # size against; keep current instead of collapsing to Limit=1
+    assert _adapt_limit(10 * 2048, 10, 0, 10000) == 10000
 
 
 def test_incremental_poller_adaptive_reads(spark, tmp_path):

@@ -64,19 +64,22 @@ def test_no_scale_killers_in_any_batch_plan(spark, sf_dir):
 
 
 def test_audit_covers_the_catalog():
-    """The audit must not silently shrink: the batch set + the excluded
-    streaming set must partition the whole registry."""
+    """The audit must not silently shrink: every query NOT in the batch
+    set must be individually streaming-shaped, and the exclusion count
+    is pinned so a tag typo that drops batch queries out of the audit
+    fails here rather than passing silently."""
     reg = load_all_plans()
     batch = set(_batch_queries())
     excluded = set(reg) - batch
-    assert len(batch) + len(excluded) == len(reg)
     # every exclusion is genuinely streaming-shaped
     for name in excluded:
         assert "streaming" in reg[name].tags or name.startswith(
             ("stream_", "kinesis_")
         ), name
-    # sanity: the audit runs over the overwhelming majority
-    assert len(batch) >= 140, (len(batch), len(reg))
+    # pin the exclusion count: registering a new streaming query should
+    # consciously bump this, and a tag typo that silently pulls batch
+    # queries out of the audit trips it immediately
+    assert len(excluded) == 15, sorted(excluded)
 
 
 if __name__ == "__main__":

@@ -418,7 +418,7 @@ def test_admit_shards_parent_before_child_fixpoint(discovered):
 @given(
     avg_size=st.integers(1, 1 << 20),
     n_records=st.integers(1, 10_000),
-    interval_millis=st.integers(1, 10_000),
+    interval_millis=st.integers(0, 10_000),
     current=st.integers(1, 10_000),
 )
 def test_adapt_limit_respects_throughput_ceiling(
@@ -427,8 +427,10 @@ def test_adapt_limit_respects_throughput_ceiling(
     """The adapted Limit (a) stays in [1, SHARD_GETRECORDS_MAX], (b)
     never requests more bytes per interval than the 2 MiB/s/shard
     ceiling allows — except the API-minimum 1 record when a single
-    record is itself above the per-interval budget — and (c) is a
-    one-step fixpoint under constant record size."""
+    record is itself above the per-interval budget — (c) is a one-step
+    fixpoint under constant record size, and (d) with NO poll interval
+    (unpaced dev/test draining) keeps the current limit instead of
+    collapsing to 1 RPC per record."""
     from kda_flink_app_timestream_spark.streaming.kinesis_dev import (
         KINESIS_SHARD_BYTES_PER_SEC_LIMIT,
         SHARD_GETRECORDS_MAX,
@@ -437,6 +439,9 @@ def test_adapt_limit_respects_throughput_ceiling(
 
     batch_bytes = avg_size * n_records
     nxt = _adapt_limit(batch_bytes, n_records, interval_millis, current)
+    if interval_millis == 0:
+        assert nxt == current
+        return
     assert 1 <= nxt <= SHARD_GETRECORDS_MAX
     budget = KINESIS_SHARD_BYTES_PER_SEC_LIMIT * (interval_millis / 1000.0)
     if nxt > 1:
