@@ -821,3 +821,144 @@ def test_executor_parallel_restart_replays_staged_without_network(
         vals = sorted(r["value"] for r in df2.collect())
         assert vals == sorted(f"late-{i}" for i in range(7))
         restarted.commit(bid2)
+
+
+def test_poller_mode_interop_across_checkpoint(spark, tmp_path):
+    """A deployment can switch consumption modes over ONE checkpoint
+    (dev driver-side loop upgraded to executor-parallel, or rolled
+    back): the offsets format is shared, so each mode resumes the
+    other's committed positions incrementally, and an UNCOMMITTED
+    staged batch left by a parallel poller replays correctly from a
+    driver-mode-configured poller (staged parquet is the replay source
+    regardless of the reader's own mode)."""
+    import gzip as _gzip
+
+    from kda_flink_app_timestream_spark.streaming.kinesis_dev import (
+        KinesisMicroBatchPoller,
+    )
+
+    from .fake_kinesis import FakeKinesis
+
+    with FakeKinesis() as fk:
+        client = _fake_client(fk)
+        client.create_stream(StreamName="interop", ShardCount=2)
+
+        def put(tag, n):
+            client.put_records(
+                StreamName="interop",
+                Records=[
+                    {
+                        "Data": _gzip.compress(f"{tag}-{i}".encode()),
+                        "PartitionKey": f"key-{i}",
+                    }
+                    for i in range(n)
+                ],
+            )
+
+        ck = str(tmp_path / "ck")
+        common = dict(
+            region="us-east-1",
+            endpoint_url=fk.endpoint_url,
+            decode="gzip",
+            interval_millis=0,
+            client_kwargs={
+                "aws_access_key_id": "test",
+                "aws_secret_access_key": "test",
+            },
+        )
+
+        # driver mode polls + commits wave a
+        drv = KinesisMicroBatchPoller(
+            spark, "interop", checkpoint_dir=ck, **common
+        )
+        put("a", 12)
+        bid_a, df_a = drv.poll()
+        assert sorted(r["value"] for r in df_a.collect()) == sorted(
+            f"a-{i}" for i in range(12)
+        )
+        drv.commit(bid_a)
+
+        # parallel mode picks up from the driver-mode checkpoint: wave
+        # b only — then crashes before commit, leaving a staged batch
+        par = KinesisMicroBatchPoller(
+            spark, "interop", checkpoint_dir=ck, executor_parallel=True, **common
+        )
+        put("b", 9)
+        bid_b, df_b = par.poll()
+        assert bid_b == bid_a + 1
+        original_b = sorted(r["value"] for r in df_b.collect())
+        assert original_b == sorted(f"b-{i}" for i in range(9))
+        del par
+        put("c", 5)
+
+        # rollback to driver mode: replays the parallel poller's staged
+        # uncommitted batch byte-identically, then consumes wave c
+        back = KinesisMicroBatchPoller(
+            spark, "interop", checkpoint_dir=ck, **common
+        )
+        rbid, rdf = back.poll()
+        assert rbid == bid_b
+        assert sorted(r["value"] for r in rdf.collect()) == original_b
+        back.commit(rbid)
+        bid_c, df_c = back.poll()
+        assert sorted(r["value"] for r in df_c.collect()) == sorted(
+            f"c-{i}" for i in range(5)
+        )
+        back.commit(bid_c)
+
+
+def test_executor_parallel_hot_shard_skew(spark, tmp_path):
+    """Extreme shard skew (every record on ONE partition key -> one hot
+    shard, three empty) must not lose, duplicate, or reorder anything:
+    the hot shard is a single straggler task by design — its ceiling is
+    the per-shard API limit, not the consumer — and empty shards still
+    report ledger rows so positions advance."""
+    import gzip as _gzip
+
+    from kda_flink_app_timestream_spark.streaming.kinesis_dev import (
+        KinesisMicroBatchPoller,
+    )
+
+    from .fake_kinesis import FakeKinesis
+
+    with FakeKinesis() as fk:
+        client = _fake_client(fk)
+        client.create_stream(StreamName="hot", ShardCount=4)
+        recs = [
+            {
+                "Data": _gzip.compress(f"r-{i}".encode()),
+                "PartitionKey": "the-one-hot-key",
+            }
+            for i in range(1000)
+        ]
+        for i in range(0, len(recs), 500):
+            client.put_records(StreamName="hot", Records=recs[i : i + 500])
+
+        poller = KinesisMicroBatchPoller(
+            spark,
+            "hot",
+            checkpoint_dir=str(tmp_path / "ck"),
+            region="us-east-1",
+            endpoint_url=fk.endpoint_url,
+            decode="gzip",
+            interval_millis=0,
+            executor_parallel=True,
+            client_kwargs={
+                "aws_access_key_id": "test",
+                "aws_secret_access_key": "test",
+            },
+        )
+        bid, df = poller.poll()
+        rows = df.select("value", "shard_id", "sequence_number").collect()
+        assert sorted(r["value"] for r in rows) == sorted(
+            f"r-{i}" for i in range(1000)
+        )
+        # all 1000 landed on one shard, in produce order
+        shards = {r["shard_id"] for r in rows}
+        assert len(shards) == 1
+        hot = [
+            (int(r["sequence_number"]), r["value"])
+            for r in df.collect()
+        ]
+        assert [v for _, v in sorted(hot)] == [f"r-{i}" for i in range(1000)]
+        poller.commit(bid)
