@@ -64,6 +64,11 @@ def minhash_sig_ctes(
     uses. Defaults are the oracle-matched test values; the tuning-sweep
     oracle instantiates the grid. Reused by the batch pair oracle below
     and the streaming band-dedup oracle (plans/streaming_queries.py)."""
+    if num_hashes % num_bands != 0:
+        # mirror the Spark twin's guard (operators/dedup.py:
+        # lsh_candidate_pairs) — a silently-truncated band layout would
+        # generate runnable oracle SQL no Spark run can match
+        raise ValueError("num_hashes must be divisible by num_bands")
     coeff_a, coeff_b = minhash_coeffs(num_hashes)
     rows_per_band = num_hashes // num_bands
     base = sql_portable_hash64("x", "mh")
@@ -387,41 +392,11 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.dedup import connected_components  # noqa: E402
 
 _CLUSTER_ORACLE = f"""
-WITH RECURSIVE toks AS (
-    SELECT doc_id, str_split(text, ' ') AS t FROM documents
-    WHERE len(str_split(text, ' ')) >= 3
-),
-sh AS (
-    SELECT doc_id,
-           unnest(list_transform(
-               list_distinct(list_transform(range(1, len(t) - 1),
-                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
-               x -> {sql_portable_hash64('x', 'jac')})) AS shingle
-    FROM toks
-),
-dfreq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
-idx AS (
-    SELECT sh.doc_id, sh.shingle FROM sh
-    JOIN dfreq USING (shingle) WHERE dfreq.c <= {MAX_SHINGLE_DOC_FREQ}
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-shared AS (
-    SELECT c.doc_a, c.doc_b, count(*) AS shared
-    FROM cand c
-    JOIN sh a ON a.doc_id = c.doc_a
-    JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
-    GROUP BY 1, 2
-),
-pairs AS (
-    SELECT doc_a, doc_b
-    FROM shared
-    JOIN sizes na ON doc_a = na.doc_id
-    JOIN sizes nb ON doc_b = nb.doc_id
-    WHERE round(shared / CAST(na.n + nb.n - shared AS DOUBLE), 4) >= {JACCARD_THRESHOLD}
+WITH RECURSIVE pairs AS (
+    -- the shared shingle-overlap pipeline, composed not copied: any
+    -- change to the stop-list/hash/rounding machinery lands here via
+    -- _ngram_overlap_oracle automatically
+    SELECT doc_a, doc_b FROM ({_ngram_overlap_oracle()}) p
 ),
 und(a, b) AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
 reach(a, b) AS (
@@ -492,41 +467,11 @@ GROUP BY n
 
 
 _LINEAGE_ORACLE = f"""
-WITH RECURSIVE toks AS (
-    SELECT doc_id, str_split(text, ' ') AS t FROM documents
-    WHERE len(str_split(text, ' ')) >= 3
-),
-sh AS (
-    SELECT doc_id,
-           unnest(list_transform(
-               list_distinct(list_transform(range(1, len(t) - 1),
-                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
-               x -> {sql_portable_hash64('x', 'jac')})) AS shingle
-    FROM toks
-),
-dfreq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
-idx AS (
-    SELECT sh.doc_id, sh.shingle FROM sh
-    JOIN dfreq USING (shingle) WHERE dfreq.c <= {MAX_SHINGLE_DOC_FREQ}
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-shared AS (
-    SELECT c.doc_a, c.doc_b, count(*) AS shared
-    FROM cand c
-    JOIN sh a ON a.doc_id = c.doc_a
-    JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
-    GROUP BY 1, 2
-),
-pairs AS (
-    SELECT doc_a, doc_b
-    FROM shared
-    JOIN sizes na ON doc_a = na.doc_id
-    JOIN sizes nb ON doc_b = nb.doc_id
-    WHERE round(shared / CAST(na.n + nb.n - shared AS DOUBLE), 4) >= {JACCARD_THRESHOLD}
+WITH RECURSIVE pairs AS (
+    -- the shared shingle-overlap pipeline, composed not copied: any
+    -- change to the stop-list/hash/rounding machinery lands here via
+    -- _ngram_overlap_oracle automatically
+    SELECT doc_a, doc_b FROM ({_ngram_overlap_oracle()}) p
 ),
 parent AS (
     SELECT doc_b AS node, min(doc_a) AS parent
@@ -657,8 +602,6 @@ def dedup_collapse_then_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = exact_jaccard_pairs(collapsed, threshold=JACCARD_THRESHOLD).select(
         "doc_a", "doc_b"
     )
-    from ..operators.dedup import connected_components
-
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     doc_map = d.select("doc_id", "text").join(groups, "text")
     final_rep = F.coalesce(F.col("cluster_rep"), F.col("g"))

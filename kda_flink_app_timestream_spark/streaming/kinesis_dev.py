@@ -73,6 +73,14 @@ def _adapt_limit(
     return max(1, min(int(target), SHARD_GETRECORDS_MAX))
 
 
+# Pacing floor for one-shot backlog drains: the GetRecords API allows
+# 5 calls/s/shard, so 200 ms between pages is the fastest sustained
+# rate that never trips ProvisionedThroughputExceededException. The
+# CONTINUOUS poller paces at the reference's 1000 ms instead
+# (SHARD_GETRECORDS_INTERVAL_MILLIS).
+SNAPSHOT_PAGE_INTERVAL_MILLIS = 200
+
+
 def kinesis_snapshot_read(
     spark: SparkSession,
     stream_name: str,
@@ -81,6 +89,7 @@ def kinesis_snapshot_read(
     endpoint_url: str | None = None,
     decode: str = "none",
     max_records_per_get: int = 10000,
+    interval_millis: int = SNAPSHOT_PAGE_INTERVAL_MILLIS,
     boto3_client: Any | None = None,
     client_kwargs: dict[str, Any] | None = None,
 ) -> DataFrame:
@@ -91,79 +100,47 @@ def kinesis_snapshot_read(
     here the decode is explicit). Pass ``boto3_client`` to reuse a
     preconfigured client (tests), else one is built from
     ``region``/``endpoint_url``/``client_kwargs``.
+
+    Shares ``_drain_shard`` with the continuous poller (one stall
+    guard, one pacing knob, one decode path): pages are paced at
+    ``interval_millis`` so a deep multi-page drain respects the
+    5-GetRecords/s/shard API limit instead of hot-looping into
+    ProvisionedThroughputExceededException; pass 0 to disable (in-
+    process fake endpoints).
     """
-    client = boto3_client
-    if client is None:
-        try:
-            import boto3
-        except ImportError as ex:  # pragma: no cover - boto3 is baked in here
-            raise RuntimeError(
-                "kinesis_snapshot_read needs boto3 (or pass boto3_client)"
-            ) from ex
-        client = boto3.client(
-            "kinesis",
-            region_name=region,
-            endpoint_url=endpoint_url,
-            **(client_kwargs or {}),
+    client = _build_client(boto3_client, region, endpoint_url, client_kwargs)
+
+    rows: list[tuple] = []
+    for sh in _list_shards_all(client, stream_name):
+        shard_rows, _, _, _ = _drain_shard(
+            client,
+            stream_name,
+            sh["ShardId"],
+            None,
+            decode=decode,
+            interval_millis=interval_millis,
+            max_records_per_get=max_records_per_get,
         )
-
-    shards = []
-    token = None
-    while True:
-        kwargs = {"StreamName": stream_name}
-        if token:
-            kwargs = {"NextToken": token}
-        resp = client.list_shards(**kwargs)
-        shards += [s["ShardId"] for s in resp["Shards"]]
-        token = resp.get("NextToken")
-        if not token:
-            break
-
-    rows = []
-    for shard_id in shards:
-        it = client.get_shard_iterator(
-            StreamName=stream_name,
-            ShardId=shard_id,
-            ShardIteratorType="TRIM_HORIZON",
-        )["ShardIterator"]
-        stalled_polls = 0
-        prev_behind = None
-        while it:
-            resp = client.get_records(ShardIterator=it, Limit=max_records_per_get)
-            # Empty pages are NORMAL mid-drain (the iterator walks empty
-            # head ranges of a retention window), so they never truncate
-            # the read. Only a stall — consecutive empty pages with no
-            # MillisBehindLatest progress — aborts, and LOUDLY: silently
-            # returning a partial shard would corrupt downstream results.
-            behind = resp.get("MillisBehindLatest", 0)
-            if resp["Records"]:
-                stalled_polls = 0
-            else:
-                if behind == 0:
-                    break  # caught up to the tip: the snapshot is complete
-                stalled_polls = (
-                    stalled_polls + 1
-                    if prev_behind is not None and behind >= prev_behind
-                    else 0
-                )
-                if stalled_polls > 100:
-                    raise RuntimeError(
-                        f"kinesis_snapshot_read stalled on shard {shard_id}: "
-                        f"{stalled_polls} consecutive empty GetRecords pages "
-                        f"with no MillisBehindLatest progress (still "
-                        f"{behind} ms behind) — endpoint throttling or "
-                        "clock skew; refusing to return a partial shard"
-                    )
-            prev_behind = behind
-            for rec in resp["Records"]:
-                value, pk, seq, ts = _decode_record(rec, decode)
-                rows.append((value, pk, seq, shard_id, ts))
-            it = resp.get("NextShardIterator")
+        rows += shard_rows
 
     df = spark.createDataFrame(rows, SNAPSHOT_SCHEMA)
     if decode != "none":
         df = df.withColumn("value", decode_payload(F.col("value"), codec=decode))
     return df
+
+
+def _list_shards_all(client: Any, stream_name: str) -> list[dict]:
+    """Full paginated ListShards for a stream (shared by the snapshot
+    read and the poller's shard discovery)."""
+    shards: list[dict] = []
+    token = None
+    while True:
+        kwargs = {"StreamName": stream_name} if not token else {"NextToken": token}
+        resp = client.list_shards(**kwargs)
+        shards += resp["Shards"]
+        token = resp.get("NextToken")
+        if not token:
+            return shards
 
 
 def _build_client(
@@ -418,14 +395,18 @@ def read_shards_distributed(
                 meta["arrival_ts"] = pd.to_datetime(meta["arrival_ts"])
                 yield pd.concat([data, meta], ignore_index=True)
 
-    tasks_df = spark.createDataFrame(
-        tasks, "shard_id string, after_seq string, end_seq string, start_limit int"
-    )
-    # one shard per task: round-robin into exactly len(tasks) partitions
-    # so every shard's network drain runs concurrently (a hash
-    # repartition could collide two shards onto one executor slot)
+    # EXACTLY one shard per partition: parallelize slices n items into n
+    # partitions deterministically, so every shard's network drain runs
+    # concurrently. (repartition(n)'s RoundRobinPartitioning starts each
+    # input partition at a random offset and can collide two shards onto
+    # one slot while another stays empty — two paced drains then run
+    # sequentially in one task.)
     n = max(1, len(tasks))
-    return tasks_df.repartition(n).mapInPandas(run, schema=PARALLEL_READ_SCHEMA)
+    tasks_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(tasks, n),
+        "shard_id string, after_seq string, end_seq string, start_limit int",
+    )
+    return tasks_df.mapInPandas(run, schema=PARALLEL_READ_SCHEMA)
 
 
 def _atomic_write_json(path: str, payload: dict) -> None:
@@ -558,23 +539,35 @@ class KinesisMicroBatchPoller:
 
     def commit(self, batch_id: int) -> None:
         """Mark batch ``batch_id`` durably processed: the next poll
-        advances instead of replaying it."""
+        advances instead of replaying it. Committing also prunes
+        checkpoint files older than this batch — a continuous poller
+        (the class's purpose) would otherwise accumulate one offsets
+        file + one commit marker per poll forever, and every
+        ``_batch_ids()`` listdir would slow linearly with age. Replay
+        only ever needs the LATEST offsets (the uncommitted batch) and
+        its predecessor's positions, both ≥ ``batch_id`` after this
+        commit; staging has its own GC (``_gc_staging``)."""
         marker = os.path.join(self._commits_dir, str(batch_id))
         with open(marker + ".tmp", "w") as f:
             f.write("ok")
         os.replace(marker + ".tmp", marker)
+        for d, suffix in ((self._offsets_dir, ".json"), (self._commits_dir, "")):
+            for name in os.listdir(d):
+                stem = name[: -len(suffix)] if suffix else name
+                try:
+                    bid = int(stem)
+                except ValueError:
+                    continue
+                if bid < batch_id:
+                    try:
+                        os.remove(os.path.join(d, name))
+                    except OSError:
+                        pass
 
     # --- shard discovery ------------------------------------------------
 
     def _list_shards(self) -> list[dict]:
-        shards, token = [], None
-        while True:
-            kwargs = {"StreamName": self._stream} if not token else {"NextToken": token}
-            resp = self._client.list_shards(**kwargs)
-            shards += resp["Shards"]
-            token = resp.get("NextToken")
-            if not token:
-                return shards
+        return _list_shards_all(self._client, self._stream)
 
     @staticmethod
     def _admit_shards(positions: dict[str, dict], discovered: list[dict]) -> None:

@@ -962,3 +962,58 @@ def test_executor_parallel_hot_shard_skew(spark, tmp_path):
         ]
         assert [v for _, v in sorted(hot)] == [f"r-{i}" for i in range(1000)]
         poller.commit(bid)
+
+
+def test_checkpoint_gc_bounds_offsets_and_commits(spark, tmp_path):
+    """A continuous poller must not grow its checkpoint without bound:
+    commit(N) prunes offsets/commits below N (one file pair per poll
+    otherwise — ~86k/day at 1 poll/s), while replay keeps working: the
+    uncommitted latest batch and its predecessor's positions are always
+    retained."""
+    import os as _os
+
+    from kda_flink_app_timestream_spark.streaming.kinesis_dev import (
+        KinesisMicroBatchPoller,
+    )
+
+    from .fake_kinesis import FakeKinesis
+
+    with FakeKinesis() as fk:
+        client = _fake_client(fk)
+        client.create_stream(StreamName="gc", ShardCount=1)
+        ck = str(tmp_path / "ck")
+        poller = KinesisMicroBatchPoller(
+            spark,
+            "gc",
+            checkpoint_dir=ck,
+            boto3_client=client,
+            interval_millis=0,
+        )
+        for w in range(6):
+            client.put_record(
+                StreamName="gc", Data=f"w-{w}".encode(), PartitionKey="k"
+            )
+            bid, df = poller.poll()
+            assert df.count() == 1
+            poller.commit(bid)
+        # after 6 committed polls: exactly the latest offsets file and
+        # commit marker survive
+        assert _os.listdir(_os.path.join(ck, "offsets")) == ["5.json"]
+        assert _os.listdir(_os.path.join(ck, "commits")) == ["5"]
+
+        # replay across GC'd history: batch 6 polled but uncommitted,
+        # a fresh poller re-delivers it from offsets 6 + prev 5
+        client.put_record(StreamName="gc", Data=b"w-6", PartitionKey="k")
+        bid6, df6 = poller.poll()
+        assert bid6 == 6
+        restarted = KinesisMicroBatchPoller(
+            spark,
+            "gc",
+            checkpoint_dir=ck,
+            boto3_client=client,
+            interval_millis=0,
+        )
+        rbid, rdf = restarted.poll()
+        assert rbid == 6
+        assert [r["value"] for r in rdf.collect()] == ["w-6"]
+        restarted.commit(rbid)
