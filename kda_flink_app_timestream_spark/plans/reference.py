@@ -10,11 +10,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.parse import build_service_log_text, parse_service_logs
+from ..functions.parse import (
+    build_service_log_text,
+    parse_service_logs,
+    typed_measure_projection,
+)
 from ..functions.time import epoch_millis
 from ..operators.relational import asof_join
 from ..sources.batch import load_table, scatter
 from .catalog import query
+
+# the generator's wire-format render of an events row and the parsed
+# point's column list — ONE source of truth for the parse round-trip
+# and both Kinesis consume queries (and their identity oracles)
+_POINT_COLS = (
+    "time",
+    "measure_name",
+    "measure_value",
+    "measure_value_double",
+    "measure_value_type",
+    "aws_account_id",
+    "operation",
+    "caller_service",
+)
+
+
+def _render_service_log(extra_cols: list = ()) -> list:
+    """Column list rendering an events row into the generator's exact
+    template (timestream_kinesis_data_gen.py:25-36): the gzip'd wire
+    value plus any extra columns the caller needs (partition key,
+    wave)."""
+    return [
+        build_service_log_text(
+            operation=F.col("event_type"),
+            aws_account_id=F.lpad(F.col("user_id").cast("string"), 12, "0"),
+            latency=F.col("value").cast("string"),
+            end_time_millis=epoch_millis(F.col("ts")),
+            caller_service=F.lit("GLUE"),
+        ).alias("value"),
+        *extra_cols,
+    ]
 
 
 @query(
@@ -42,26 +77,9 @@ def parse_service_logs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the epoch-millis→timestamp normalization end-to-end, JVM-side only.
     """
     e = scatter(load_table(spark, sf_dir, "events"))
-    raw = e.select(
-        build_service_log_text(
-            operation=F.col("event_type"),
-            aws_account_id=F.lpad(F.col("user_id").cast("string"), 12, "0"),
-            latency=F.col("value").cast("string"),
-            end_time_millis=epoch_millis(F.col("ts")),
-            caller_service=F.lit("GLUE"),
-        ).alias("value")
-    )
+    raw = e.select(*_render_service_log())
     parsed = parse_service_logs(raw)
-    return parsed.select(
-        "time",
-        "measure_name",
-        "measure_value",
-        "measure_value_double",
-        "measure_value_type",
-        "aws_account_id",
-        "operation",
-        "caller_service",
-    )
+    return parsed.select(*_POINT_COLS)
 
 
 @query(
@@ -116,8 +134,6 @@ def parse_typed_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``typed_measure_projection`` then routes each row into exactly one
     typed column via CASE WHEN + try_cast — a pure codegen projection.
     """
-    from ..functions.parse import typed_measure_projection
-
     e = load_table(spark, sf_dir, "events")
     raw_tag = F.element_at(
         F.array(
@@ -177,15 +193,12 @@ def _kinesis_produce_consume_roundtrip(
 
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= event_cap)
     rendered = e.select(
-        build_service_log_text(
-            operation=F.col("event_type"),
-            aws_account_id=F.lpad(F.col("user_id").cast("string"), 12, "0"),
-            latency=F.col("value").cast("string"),
-            end_time_millis=epoch_millis(F.col("ts")),
-            caller_service=F.lit("GLUE"),
-        ).alias("value"),
-        F.lpad(F.col("user_id").cast("string"), 12, "0").alias("pk"),
-        F.pmod(F.col("event_id"), F.lit(n_waves)).alias("wave"),
+        *_render_service_log(
+            [
+                F.lpad(F.col("user_id").cast("string"), 12, "0").alias("pk"),
+                F.pmod(F.col("event_id"), F.lit(n_waves)).alias("wave"),
+            ]
+        )
     ).collect()
     waves: dict[int, list] = {w: [] for w in range(n_waves)}
     for r in rendered:
@@ -241,6 +254,15 @@ def _kinesis_produce_consume_roundtrip(
                         StreamName=stream_name, Records=recs[i : i + 500]
                     )
                 bid, df = poller.poll()
+                if executor_parallel:
+                    # honor the poller's consume-before-next-poll
+                    # contract for ANY n_waves: the returned frame READS
+                    # its staging parquet, which poll N+2's _gc_staging
+                    # deletes — pin the rows in executor storage and cut
+                    # the file lineage before polling again (released
+                    # via defer_release like every plan-level pin)
+                    df = df.localCheckpoint(eager=True)
+                    defer_release(df)
                 batch_dfs.append(df)
                 poller.commit(bid)
     finally:
@@ -251,16 +273,7 @@ def _kinesis_produce_consume_roundtrip(
     for df in batch_dfs[1:]:
         union = union.unionAll(df)
     parsed = parse_service_logs(union)
-    return parsed.select(
-        "time",
-        "measure_name",
-        "measure_value",
-        "measure_value_double",
-        "measure_value_type",
-        "aws_account_id",
-        "operation",
-        "caller_service",
-    )
+    return parsed.select(*_POINT_COLS)
 
 
 @query(

@@ -39,6 +39,10 @@ _MAX_HASH = (1 << 128) - 1
 
 class _Stream:
     def __init__(self, name: str, shard_count: int):
+        if shard_count < 1:
+            raise _ApiError(
+                "InvalidArgumentException", f"ShardCount {shard_count} < 1"
+            )
         self.name = name
         step = (_MAX_HASH + 1) // shard_count
         self.shards = []
@@ -163,14 +167,21 @@ class FakeKinesis:
                 pass
 
             def do_POST(self):
-                ln = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(ln) or b"{}")
                 op = (self.headers.get("X-Amz-Target") or "").split(".")[-1]
                 with outer._lock:
                     try:
+                        ln = int(self.headers.get("Content-Length", 0))
+                        body = json.loads(self.rfile.read(ln) or b"{}")
                         out, status = outer._dispatch(op, body), 200
                     except _ApiError as ex:
                         out, status = {"__type": ex.code, "message": ex.msg}, 400
+                    except Exception as ex:  # malformed body/key -> 400,
+                        # never a killed connection (boto3 would surface
+                        # an opaque ConnectionClosedError)
+                        out, status = {
+                            "__type": "InvalidArgumentException",
+                            "message": f"{type(ex).__name__}: {ex}",
+                        }, 400
                 payload = json.dumps(out).encode()
                 self.send_response(status)
                 self.send_header("Content-Type", "application/x-amz-json-1.1")
@@ -265,8 +276,17 @@ class FakeKinesis:
                         for i, r in enumerate(shard["records"])
                         if r["SequenceNumber"] == target
                     ),
-                    len(shard["records"]),
+                    None,
                 )
+                if idx is None:
+                    # real service: unknown sequence -> validation error;
+                    # a len+1 sentinel here would silently skip the next
+                    # appended record forever
+                    raise _ApiError(
+                        "InvalidArgumentException",
+                        f"StartingSequenceNumber {target} not found in "
+                        f"{body['ShardId']}",
+                    )
                 if it_type == "AFTER_SEQUENCE_NUMBER":
                     idx += 1
             else:
