@@ -174,13 +174,25 @@ def _update(assigned: DataFrame) -> list[tuple[int, list[int]]]:
 def _lloyd(pts: DataFrame, k: int, iters: int) -> DataFrame:
     """``iters`` Lloyd assignment rounds over a cached quantized corpus
     ``pts(pid, qv)`` → ``(pid, qv, cid, dist_sq)``. Init is
-    deterministic: the k points with the smallest ids seed the
-    centroids (k-means++ would trade determinism for quality; for a
-    reproducible pipeline stage, fixed seeding wins)."""
+    deterministic: the points with ``id < k`` seed the centroids — the
+    EXACT rule the DuckDB oracle's ``c0`` CTE encodes
+    (plans/clustering.py: ``WHERE pid < k``), so it is a cross-engine
+    contract, not a smallest-k selection; it presumes a dense 0-based
+    id space, which the driver's testdata provides. (k-means++ would
+    trade determinism for quality; for a reproducible pipeline stage,
+    fixed seeding wins.)"""
     cents = sorted(
         (r["pid"], list(r["qv"]))
         for r in pts.filter(F.col("pid") < k).collect()
     )
+    if len(cents) < k:
+        # fail loudly here: an empty/short seed set otherwise surfaces
+        # as an opaque AnalysisException from the centroid literal
+        raise ValueError(
+            f"k-means seeding found {len(cents)} of {k} seed points with "
+            f"id < {k}: the id<k seed contract (shared with the SQL "
+            "oracle) requires a dense 0-based id space"
+        )
     assigned = _assign(pts, cents)
     for _ in range(iters - 1):
         # each round evaluates the prior assignment exactly once (the
@@ -321,12 +333,14 @@ def kmeans_assign_twolevel(
     by_cell: dict[int, list[tuple[int, list[int]]]] = {}
     for r in seed_rows:
         by_cell.setdefault(r["ccid"], []).append((r["pid"], list(r["qv"])))
+    # one sort per cell feeds BOTH arrays — their row order must agree
+    by_cell = {ccid: sorted(rows) for ccid, rows in by_cell.items()}
     cell_sids = {
-        ccid: np.array([sid for sid, _ in sorted(rows)], dtype=np.int64)
+        ccid: np.array([sid for sid, _ in rows], dtype=np.int64)
         for ccid, rows in by_cell.items()
     }
     cell_mats = {
-        ccid: np.array([qv for _, qv in sorted(rows)], dtype=np.float64)
+        ccid: np.array([qv for _, qv in rows], dtype=np.float64)
         for ccid, rows in by_cell.items()
     }
     cell_sq = {ccid: (m * m).sum(axis=1) for ccid, m in cell_mats.items()}
