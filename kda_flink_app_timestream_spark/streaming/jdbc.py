@@ -65,6 +65,27 @@ def _is_missing_object(exc: Exception) -> bool:
     return _sql_state(exc) in _MISSING_OBJECT_STATES
 
 
+# SQLState classes that mean THIS RECORD's data is bad (22 = data
+# exception: truncation/overflow/bad cast; 23 = integrity constraint:
+# NOT NULL/unique/FK/check) — the only classes the per-record probe may
+# classify as rejections. Anything else (40 = rollback/lock timeout,
+# 08 = connection) is batch-wide and transient: treating it as a
+# rejection would drop the whole chunk on, say, a lock timeout.
+_REJECTABLE_STATE_CLASSES = ("22", "23")
+
+
+def _jdbc_write(df: DataFrame, url: str, table: str, driver: str, mode: str) -> None:
+    """The one JDBC writer invocation every sink shares."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .mode(mode)
+        .save()
+    )
+
+
 def _delete_epoch(spark, url: str, table: str, epoch_id: int) -> None:
     """Row-level delete through the JVM's DriverManager (Spark's JDBC
     data source has no delete path), parameterized via PreparedStatement.
@@ -110,14 +131,7 @@ def jdbc_point_sink(
         out = batch_df.select(*[c for c in POINT_COLUMNS if c in batch_df.columns])
         out = out.withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
         _delete_epoch(spark, url, table, epoch_id)
-        (
-            out.write.format("jdbc")
-            .option("url", url)
-            .option("dbtable", table)
-            .option("driver", driver)
-            .mode("append")
-            .save()
-        )
+        _jdbc_write(out, url, table, driver, "append")
 
     return write
 
@@ -158,15 +172,13 @@ def jdbc_upsert_sink(
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # one evaluation of the micro-batch lineage feeds BOTH jobs
+        # (key staging + append) — uncached, the full parse/agg pipeline
+        # would run twice per trigger
+        batch_df.persist()
         # Executor-parallel staging of the (watermark-bounded) key set.
-        (
-            batch_df.select(*key_cols).distinct()
-            .write.format("jdbc")
-            .option("url", url)
-            .option("dbtable", stage)
-            .option("driver", driver)
-            .mode("overwrite")
-            .save()
+        _jdbc_write(
+            batch_df.select(*key_cols).distinct(), url, stage, driver, "overwrite"
         )
         jvm = spark._jvm
         conn = jvm.java.sql.DriverManager.getConnection(url)
@@ -177,7 +189,14 @@ def jdbc_upsert_sink(
             # only the target table (possibly pre-existing with either
             # spelling) gets the two-spelling fallback.
             for tbl in (table, f'"{table}"'):
-                cond = " AND ".join(f's."{c}" = {tbl}."{c}"' for c in key_cols)
+                cond = " AND ".join(
+                    # null-safe: a NULL key value (e.g. a NULL window
+                    # start from unparseable timestamps) must still
+                    # match its stale row, or it duplicates every batch
+                    f'(s."{c}" = {tbl}."{c}" OR '
+                    f'(s."{c}" IS NULL AND {tbl}."{c}" IS NULL))'
+                    for c in key_cols
+                )
                 sql = (
                     f"DELETE FROM {tbl} WHERE EXISTS "
                     f"(SELECT 1 FROM {stage} s WHERE {cond})"
@@ -193,14 +212,8 @@ def jdbc_upsert_sink(
                     raise
         finally:
             conn.close()
-        (
-            batch_df.write.format("jdbc")
-            .option("url", url)
-            .option("dbtable", table)
-            .option("driver", driver)
-            .mode("append")
-            .save()
-        )
+        _jdbc_write(batch_df, url, table, driver, "append")
+        batch_df.unpersist()
 
     return write
 
@@ -234,8 +247,10 @@ def jdbc_rejecting_batch_writer(
     qs = ", ".join("?" for _ in columns)
     insert_sql = f'INSERT INTO "{table}" ({collist}) VALUES ({qs})'
 
-    def _set_params(ps, rec: dict) -> None:
-        pmd = ps.getParameterMetaData()
+    def _set_params(ps, pmd, rec: dict) -> None:
+        # pmd is fetched ONCE per prepared statement by the caller: it
+        # is constant for the statement, and getParameterMetaData() is
+        # a py4j round trip that would otherwise run per record
         for i, c in enumerate(columns, start=1):
             v = rec.get(c)
             if v is None:
@@ -248,10 +263,11 @@ def jdbc_rejecting_batch_writer(
         try:
             conn.setAutoCommit(False)
             ps = conn.prepareStatement(insert_sql)
+            pmd = ps.getParameterMetaData()
             try:
                 try:
                     for rec in batch:
-                        _set_params(ps, rec)
+                        _set_params(ps, pmd, rec)
                         ps.addBatch()
                     ps.executeBatch()
                     conn.commit()
@@ -282,16 +298,26 @@ def jdbc_rejecting_batch_writer(
                         # failure: probe with a fresh statement instead
                         ps.close()
                         ps = conn.prepareStatement(insert_sql)
+                        pmd = ps.getParameterMetaData()
                     for idx, rec in enumerate(batch):
                         sp = conn.setSavepoint()
                         try:
-                            _set_params(ps, rec)
+                            _set_params(ps, pmd, rec)
                             ps.executeUpdate()
                             conn.releaseSavepoint(sp)
                         except Exception as rec_exc:
                             conn.rollback(sp)
+                            st = _sql_state(rec_exc)
+                            if st is None or st[:2] not in _REJECTABLE_STATE_CLASSES:
+                                # batch-wide transient (lock timeout,
+                                # connection loss): EVERY probe would
+                                # fail and the whole chunk would be
+                                # "rejected" — silent data loss. Fail
+                                # the batch so the checkpoint retries.
+                                conn.rollback()
+                                raise batch_exc from rec_exc
                             bad.append(idx)
-                            reason = _sql_state(rec_exc) or str(rec_exc)
+                            reason = st
                     conn.rollback()
                     if not bad:
                         # batch-level failure with no per-record culprit

@@ -56,20 +56,28 @@ def write_chunked(
 
     def flush() -> None:
         nonlocal written, rejected
-        if not buf:
-            return
-        try:
-            write_batch(buf)
-            written += len(buf)
-        except RejectedRecords as rr:
-            keep = [r for i, r in enumerate(buf) if i not in set(rr.indices)]
-            bad = [buf[i] for i in rr.indices if i < len(buf)]
-            rejected += len(bad)
-            if on_rejected is not None:
-                on_rejected(bad, rr)
-            if keep:
-                write_batch(keep)
-                written += len(keep)
+        # re-land keepers until a write succeeds — the reference keeps
+        # non-rejected records buffered and re-publishes them, dropping
+        # newly-rejected ones each round (TimestreamSink.java:103-120),
+        # so a SECOND RejectedRecords must repair again, not escape and
+        # fail the micro-batch the class contract says never fails
+        pending = buf
+        while pending:
+            try:
+                write_batch(pending)
+                written += len(pending)
+                break
+            except RejectedRecords as rr:
+                bad_set = {i for i in rr.indices if 0 <= i < len(pending)}
+                bad = [pending[i] for i in sorted(bad_set)]
+                keep = [r for i, r in enumerate(pending) if i not in bad_set]
+                rejected += len(bad)
+                if on_rejected is not None:
+                    on_rejected(bad, rr)
+                if not bad_set:  # defensive: empty rejection list
+                    written += len(keep)
+                    break
+                pending = keep
         buf.clear()
 
     for row in rows:
@@ -112,24 +120,36 @@ class BatchingForeachWriter:
         def handle_partition(pid_rows: Iterator[Row]) -> None:
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx else 0
+            attempt = ctx.taskAttemptId() if ctx else 0
             if factory is not None:
                 write_batch = factory()
                 write_chunked(pid_rows, write_batch, batch_size)
             else:
-                _write_jsonl_partition(pid_rows, jsonl_dir, epoch_id, pid, batch_size)
+                _write_jsonl_partition(
+                    pid_rows, jsonl_dir, epoch_id, pid, batch_size, attempt
+                )
 
         batch_df.foreachPartition(handle_partition)
 
 
 def _write_jsonl_partition(
-    rows: Iterator[Row], out_dir: str, epoch_id: int, pid: int, batch_size: int
+    rows: Iterator[Row],
+    out_dir: str,
+    epoch_id: int,
+    pid: int,
+    batch_size: int,
+    attempt: int = 0,
 ) -> None:
     """Test/local backend: newline-delimited JSON, one file per
-    (epoch, partition), atomic rename → idempotent replay."""
+    (epoch, partition), atomic rename → idempotent replay. The tmp name
+    carries the task ATTEMPT id: a speculative or zombie attempt running
+    beside its retry must not interleave writes into one shared tmp
+    file — each attempt builds its own and the last rename wins whole."""
     os.makedirs(os.path.join(out_dir, f"epoch={epoch_id}"), exist_ok=True)
     final = os.path.join(out_dir, f"epoch={epoch_id}", f"part={pid}.jsonl")
-    tmp = final + ".tmp"
+    tmp = f"{final}.tmp-{attempt}"
     with open(tmp, "w") as f:
         def write_batch(batch: list[dict[str, Any]]) -> None:
             for rec in batch:
@@ -182,27 +202,55 @@ def timestream_backend_factory(
 
         def write_batch(batch):
             records = [_to_timestream_record(rec) for rec in batch]
-            try:
-                client.write_records(
-                    DatabaseName=database, TableName=table, Records=records
-                )
-            except client.exceptions.RejectedRecordsException as exc:
-                idx = [r["RecordIndex"] for r in exc.response.get("RejectedRecords", [])]
-                raise RejectedRecords(idx, "timestream rejection") from exc
+            bad: list[int] = []
+            # WriteRecords accepts at most 100 records per call — a sink
+            # batch_size above that must sub-chunk or EVERY write fails
+            # with ValidationException (not a rejection) and the
+            # micro-batch retries forever. Rejection indices from each
+            # sub-call are re-based onto the caller's batch.
+            for off in range(0, len(records), TIMESTREAM_MAX_RECORDS_PER_WRITE):
+                chunk = records[off : off + TIMESTREAM_MAX_RECORDS_PER_WRITE]
+                try:
+                    client.write_records(
+                        DatabaseName=database, TableName=table, Records=chunk
+                    )
+                except client.exceptions.RejectedRecordsException as exc:
+                    bad += [
+                        off + r["RecordIndex"]
+                        for r in exc.response.get("RejectedRecords", [])
+                    ]
+            if bad:
+                raise RejectedRecords(bad, "timestream rejection")
 
         return write_batch
 
     return factory
 
 
+TIMESTREAM_MAX_RECORDS_PER_WRITE = 100  # WriteRecords API limit
+
+
 def _to_timestream_record(rec: dict[str, Any]) -> dict[str, Any]:
-    """TimestreamPoint row → Timestream Record (TimestreamSink.java:73-86)."""
+    """TimestreamPoint row → Timestream Record (TimestreamSink.java:73-86).
+
+    ``Time`` must be the EPOCH count in ``TimeUnit`` — the real service
+    rejects a stringified datetime — so a TimestampType ``time`` column
+    (what ``parse_service_logs`` emits) is converted to epoch millis
+    here; naive datetimes are UTC by the engine's session-timezone
+    contract (session.py pins spark.sql.session.timeZone=UTC)."""
+    import datetime as _dt
+
     dims = rec.get("dimensions") or {}
+    t = rec["time_millis"] if "time_millis" in rec else rec["time"]
+    if isinstance(t, _dt.datetime):
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=_dt.timezone.utc)
+        t = int(t.timestamp() * 1000)
     return {
         "Dimensions": [{"Name": k, "Value": str(v)} for k, v in dims.items()],
         "MeasureName": rec["measure_name"],
         "MeasureValue": str(rec["measure_value"]),
         "MeasureValueType": rec.get("measure_value_type", "DOUBLE"),
-        "Time": str(rec["time_millis"] if "time_millis" in rec else rec["time"]),
+        "Time": str(t),
         "TimeUnit": "MILLISECONDS",  # LogsToTimestreamPayloadFn.java:78
     }

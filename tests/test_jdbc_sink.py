@@ -273,3 +273,65 @@ def test_jdbc_repair_sink_streaming_end_to_end(spark, tmp_path):
     assert landed.count() == 20
     assert len(rejects) == 2
     assert all(r["time"] is None for r in rejects)
+
+
+def test_jdbc_transient_batch_error_is_not_a_rejection(spark):
+    """A batch-wide TRANSIENT failure (lock timeout while another
+    transaction holds the table) must FAIL the batch so the checkpoint
+    retries it — not run the per-record probe into the same timeout for
+    every record and 'reject' the whole chunk (silent data loss). Only
+    SQLState classes 22/23 (bad record data) classify as rejections."""
+    import pytest
+
+    from kda_flink_app_timestream_spark.streaming.jdbc import (
+        jdbc_rejecting_batch_writer,
+    )
+    from kda_flink_app_timestream_spark.streaming.sink import RejectedRecords
+
+    url = "jdbc:derby:memory:kda_lock;create=true"
+    jvm = spark._jvm
+    setup = jvm.java.sql.DriverManager.getConnection(url)
+    st = setup.createStatement()
+    st.executeUpdate(
+        'CREATE TABLE "pts" ("measure_name" VARCHAR(64) NOT NULL, '
+        '"measure_value" DOUBLE)'
+    )
+    # fail lock waits fast so the test doesn't sit on Derby's default
+    st.executeUpdate(
+        "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY"
+        "('derby.locks.waitTimeout', '1')"
+    )
+    st.close()
+    setup.close()
+
+    rows = [{"measure_name": f"m{i}", "measure_value": float(i)} for i in range(4)]
+    wb = jdbc_rejecting_batch_writer(
+        spark, url, "pts", ("measure_name", "measure_value")
+    )
+
+    holder = jvm.java.sql.DriverManager.getConnection(url)
+    holder.setAutoCommit(False)
+    hst = holder.createStatement()
+    hst.executeUpdate('LOCK TABLE "pts" IN EXCLUSIVE MODE')
+    try:
+        with pytest.raises(Exception) as excinfo:
+            wb(rows)
+        assert not isinstance(excinfo.value, RejectedRecords), (
+            "transient lock timeout was misclassified as per-record "
+            "rejections — the whole chunk would be silently dropped"
+        )
+    finally:
+        holder.rollback()
+        hst.close()
+        holder.close()
+
+    # lock released: the checkpoint's retry of the same batch lands all
+    wb(rows)
+    landed = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", '"pts"')
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+        .collect()
+    )
+    assert {r["measure_value"] for r in landed} == {float(i) for i in range(4)}

@@ -150,3 +150,64 @@ def test_streaming_foreachbatch_into_fake_timestream(spark, tmp_path):
         assert len(landed) == 28
         got = {r["MeasureValue"] for r in landed}
         assert got == {f"{i}.25" for i in range(30) if i not in (5, 14)}
+
+
+def test_to_timestream_record_converts_datetime_time():
+    """A TimestampType ``time`` column (what parse_service_logs emits —
+    the production path) must reach the wire as EPOCH MILLIS, not
+    ``str(datetime)``: the real service rejects a stringified datetime
+    with TimeUnit=MILLISECONDS. Naive datetimes are UTC by the engine's
+    session-timezone contract."""
+    import datetime as dt
+
+    from kda_flink_app_timestream_spark.streaming.sink import (
+        _to_timestream_record,
+    )
+
+    naive = dt.datetime(2024, 1, 1, 0, 0, 0, 250000)
+    rec = _to_timestream_record(
+        {"measure_name": "latency", "measure_value": 1.5, "time": naive}
+    )
+    assert rec["Time"] == str(1704067200250)
+    aware = naive.replace(tzinfo=dt.timezone.utc)
+    rec2 = _to_timestream_record(
+        {"measure_name": "latency", "measure_value": 1.5, "time": aware}
+    )
+    assert rec2["Time"] == rec["Time"]
+    # explicit epoch millis pass through untouched
+    rec3 = _to_timestream_record(
+        {"measure_name": "latency", "measure_value": 1.5,
+         "time_millis": 1704067200250}
+    )
+    assert rec3["Time"] == rec["Time"]
+
+
+def test_write_batch_subchunks_at_api_limit():
+    """WriteRecords accepts ≤100 records/call: a 250-record sink batch
+    must sub-chunk (or every call fails with ValidationException and
+    the micro-batch retries forever), and rejection indices from later
+    sub-calls must be re-based onto the caller's batch."""
+    from kda_flink_app_timestream_spark.streaming.sink import write_chunked
+
+    n, poisoned = 250, {3, 150, 249}  # offenders in 1st, 2nd, 3rd chunk
+    rows = [
+        _point(i, "bad" if i in poisoned else f"{i}.5") for i in range(n)
+    ]
+    with FakeTimestream() as ft:
+        initialize_timestream_boto3(
+            "kda", "points", endpoint_url=ft.endpoint_url,
+            client_kwargs=_CREDS,
+        )
+        factory = timestream_backend_factory(
+            "us-east-1", "kda", "points",
+            endpoint_url=ft.endpoint_url, client_kwargs=_CREDS,
+        )
+        written, rejected = write_chunked(
+            iter(rows), factory(), batch_size=250
+        )
+        assert (written, rejected) == (n - len(poisoned), len(poisoned))
+        landed = ft.store[("kda", "points")]
+        assert len(landed) == n - len(poisoned)
+        assert {r["MeasureValue"] for r in landed} == {
+            f"{i}.5" for i in range(n) if i not in poisoned
+        }
