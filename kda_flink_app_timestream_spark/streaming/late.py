@@ -101,15 +101,23 @@ class LateDataSplitter:
         return max(candidates) if candidates else None
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        # classify against the watermark as of batch START (records in
-        # this batch don't count against themselves), then advance it
-        on_time, late = split_on_watermark(
-            batch_df, self._current_watermark(), self._ts_col, self._lateness
-        )
-        self._on_time(on_time, epoch_id)
-        self._late(late, epoch_id)
-        batch_max = batch_df.agg(F.max(self._ts_col)).first()[0]
-        if batch_max is not None and (
-            self._max_event_ts is None or batch_max > self._max_event_ts
-        ):
-            self._max_event_ts = batch_max
+        # the batch frame is consumed THREE times per epoch (on-time
+        # sink, late sink, max-event-time probe) and foreachBatch frames
+        # recompute from the source slice per action — pin it once
+        batch_df.persist()
+        try:
+            # classify against the watermark as of batch START (records
+            # in this batch don't count against themselves), then
+            # advance it
+            on_time, late = split_on_watermark(
+                batch_df, self._current_watermark(), self._ts_col, self._lateness
+            )
+            self._on_time(on_time, epoch_id)
+            self._late(late, epoch_id)
+            batch_max = batch_df.agg(F.max(self._ts_col)).first()[0]
+            if batch_max is not None and (
+                self._max_event_ts is None or batch_max > self._max_event_ts
+            ):
+                self._max_event_ts = batch_max
+        finally:
+            batch_df.unpersist()
