@@ -78,3 +78,35 @@ def test_query_wrapper_drains_previous_querys_deferrals(spark, sf_dir):
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).collect()
     assert _n_persistent(spark) < before
     _clean(spark)
+
+
+def test_late_splitter_releases_batch_cache(spark):
+    """The late splitter pins each micro-batch frame across its three
+    consumers (on-time sink, late sink, max-ts probe) and must release
+    it before returning — even when a sink raises."""
+    from kda_flink_app_timestream_spark.streaming.late import LateDataSplitter
+
+    _clean(spark)
+    batch = spark.createDataFrame(
+        [("2024-01-01 00:00:05",), ("2024-01-01 00:00:30",)], "event_time string"
+    ).select(F.col("event_time").cast("timestamp"))
+
+    seen: list[tuple[str, int]] = []
+    splitter = LateDataSplitter(
+        on_time=lambda df, e: seen.append(("on_time", df.count())),
+        late=lambda df, e: seen.append(("late", df.count())),
+        ts_col="event_time",
+    )
+    splitter(batch, 0)
+    assert ("on_time", 2) in seen  # first batch: watermark −∞, all on-time
+    assert _n_persistent(spark) == 0
+
+    def boom(df, e):
+        raise RuntimeError("sink failure")
+
+    failing = LateDataSplitter(on_time=boom, late=lambda df, e: None, ts_col="event_time")
+    try:
+        failing(batch, 0)
+    except RuntimeError:
+        pass
+    assert _n_persistent(spark) == 0  # finally-release held through the raise
