@@ -176,7 +176,16 @@ def _priority(name: str, history: dict[int, dict]) -> tuple[int, int]:
     ) or rows_only  # rows-only by design: nothing stronger to chase
     if not green:
         return (1, -last_round)
-    if last_round < _RESCORE_AFTER.get(name, 0):
+    flag = _RESCORE_AFTER.get(name, 0)
+    if flag > max(history) + 1:
+        # DORMANT: a flag keyed past the round being scored now (= the
+        # latest committed round + 1) belongs to a FUTURE round's window.
+        # Changes landed late in a round — after that round's window was
+        # already exactly full — key their flags current_round + 1 so the
+        # promised stale-green rotation is not evicted; the flag goes
+        # active the moment this round's CORRECTNESS file exists.
+        flag = 0
+    if last_round < flag:
         # flag self-expires: once a round >= the change-round has scored
         # the query, it rejoins the normal canary rotation instead of
         # hogging a slot forever

@@ -94,6 +94,24 @@ def test_rescore_flag_flags_same_round_green():
     assert entry._priority(name, hist)[0] == 3
 
 
+def test_rescore_flag_keyed_future_round_is_dormant(monkeypatch):
+    """A flag keyed PAST the round being scored now (latest committed
+    round + 1) must stay inactive — late-in-round changes key their
+    flags current_round + 1 so they cannot evict the already-committed
+    window's stale greens, then activate the moment the current round's
+    CORRECTNESS file exists."""
+    monkeypatch.setitem(entry._RESCORE_AFTER, "__late_change__", 7)
+    # latest committed round = 5 → round 6 is being scored → keyed-7 dormant
+    hist = {5: {"__late_change__": _green()}}
+    assert entry._priority("__late_change__", hist)[0] == 3
+    # round 6's file lands → round 7 is being scored → flag activates
+    hist[6] = {"other": _green()}
+    assert entry._priority("__late_change__", hist)[0] == 2
+    # and self-expires once a round >= 7 scores it
+    hist[7] = {"__late_change__": _green()}
+    assert entry._priority("__late_change__", hist)[0] == 3
+
+
 def test_full_ordering_is_deterministic_and_window_covers_needy():
     names = entry._ordered_names()
     assert names == entry._ordered_names()  # stable
