@@ -142,6 +142,30 @@ _RESCORE_AFTER = {
     #   streaming/kinesis_dev.py: _drain_shard extraction, adaptive
     #   reads, fixpoint shard admission, executor-parallel mode
     "kinesis_incremental_consume": 6,
+    # r7 changes, landed LATE in r6 (after r6's window was already
+    # exactly full — these flags are DORMANT for r6's scoring and
+    # activate the moment CORRECTNESS_r06 exists; see _priority):
+    #   operators/similarity.py + plans/similarity.py: shared zero-norm
+    #   cosine guard (both engines), hyperplane components generated for
+    #   the caller's dim, zero-shuffle literal-codebook IVF assignment,
+    #   dead IVF distinct removed, hoisted re-rank norms, shared
+    #   _rank_topk, PQ codebook filter-first. Consumers of the SAME
+    #   files already keyed 6 (dedup_embedding_pairs, the clustering
+    #   four) are in r6's window and get their post-change row there.
+    "sim_bruteforce_topk": 7,
+    "sim_lsh_topk": 7,
+    "sim_ivf_topk": 7,
+    "sim_ann_recall": 7,
+    "sim_vector_normalize_quantize": 7,
+    "sim_pq_codes": 7,
+    "sim_random_projection": 7,
+    "sim_dim_truncation_recall": 7,
+    "sim_cluster_diversity": 7,
+    #   plans/dedup.py: guarded _EMBED_COSINE twin (same file as the
+    #   keyed-6 dedup consumers; these three were not keyed 6)
+    "dedup_exact_summary": 7,
+    "dedup_simhash": 7,
+    "dedup_ngram_containment": 7,
 }
 
 

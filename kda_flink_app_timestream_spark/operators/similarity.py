@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 import functools
 import hashlib
 
-from ..functions.vectors import as_double, cosine, dot_unrolled, norm_unrolled
+from ..functions.vectors import as_double, dot_unrolled, norm_unrolled
 
 N_PLANES = 8  # 256 buckets
 DIM = 64
@@ -56,7 +56,12 @@ HYPERPLANES: tuple[tuple[float, ...], ...] = tuple(
 
 
 def hyperplane(plane: int, dim: int = DIM) -> Column:
-    return F.array(*[F.lit(c) for c in plane_components(plane, DIM)[:dim]])
+    # plane_components is generated per (plane, d), so asking for the
+    # caller's dim directly is prefix-stable for dim <= DIM and — unlike
+    # the old `[:dim]` slice of a DIM-wide tuple — still correct for
+    # dim > DIM, where the truncated array would zip_with NULL-pad,
+    # NULL-poison every dot, and collapse all vectors into bucket 0
+    return F.array(*[F.lit(c) for c in plane_components(plane, dim)])
 
 
 def lsh_bucket(
@@ -91,6 +96,32 @@ def lsh_bucket(
     return bucket.cast("long")
 
 
+def _safe_cosine(dot_col: Column, na: Column, nb: Column) -> Column:
+    """Cosine with the zero-norm edge pinned to 0.0 on BOTH engines:
+    Spark's non-ANSI x/0 yields NULL while DuckDB yields inf/nan, so an
+    all-zero embedding would rank differently (NULL ordering vs nan)
+    per engine. 0.0 = "no similarity signal", ranked deterministically
+    last; for every nonzero-norm pair the expression is the identical
+    division as before. SQL twin: ``sql_safe_cosine`` in the plan
+    modules' oracle builders."""
+    return F.when((na != 0.0) & (nb != 0.0), dot_col / (na * nb)).otherwise(F.lit(0.0))
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared per-query top-k re-rank: rounded similarity DESC with
+    neighbor-id tie-break → fully deterministic cut (one shuffle on
+    query_id; the window's partial top-k keeps k rows per query per
+    input partition before the merge)."""
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk")
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -111,18 +142,15 @@ def brute_force_topk(
     ).withColumn("cn", norm_unrolled("cv", dim))
     # norms precomputed per VECTOR (not per pair) — same doubles, ~3x
     # less arithmetic on the quadratic stage, all inside codegen
-    sim = F.round(dot_unrolled("qv", "cv", dim) / (F.col("qn") * F.col("cn")), 6)
+    sim = F.round(
+        _safe_cosine(dot_unrolled("qv", "cv", dim), F.col("qn"), F.col("cn")), 6
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk"))
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_topk(
@@ -153,18 +181,15 @@ def lsh_topk(
         .withColumn("bucket", lsh_bucket("cv", n_planes, dim))
         .withColumn("cn", norm_unrolled("cv", dim))
     )
-    sim = F.round(dot_unrolled("qv", "cv", dim) / (F.col("qn") * F.col("cn")), 6)
+    sim = F.round(
+        _safe_cosine(dot_unrolled("qv", "cv", dim), F.col("qn"), F.col("cn")), 6
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk"))
-    )
+    return _rank_topk(scored, k)
 
 
 EMB_N_BANDS = 4
@@ -205,7 +230,7 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", norm_unrolled("__v", DIM))
     sim = F.round(
-        dot_unrolled("va", "vb", DIM) / (F.col("na") * F.col("nb")), 6
+        _safe_cosine(dot_unrolled("va", "vb", DIM), F.col("na"), F.col("nb")), 6
     )
 
     if n_bands <= 0:
@@ -275,16 +300,50 @@ def ivf_centroids(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "emb
     )
 
 
-def _argmax_centroids(vectors: DataFrame, cents: DataFrame, vec_expr: str, k: int) -> DataFrame:
-    """Top-k nearest centroids per vector (broadcast codebook — the
-    corpus never shuffles for assignment)."""
-    sim = cosine(F.col(vec_expr), F.col("centroid"))  # k·|corpus| pairs, k small
-    w = W.partitionBy("__vid").orderBy(F.desc("__csim"), F.asc("cid"))
+def _collect_centroids(cents: DataFrame) -> list[tuple[int, list[float]]]:
+    """The IVF codebook as driver-side MODEL STATE: 16 rows, bounded by
+    construction — the same collect-and-inline pattern as ``pq_codes``'
+    codebook and the k-means centroids (operators/clustering.py), so
+    assignment becomes a pure narrow projection and the corpus NEVER
+    shuffles for it."""
+    return sorted((r["cid"], [float(x) for x in r["centroid"]]) for r in cents.collect())
+
+
+def _fold_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _nearest_centroids(
+    vectors: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+    norm_col: str,
+    k: int,
+) -> DataFrame:
+    """Top-k nearest centroids per vector as a ZERO-SHUFFLE projection
+    (BACKLOG r6 #12): per centroid literal, a guarded cosine against the
+    vector; the ``(csim, -cid)`` struct array sorts descending and
+    slices to k — max cosine first, smaller cid on ties, exactly the
+    ordering the previous crossJoin + row_number window produced (the
+    SQL oracle keeps the window form; same doubles, same tie rule) —
+    but without shuffling the k×-expanded corpus. The centroid norms
+    are constant-foldable literals; the per-row cost (|codebook| fold
+    dots) is unchanged."""
+    entries = []
+    for cid, cv in cents:
+        lit = F.array(*[F.lit(x) for x in cv])
+        cn = F.sqrt(_fold_dot(lit, lit))
+        csim = _safe_cosine(_fold_dot(F.col(vec_col), lit), F.col(norm_col), cn)
+        entries.append(
+            F.struct(csim.alias("csim"), F.lit(-cid).cast("long").alias("negcid"))
+        )
+    best = F.slice(F.sort_array(F.array(*entries), asc=False), 1, k)
     return (
-        vectors.crossJoin(F.broadcast(cents))
-        .withColumn("__csim", sim)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
+        vectors.select("*", F.explode(best).alias("__best"))
+        .select("*", (-F.col("__best.negcid")).alias("cid"))
+        .drop("__best")
     )
 
 
@@ -299,33 +358,32 @@ def ivf_topk(
     """IVF ANN top-k: corpus vectors live in their nearest-centroid list;
     a query probes its ``nprobe`` closest lists and exact-re-ranks only
     those candidates. At 100 TB the corpus is written
-    ``partitionBy(cid)`` so each probe prunes to nprobe partitions."""
-    cents = ivf_centroids(corpus, id_col, vec_col)
+    ``partitionBy(cid)`` so each probe prunes to nprobe partitions.
+
+    Plan shape: assignment is a narrow projection against the inlined
+    16-centroid codebook (zero shuffle — the corpus moves only for the
+    final per-query top-k), norms are computed once per VECTOR and
+    carried into the re-rank, and candidates need no dedup: assignment
+    is k=1, so a (query, neighbor) pair can meet on at most one cid
+    (the old ``.distinct()`` was a dead full shuffle — BACKLOG r6 #11)."""
+    cents = _collect_centroids(ivf_centroids(corpus, id_col, vec_col))
     c = corpus.select(
-        F.col(id_col).alias("__vid"), as_double(F.col(vec_col)).alias("cv")
-    )
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm_unrolled("cv", DIM))
     q = queries.select(
-        F.col(id_col).alias("__vid"), as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm_unrolled("qv", DIM))
+    assigned = _nearest_centroids(c, cents, "cv", "cn", 1)
+    probed = _nearest_centroids(q, cents, "qv", "qn", nprobe)
+    sim = F.round(
+        _safe_cosine(dot_unrolled("qv", "cv", DIM), F.col("qn"), F.col("cn")), 6
     )
-    assigned = _argmax_centroids(c, cents, "cv", 1).select(
-        F.col("__vid").alias("neighbor_id"), "cv", "cid"
-    )
-    probed = _argmax_centroids(q, cents, "qv", nprobe).select(
-        F.col("__vid").alias("query_id"), "qv", "cid"
-    )
-    sim = F.round(dot_unrolled("qv", "cv", DIM) / (norm_unrolled("qv", DIM) * norm_unrolled("cv", DIM)), 6)
     scored = (
         assigned.join(F.broadcast(probed), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
-        .distinct()  # a candidate can appear via both probed lists
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", F.col("rk").cast("int").alias("rk"))
-    )
+    return _rank_topk(scored, k)
 
 
 # --- Product quantization (PQ) ----------------------------------------------
@@ -372,10 +430,13 @@ def pq_codes(
         lambda x: F.floor(x * F.lit(float(PQ_SCALE))).cast("long"),
     )
     pts = corpus.select(F.col(id_col).alias("__pid"), q.alias("qv"))
-    codebook = sorted(
-        (r["__pid"], list(r["qv"]))
-        for r in pts.filter((F.col("__pid") >= lo) & (F.col("__pid") < hi)).collect()
+    # codebook scan filters the RAW corpus before quantizing, so the
+    # collect's scan prunes to the 8 codeword rows at the source (the
+    # optimizer pushed this anyway; explicit keeps it plan-independent)
+    cb_src = corpus.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi)).select(
+        F.col(id_col).alias("__pid"), q.alias("qv")
     )
+    codebook = sorted((r["__pid"], list(r["qv"])) for r in cb_src.collect())
 
     def sub_codebook_literal(s: int) -> Column:
         structs = ", ".join(

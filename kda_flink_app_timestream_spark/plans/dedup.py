@@ -323,10 +323,18 @@ def dedup_collapse_then_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(collapsed, threshold=JACCARD_THRESHOLD)
 
 
-_EMBED_COSINE = (
-    "list_dot_product(a.v, b.v) / "
-    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-)
+def _sql_safe_cosine(av: str, bv: str) -> str:
+    # twin of operators.similarity._safe_cosine (zero-norm edge → 0.0 on
+    # both engines; see plans/similarity.py:sql_safe_cosine)
+    aa, bb = f"list_dot_product({av}, {av})", f"list_dot_product({bv}, {bv})"
+    return (
+        f"CASE WHEN {aa} <> 0 AND {bb} <> 0 "
+        f"THEN list_dot_product({av}, {bv}) / (sqrt({aa}) * sqrt({bb})) "
+        f"ELSE 0.0 END"
+    )
+
+
+_EMBED_COSINE = _sql_safe_cosine("a.v", "b.v")
 
 
 def _embed_neardup_oracle() -> str:

@@ -17,10 +17,20 @@ from .catalog import query
 N_QUERIES = 20  # query set: vec_id < 20
 TOP_K = 5
 
-_COSINE = (
-    "list_dot_product(q.v, c.v) / "
-    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
-)
+def sql_safe_cosine(qv: str, cv: str) -> str:
+    """SQL twin of ``operators.similarity._safe_cosine``: cosine with
+    the zero-norm edge pinned to 0.0 (DuckDB's x/0.0 is inf/nan while
+    Spark's non-ANSI division is NULL — without the shared guard an
+    all-zero embedding would rank differently per engine)."""
+    qq, cc = f"list_dot_product({qv}, {qv})", f"list_dot_product({cv}, {cv})"
+    return (
+        f"CASE WHEN {qq} <> 0 AND {cc} <> 0 "
+        f"THEN list_dot_product({qv}, {cv}) / (sqrt({qq}) * sqrt({cc})) "
+        f"ELSE 0.0 END"
+    )
+
+
+_COSINE = sql_safe_cosine("q.v", "c.v")
 
 _BRUTEFORCE_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -111,9 +121,7 @@ assigned AS (
         SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (
                    PARTITION BY e.vec_id
-                   ORDER BY list_dot_product(e.v, c.centroid)
-                            / (sqrt(list_dot_product(e.v, e.v))
-                               * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                   ORDER BY {sql_safe_cosine('e.v', 'c.centroid')} DESC,
                             c.cid
                ) AS rn
         FROM e CROSS JOIN cents c
@@ -124,9 +132,7 @@ probed AS (
         SELECT e.vec_id, e.v, c.cid,
                row_number() OVER (
                    PARTITION BY e.vec_id
-                   ORDER BY list_dot_product(e.v, c.centroid)
-                            / (sqrt(list_dot_product(e.v, e.v))
-                               * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                   ORDER BY {sql_safe_cosine('e.v', 'c.centroid')} DESC,
                             c.cid
                ) AS rn
         FROM e CROSS JOIN cents c
@@ -134,10 +140,11 @@ probed AS (
     ) WHERE rn <= {IVF_NPROBE}
 ),
 scored AS (
-    SELECT DISTINCT p.query_id, a.neighbor_id,
-           round(list_dot_product(p.qv, a.cv)
-                 / (sqrt(list_dot_product(p.qv, p.qv))
-                    * sqrt(list_dot_product(a.cv, a.cv))), 6) AS cosine_sim
+    -- no DISTINCT: assignment is rn = 1, so a (query, neighbor) pair
+    -- meets on at most one cid (kept aligned with the Spark side,
+    -- whose dead dedup shuffle was removed — BACKLOG r6 #11)
+    SELECT p.query_id, a.neighbor_id,
+           round({sql_safe_cosine('p.qv', 'a.cv')}, 6) AS cosine_sim
     FROM probed p JOIN assigned a ON p.cid = a.cid
     WHERE p.query_id <> a.neighbor_id
 )

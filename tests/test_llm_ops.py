@@ -139,6 +139,44 @@ def test_brute_force_topk_ordering(spark):
     assert got[-1]["cosine_sim"] == -1.0
 
 
+def test_zero_norm_embedding_ranks_last_not_null(spark):
+    """An all-zero embedding must score cosine 0.0 (ranked after any
+    positive match, before any negative one) on the Spark side — the
+    shared zero-norm guard; unguarded, Spark's x/0 is NULL while
+    DuckDB's is inf/nan, and the two engines would rank differently."""
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0]),   # zero vector
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    got = brute_force_topk(df, df.filter("vec_id = 0"), k=3, dim=3).collect()
+    by_id = {r["neighbor_id"]: r["cosine_sim"] for r in got}
+    assert by_id[2] == 0.0  # not NULL, not nan
+    assert [r["neighbor_id"] for r in got] == [1, 2, 3]
+
+
+def test_lsh_bucket_survives_dim_above_default(spark):
+    """``hyperplane`` must generate components for the CALLER's dim:
+    the old ``[:dim]`` slice of a 64-wide tuple zip_with-NULL-padded any
+    dim > 64, NULL-poisoned every plane dot, and collapsed all vectors
+    into bucket 0 (degenerating the bucket join to a cross product)."""
+    from kda_flink_app_timestream_spark.operators.similarity import lsh_bucket
+
+    dim = 80
+    rows = [
+        Row(vec_id=i, v=[float((i * 31 + d * 7) % 17 - 8) for d in range(dim)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows)
+    buckets = [
+        r["b"] for r in df.select(lsh_bucket(F.col("v"), dim=dim).alias("b")).collect()
+    ]
+    assert all(b is not None for b in buckets)
+    assert len(set(buckets)) > 1, "all vectors collapsed into one bucket"
+
+
 def test_lsh_topk_bucket_consistency(spark, sf_dir):
     """Every ANN result must share the query's LSH bucket, be ranked by
     cosine desc within its query, and agree with brute force on the
