@@ -166,6 +166,26 @@ _RESCORE_AFTER = {
     "dedup_exact_summary": 7,
     "dedup_simhash": 7,
     "dedup_ngram_containment": 7,
+    #   plans/streaming_queries.py (BACKLOG r6 #1-8): rename-aside stage
+    #   recovery, memory-sink release hook, named sentinel, degenerate-
+    #   data guards, shared band_structs, cached static dim, streaming-
+    #   safe scatter, folded _table_stream — the scaffolds are SHARED by
+    #   every stream query, so all 13 rescore (operators/dedup.py's
+    #   band/scatter edits ride along: its batch consumers are keyed 6
+    #   and in r6's window)
+    "stream_tumbling_events": 7,
+    "stream_sliding_events": 7,
+    "stream_session_windows": 7,
+    "stream_interval_join": 7,
+    "stream_dedup_minhash_bands": 7,
+    "stream_dedup_keys": 7,
+    "stream_stateful_running_counts": 7,
+    "stream_static_enrichment_join": 7,
+    "stream_dedup_within_watermark": 7,
+    "stream_leftouter_interval_join": 7,
+    "stream_tumbling_append_finalized": 7,
+    "stream_session_append_finalized": 7,
+    "stream_model_inference": 7,
 }
 
 

@@ -60,6 +60,48 @@ def minhash_coeffs(num_hashes: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
 MINHASH_A, MINHASH_B = minhash_coeffs(NUM_MINHASHES)
 
 
+def _scatter_batch(df: DataFrame) -> DataFrame:
+    """``scatter`` for the signature operators' inputs, bypassed for
+    streaming frames: ``inputFiles()`` is empty on a streaming plan, so
+    scatter would always inject a ``repartition(defaultParallelism)``
+    ahead of the deliberately-small streaming state partitioning
+    (BACKLOG r6 #7); a file-source stream's parallelism is its
+    maxFilesPerTrigger split anyway."""
+    return df if df.isStreaming else scatter(df)
+
+
+def band_structs(
+    sig_col: Column,
+    num_bands: int = NUM_BANDS,
+    rows_per_band: int | None = None,
+    band_field: str = "band_idx",
+    key_field: str = "band_key",
+) -> Column:
+    """The LSH band layout as ONE shared expression (BACKLOG r6 #5):
+    an array of ``(band_field, key_field)`` structs, band key = ':'
+    -joined decimal renderings of the band's signature slice — used by
+    ``lsh_candidate_pairs`` and the streaming band-dedup query, and
+    kept in lockstep with the generated DuckDB twin
+    (plans/dedup.py:minhash_sig_ctes)."""
+    if rows_per_band is None:
+        rows_per_band = NUM_MINHASHES // num_bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias(band_field),
+                F.concat_ws(
+                    ":",
+                    *[
+                        sig_col[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias(key_field),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -74,7 +116,9 @@ def minhash_signature(
     stage's array is materialized once: an inlined expression tree would
     re-split the text per shingle position (O(n²)/doc) and re-md5 per
     permutation."""
-    toked = scatter(df).select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    toked = _scatter_batch(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    )
     sh = word_shingles(F.col("toks"), shingle_n)
     base = F.transform(sh, lambda x: portable_hash64(x, "mh") % MINHASH_PRIME)
     with_base = toked.select(F.col(id_col), base.alias("base"))
@@ -116,21 +160,7 @@ def lsh_candidate_pairs(
             f"num_hashes ({num_hashes}) must be divisible by num_bands ({num_bands})"
         )
     rows_per_band = num_hashes // num_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.col("sig")[b * rows_per_band + r].cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("band_key"),
-            )
-            for b in range(num_bands)
-        ]
-    )
+    bands = band_structs(F.col("sig"), num_bands, rows_per_band)
     guarded = sig_df.withColumn(
         "__sig_ok",
         F.assert_true(
@@ -224,7 +254,7 @@ def simhash(
     distinct-token hashes. Pure expressions, shuffle-free."""
     # two-step projection: distinct tokens materialized, then the hash
     # array — md5 per token, not per (token × bit), no re-tokenization
-    toked = scatter(df).select(
+    toked = _scatter_batch(df).select(
         F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
     )
     hashes = F.transform(F.col("toks"), lambda t: portable_hash64(t, "simhash"))
@@ -270,7 +300,7 @@ def shingle_overlap_counts(
             "on a single executor. Pass max_doc_freq (default "
             f"{MAX_SHINGLE_DOC_FREQ})."
         )
-    toked = scatter(df).select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    toked = _scatter_batch(df).select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
     hashed = F.transform(
         word_shingles(F.col("toks"), shingle_n),
         lambda x: portable_hash64(x, "jac"),

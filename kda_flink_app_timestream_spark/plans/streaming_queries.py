@@ -43,9 +43,14 @@ def _publish_stage_dir(build: str, stage: str, marker: str) -> None:
     accepted as the winner ONLY if it carries the completeness
     ``marker`` — a partial stage left behind by a crashed pre-atomic
     run must not be adopted (it would silently feed every later
-    streaming query a truncated file set); it is removed and the rename
-    retried once. No reader can ever observe a partial published
-    stage."""
+    streaming query a truncated file set); it is renamed ASIDE and the
+    rename retried. The rename-aside (not a direct rmtree) closes the
+    last race (BACKLOG r6 #1): between the marker check and a direct
+    delete, a concurrent publisher could install a COMPLETE stage at
+    the same path — grabbing the directory via rename first makes the
+    re-check race-free (this process owns the tomb exclusively), and a
+    complete stage caught that way is put straight back. No reader can
+    ever observe a partial published stage."""
     for attempt in range(2):
         try:
             os.rename(build, stage)
@@ -57,7 +62,22 @@ def _publish_stage_dir(build: str, stage: str, marker: str) -> None:
                 shutil.rmtree(build, ignore_errors=True)  # complete winner
                 return
             if attempt == 0:
-                shutil.rmtree(stage, ignore_errors=True)  # stale partial
+                tomb = f"{stage}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(stage, tomb)
+                except OSError:
+                    continue  # someone else moved it; retry the publish
+                if os.path.exists(os.path.join(tomb, marker)):
+                    # raced a successful publisher: what we grabbed is
+                    # complete — reinstall it (or, if a newer complete
+                    # stage already took the path, discard our copy)
+                    try:
+                        os.rename(tomb, stage)
+                    except OSError:
+                        shutil.rmtree(tomb, ignore_errors=True)
+                    shutil.rmtree(build, ignore_errors=True)
+                    return
+                shutil.rmtree(tomb, ignore_errors=True)  # true stale partial
     raise RuntimeError(
         f"could not publish stage {stage}: a marker-less directory keeps "
         "reappearing (another process repeatedly crashing mid-publish?)"
@@ -106,11 +126,11 @@ def _staged_stream_dir(spark: SparkSession, sf_dir: str, name: str) -> str:
     return stage
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the staged multi-file events split —
-    one file per micro-batch (``maxFilesPerTrigger=1``), event time
-    already normalized to TimestampType at staging."""
-    stage = _staged_stream_dir(spark, sf_dir, "events")
+def _table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over a staged multi-file table split — one
+    file per micro-batch (``maxFilesPerTrigger=1``); for ``events`` the
+    time column is already normalized to TimestampType at staging."""
+    stage = _staged_stream_dir(spark, sf_dir, name)
     file_schema = spark.read.parquet(stage).schema
     return (
         spark.readStream.format("parquet")
@@ -118,6 +138,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .load(stage)
     )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _table_stream(spark, sf_dir, "events")
 
 
 # State-store partition count for the staged streaming queries. A
@@ -146,7 +170,15 @@ def _run_to_memory(
 
     The shuffle-partition conf is scoped to ``STREAM_STATE_PARTITIONS``
     for the query's lifetime (read once at ``start()``); the session's
-    batch setting is restored afterwards."""
+    batch setting is restored afterwards.
+
+    The memory-sink table retains the FULL result in driver memory for
+    the session's lifetime unless dropped (BACKLOG r6 #2 — one copy per
+    query per bench pass); it is registered for release through the
+    same deferred hook plan-level caches use, so the drop happens only
+    after the consumer has collected the returned frame."""
+    from ..session import defer_release
+
     name = f"stream_result_{next(_mem_counter)}"
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
@@ -162,7 +194,9 @@ def _run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set(key, prev)
-    return spark.table(name)
+    result = spark.table(name)
+    defer_release(lambda: spark.catalog.dropTempView(name))
+    return result
 
 
 @query(
@@ -338,16 +372,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the staged multi-file documents split —
-    one file per micro-batch, like ``_events_stream``."""
-    stage = _staged_stream_dir(spark, sf_dir, "documents")
-    file_schema = spark.read.parquet(stage).schema
-    return (
-        spark.readStream.format("parquet")
-        .schema(file_schema)
-        .option("maxFilesPerTrigger", 1)
-        .load(stage)
-    )
+    return _table_stream(spark, sf_dir, "documents")
 
 
 def _minhash_band_dedup_oracle() -> str:
@@ -378,31 +403,19 @@ def stream_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output independent of arrival order, so the batch oracle is
     exact: same signatures, same bands, DISTINCT."""
     from ..functions.text import tokens
-    from ..operators.dedup import NUM_BANDS, NUM_MINHASHES, minhash_signature
+    from ..operators.dedup import band_structs, minhash_signature
 
-    rows_per_band = NUM_MINHASHES // NUM_BANDS
     docs = _documents_stream(spark, sf_dir).filter(
         F.size(tokens(F.col("text"))) >= 3
     )
     sig = minhash_signature(docs)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.col("sig")[b * rows_per_band + r].cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("band_key"),
-            )
-            for b in range(NUM_BANDS)
-        ]
-    )
-    banded = sig.select(F.explode(band_structs).alias("bb")).select(
-        F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
-    )
+    # the band layout is the SAME shared expression the batch candidate
+    # generator uses (operators/dedup.py:band_structs — BACKLOG r6 #5),
+    # so the streaming index can never drift from the batch banding or
+    # the generated DuckDB twin
+    banded = sig.select(
+        F.explode(band_structs(F.col("sig"), band_field="band")).alias("bb")
+    ).select(F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
     dedup = banded.dropDuplicates(["band", "band_key"])
     return _run_to_memory(dedup, spark, mode="append")
 
@@ -477,15 +490,20 @@ def stream_static_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame
     by a batch aggregation of the same table, the lambda-architecture
     enrichment pattern). Stateless on the stream side — no watermark,
     no state store; the static side plans as a regular (broadcastable)
-    relation per micro-batch. Oracle: the equivalent batch join.
+    relation per micro-batch — CACHED here, because "per micro-batch"
+    means the dimension aggregate would otherwise recompute for every
+    one of the split's 4+ triggers (BACKLOG r6 #6); released through
+    the standard deferred hook once the result is consumed.
     """
-    from ..sources.batch import load_table
+    from ..session import defer_release
 
     static_dim = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count("*").alias("user_events"))
+        .cache()
     )
+    defer_release(static_dim)
     enriched = _events_stream(spark, sf_dir).join(static_dim, "user_id").select(
         "event_id", "user_id", "event_type", "user_events"
     )
@@ -527,6 +545,11 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .collect()[0]["span_s"]
     )
+    if span is None:
+        # empty events table: the plan-time aggregate is NULL and the
+        # arithmetic below would TypeError (BACKLOG r6 #4) — the oracle
+        # (DISTINCT over nothing) is empty, so return that directly
+        return spark.createDataFrame([], "user_id long, event_type string")
     delay = f"{int(span) + 86400} seconds"
     dedup = (
         ev.withWatermark("ts", delay)
@@ -576,8 +599,26 @@ def _time_ordered_sentinel_stage(spark: SparkSession, sf_dir: str) -> str:
         ).write.mode("overwrite").parquet(build)
 
         min_ts = base.agg(F.min("ts")).collect()[0][0]
+        # sentinel values keyed by FIELD NAME, rendered in the staged
+        # schema's order — a positional tuple would silently swap
+        # columns if a testdata round added or reordered fields
+        # (BACKLOG r6 #3); an unknown field fails loudly here instead
+        sentinel_vals = {
+            "event_id": -1,
+            "ts": min_ts - datetime.timedelta(days=1),
+            "user_id": -999999,
+            "event_type": "click",
+            "value": 0.0,
+            "props": None,
+        }
+        unknown = [f.name for f in base.schema.fields if f.name not in sentinel_vals]
+        if unknown:
+            raise KeyError(
+                f"sentinel has no value for new events column(s) {unknown}; "
+                "extend sentinel_vals for the new testdata layout"
+            )
         sentinel = spark.createDataFrame(
-            [(-1, min_ts - datetime.timedelta(days=1), -999999, "click", 0.0, None)],
+            [tuple(sentinel_vals[f.name] for f in base.schema.fields)],
             base.schema,
         )
         tmp = os.path.join(build, "_sentinel_build")
@@ -674,6 +715,14 @@ def stream_leftouter_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
     import datetime
 
+    if cutoff_row["m"] is None:
+        # no purchases or no clicks at all: the LEAST() aggregate is
+        # NULL and the timedelta would TypeError (BACKLOG r6 #4); the
+        # oracle's cutoff is NULL too, so its p CTE — and the join — is
+        # empty. Return the empty result with the query's exact schema.
+        return spark.createDataFrame(
+            [], "purchase_id long, click_id long, user_id long"
+        )
     cutoff = cutoff_row["m"] - datetime.timedelta(minutes=2)
 
     purchases = (
@@ -829,8 +878,6 @@ def stream_session_append_finalized(spark: SparkSession, sf_dir: str) -> DataFra
     tests/test_streaming.py::test_append_finalization_tie_session);
     sessions overlapping the last minute stay open, exactly as live."""
     ev = _events_stream_time_ordered(spark, sf_dir)
-    from ..streaming.windows import session_windowed
-
     out = session_windowed(
         ev,
         "ts",

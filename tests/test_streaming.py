@@ -742,3 +742,80 @@ def test_publish_stage_dir_loser_discards_build(tmp_path):
     os.makedirs(build3)
     with _pytest.raises(OSError):
         _publish_stage_dir(build3, missing_parent, "_SUCCESS")
+
+
+def test_degenerate_events_tables_return_empty_not_typeerror(spark, tmp_path):
+    """The two streaming queries with plan-time collects must degrade
+    to an empty (oracle-matching) result on degenerate inputs instead
+    of raising: an EMPTY events table NULLs the watermark-span
+    aggregate of stream_dedup_within_watermark, and a table missing a
+    whole event type NULLs the cutoff LEAST() of
+    stream_leftouter_interval_join."""
+    import datetime
+
+    from kda_flink_app_timestream_spark.plans import REGISTRY, load_all_plans
+
+    load_all_plans()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    empty_dir = str(tmp_path / "sf_empty")
+    spark.createDataFrame([], schema).coalesce(1).write.parquet(
+        f"{empty_dir}/events.parquet"
+    )
+    out = REGISTRY["stream_dedup_within_watermark"].fn(spark, empty_dir)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["user_id", "event_type"]
+
+    # clicks only — no purchases, so LEAST(max purchase ts, ...) is NULL
+    clicks_dir = str(tmp_path / "sf_clicks_only")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), i % 3, "click", 1.0, None)
+        for i in range(10)
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{clicks_dir}/events.parquet"
+    )
+    out2 = REGISTRY["stream_leftouter_interval_join"].fn(spark, clicks_dir)
+    assert out2.count() == 0
+    assert [f.name for f in out2.schema.fields] == [
+        "purchase_id",
+        "click_id",
+        "user_id",
+    ]
+
+
+def test_publish_stage_dir_rescues_raced_complete_stage(tmp_path, monkeypatch):
+    """The rename-aside recovery: when a marker-less directory turns
+    COMPLETE between the check and the grab (a concurrent publisher
+    won the race), the grabbed directory must be reinstalled, never
+    deleted."""
+    import os
+
+    from kda_flink_app_timestream_spark.plans import streaming_queries as sq
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    open(os.path.join(stage, "winner.parquet"), "w").write("w")
+    # no marker YET — simulates reading mid-publish of another process
+
+    build = str(tmp_path / "stage.build")
+    os.makedirs(build)
+    open(os.path.join(build, "mine.parquet"), "w").write("m")
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        # the concurrent publisher completes (marker lands) just before
+        # this process grabs the directory aside
+        if src == stage:
+            open(os.path.join(stage, "_SUCCESS"), "w").close()
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sq.os, "rename", racing_rename)
+    sq._publish_stage_dir(build, stage, "_SUCCESS")
+    assert sorted(os.listdir(stage)) == ["_SUCCESS", "winner.parquet"]
+    assert not os.path.exists(build)
