@@ -186,6 +186,15 @@ _RESCORE_AFTER = {
     "stream_tumbling_append_finalized": 7,
     "stream_session_append_finalized": 7,
     "stream_model_inference": 7,
+    #   plans/advanced.py: (ts, event_id) tie-break in the two
+    #   sessionization islands windows. Scoped to these two queries —
+    #   the edit is strictly local to their own bodies and oracle
+    #   literals (no shared helper in the file changed), so the
+    #   file-level blast radius does not apply. (plans/text.py's tfidf
+    #   in-plan count is likewise local, and that query is in r6's
+    #   window — its post-change row lands this round.)
+    "batch_sessionization": 7,
+    "batch_sessionization_sliced": 7,
 }
 
 

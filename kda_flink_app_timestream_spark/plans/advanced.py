@@ -352,7 +352,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch_sessionization",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
                CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
                      OR CAST(ts AS TIMESTAMP) >= lag(CAST(ts AS TIMESTAMP)) OVER w
                         + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
@@ -360,8 +360,12 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     islands AS (
+        -- the running sum's order carries the SAME event_id tie-break
+        -- as the lag window: ts-only ordering let two same-microsecond
+        -- events order differently per engine and move a session
+        -- boundary (latent — no per-user ts ties in current testdata)
         SELECT user_id, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     ),
@@ -389,6 +393,7 @@ def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = e.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
@@ -397,7 +402,13 @@ def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_new"),
     )
-    w2 = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    # same (ts, event_id) tie-break as the lag window — see the oracle's
+    # islands comment (BACKLOG r6 #17)
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     islands = flagged.withColumn("session_id", F.sum("is_new").over(w2))
     sessions = islands.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
@@ -414,7 +425,7 @@ def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch_sessionization_sliced",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
                CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
                      OR CAST(ts AS TIMESTAMP) >= lag(CAST(ts AS TIMESTAMP)) OVER w
                         + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
@@ -422,8 +433,11 @@ def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     islands AS (
+        -- (ts, event_id) tie-break, matching the operator's phase-1
+        -- order (operators/scale.py:sessionize_sliced) — see
+        -- batch_sessionization's islands comment
         SELECT user_id, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     ),

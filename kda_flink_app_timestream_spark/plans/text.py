@@ -296,7 +296,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     toked = d.select("doc_id", tokens(F.col("text")).alias("toks"))
-    n_docs = toked.count()
+    # N stays IN-PLAN as a broadcast one-row aggregate (the oracle's
+    # n_docs CTE shape; same pattern as events_retention_tiers) — the
+    # old driver-side toked.count() cost a second full corpus scan at
+    # 100 TB before the main job (BACKLOG r6 #16)
+    n_docs = d.agg(F.count("*").cast("double").alias("__n"))
     terms = toked.select(
         "doc_id", F.explode("toks").alias("term"), F.size("toks").alias("doc_len")
     )
@@ -307,12 +311,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.filter(F.col("doc_id") < 50)
         .join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "term",
             F.round(
                 (F.col("occurrences") / F.col("doc_len"))
-                * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+                * F.log(F.col("__n") / F.col("doc_freq")),
                 6,
             ).alias("tfidf"),
         )
