@@ -299,15 +299,19 @@ def test_ivf_partitioned_index_prunes_probe_scan(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from kda_flink_app_timestream_spark.operators.similarity import (
-        _argmax_centroids,
+        _collect_centroids,
+        _nearest_centroids,
         as_double,
         ivf_centroids,
+        norm_unrolled,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = ivf_centroids(emb)
-    c = emb.select(F.col("vec_id").alias("__vid"), as_double(F.col("embedding")).alias("cv"))
-    assigned = _argmax_centroids(c, cents, "cv", 1).select("__vid", "cv", "cid")
+    cents = _collect_centroids(ivf_centroids(emb))
+    c = emb.select(
+        F.col("vec_id").alias("__vid"), as_double(F.col("embedding")).alias("cv")
+    ).withColumn("cn", norm_unrolled("cv", 64))
+    assigned = _nearest_centroids(c, cents, "cv", "cn", 1).select("__vid", "cv", "cid")
 
     out = str(tmp_path / "ivf_index")
     assigned.write.mode("overwrite").partitionBy("cid").parquet(out)
