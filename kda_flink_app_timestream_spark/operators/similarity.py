@@ -315,6 +315,24 @@ def _fold_dot(a: Column, b: Column) -> Column:
     )
 
 
+def _centroid_struct_literal(cents: list[tuple[int, list[float]]]) -> Column:
+    """The codebook as ONE literal ``array<struct<cid, cn, cv>>`` —
+    centroid norms precomputed in Python (``math.sqrt`` over the
+    left-assoc ``sum`` is the identical IEEE double sequence as the SQL
+    ``sqrt(list_dot_product(c, c))`` fold, and ``repr`` round-trips the
+    exact value into the plan)."""
+    import math
+
+    entries = []
+    for cid, cv in cents:
+        cn = math.sqrt(sum(x * x for x in cv))
+        arr = ", ".join(f"{x!r}D" for x in cv)
+        entries.append(
+            f"named_struct('cid', {cid}L, 'cn', {cn!r}D, 'cv', array({arr}))"
+        )
+    return F.expr("array(" + ", ".join(entries) + ")")
+
+
 def _nearest_centroids(
     vectors: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -323,23 +341,27 @@ def _nearest_centroids(
     k: int,
 ) -> DataFrame:
     """Top-k nearest centroids per vector as a ZERO-SHUFFLE projection
-    (BACKLOG r6 #12): per centroid literal, a guarded cosine against the
-    vector; the ``(csim, -cid)`` struct array sorts descending and
-    slices to k — max cosine first, smaller cid on ties, exactly the
-    ordering the previous crossJoin + row_number window produced (the
-    SQL oracle keeps the window form; same doubles, same tie rule) —
-    but without shuffling the k×-expanded corpus. The centroid norms
-    are constant-foldable literals; the per-row cost (|codebook| fold
-    dots) is unchanged."""
-    entries = []
-    for cid, cv in cents:
-        lit = F.array(*[F.lit(x) for x in cv])
-        cn = F.sqrt(_fold_dot(lit, lit))
-        csim = _safe_cosine(_fold_dot(F.col(vec_col), lit), F.col(norm_col), cn)
-        entries.append(
-            F.struct(csim.alias("csim"), F.lit(-cid).cast("long").alias("negcid"))
-        )
-    best = F.slice(F.sort_array(F.array(*entries), asc=False), 1, k)
+    (BACKLOG r6 #12): one ``transform`` over the literal codebook array
+    computes a guarded cosine per centroid — the lambda body compiles
+    ONCE and loops at runtime (the ``clustering._assign`` pattern; 16
+    separately-unrolled struct expressions made the projection ~3×
+    slower end-to-end, the same codegen-bloat class vectors.py
+    documents for unrolled dots). The ``(csim, -cid)`` struct array
+    sorts descending and slices to k — max cosine first, smaller cid on
+    ties, exactly the ordering the previous crossJoin + row_number
+    window produced (the SQL oracle keeps the window form; same
+    doubles, same tie rule) — without shuffling the k×-expanded
+    corpus."""
+    cand = F.transform(
+        _centroid_struct_literal(cents),
+        lambda c: F.struct(
+            _safe_cosine(
+                _fold_dot(F.col(vec_col), c["cv"]), F.col(norm_col), c["cn"]
+            ).alias("csim"),
+            (-c["cid"]).alias("negcid"),
+        ),
+    )
+    best = F.slice(F.sort_array(cand, asc=False), 1, k)
     return (
         vectors.select("*", F.explode(best).alias("__best"))
         .select("*", (-F.col("__best.negcid")).alias("cid"))
