@@ -1,5 +1,10 @@
 """Context-window packing (LLM-pipeline surface): assign documents to
-token-budget packs by next-fit running sum.
+token-budget packs by prefix-sum bucketing — pack = floor(preceding
+running token sum / budget). (Not classic next-fit, which closes a pack
+when ADDING would overflow; prefix bucketing closes when the cumulative
+sum crosses a budget multiple. Both keep the guarantee that matters —
+every pack's token total ≤ budget + one document — and prefix bucketing
+is a single window expression, no per-row state.)
 
 Two renditions of the same operator:
 
@@ -34,7 +39,8 @@ def pack_contexts(
     budget: int = DEFAULT_TOKEN_BUDGET,
     partition_local: bool = True,
 ) -> DataFrame:
-    """Add a ``pack_id`` column: next-fit packing by running token sum.
+    """Add a ``pack_id`` column: prefix-sum bucketing by running token
+    sum (see module docstring for the next-fit distinction).
 
     Partition-local packs are keyed ``"p<partition>_<pack>"`` (string);
     the global form keeps the plain long pack number (the shape the

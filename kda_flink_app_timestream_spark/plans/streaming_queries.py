@@ -599,6 +599,14 @@ def _time_ordered_sentinel_stage(spark: SparkSession, sf_dir: str) -> str:
         ).write.mode("overwrite").parquet(build)
 
         min_ts = base.agg(F.min("ts")).collect()[0][0]
+        if min_ts is None:
+            # EMPTY events table: there is nothing to finalize, so no
+            # sentinel (and no part files to mtime-pin) — publish the
+            # empty stage as-is; the streaming read produces zero
+            # batches and the append queries' oracles are empty too
+            open(os.path.join(build, "_SENTINEL_OK"), "w").close()
+            _publish_stage_dir(build, stage, "_SENTINEL_OK")
+            return stage
         # sentinel values keyed by FIELD NAME, rendered in the staged
         # schema's order — a positional tuple would silently swap
         # columns if a testdata round added or reordered fields

@@ -787,6 +787,12 @@ def test_degenerate_events_tables_return_empty_not_typeerror(spark, tmp_path):
         "user_id",
     ]
 
+    # empty table through the time-ordered SENTINEL stage: the builder
+    # must publish a sentinel-less empty stage (its min-ts aggregate is
+    # NULL) and the append-finalized query must return empty
+    out3 = REGISTRY["stream_tumbling_append_finalized"].fn(spark, empty_dir)
+    assert out3.count() == 0
+
 
 def test_publish_stage_dir_rescues_raced_complete_stage(tmp_path, monkeypatch):
     """The rename-aside recovery: when a marker-less directory turns
