@@ -101,10 +101,11 @@ def _semantic_prune_oracle() -> str:
     # Within-cluster pairwise cosine — the published SemDeDup shape
     # (no banding: the k-means cluster IS the blocking key, and its
     # size is bounded by the choice of k).
-    cos = (
-        "list_dot_product(a.v, b.v) / "
-        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-    )
+    from .similarity import sql_safe_cosine
+
+    # guarded twin of the Spark path's _safe_cosine (the near-dup
+    # operator now pins the zero-norm edge to 0.0 on both engines)
+    cos = sql_safe_cosine("a.v", "b.v")
     return f"""
     WITH {_kmeans_ctes()},
     e0 AS (
@@ -198,10 +199,11 @@ def _semantic_prune_twolevel_oracle() -> str:
         f"WHEN {i} THEN ({band_expr(i)})" for i in range(EMB_N_BANDS)
     ) + " END"
     band_values = ", ".join(f"({i})" for i in range(EMB_N_BANDS))
-    cos = (
-        "list_dot_product(a.v, b.v) / "
-        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-    )
+    from .similarity import sql_safe_cosine
+
+    # guarded twin of the Spark path's _safe_cosine (the near-dup
+    # operator now pins the zero-norm edge to 0.0 on both engines)
+    cos = sql_safe_cosine("a.v", "b.v")
     seed_hash = sql_portable_hash64("CAST(a.pid AS VARCHAR)", _SEED_TAG)
     return f"""
     WITH {_kmeans_ctes(f"({_K1_SQL})")},
@@ -338,10 +340,11 @@ def _semantic_prune_scaled_oracle() -> str:
         f"WHEN {i} THEN ({band_expr(i)})" for i in range(EMB_N_BANDS)
     ) + " END"
     band_values = ", ".join(f"({i})" for i in range(EMB_N_BANDS))
-    cos = (
-        "list_dot_product(a.v, b.v) / "
-        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-    )
+    from .similarity import sql_safe_cosine
+
+    # guarded twin of the Spark path's _safe_cosine (the near-dup
+    # operator now pins the zero-norm edge to 0.0 on both engines)
+    cos = sql_safe_cosine("a.v", "b.v")
     return f"""
     WITH {_kmeans_ctes(f"({_K_SQL})")},
     e0 AS (
