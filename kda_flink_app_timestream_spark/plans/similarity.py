@@ -224,7 +224,11 @@ _VECTOR_OPS_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100)
 SELECT vec_id,
        round({_L2_NORM}, 6) AS l2_norm,
-       round(list_sum(list_transform(e.v, x -> x / {_L2_NORM})), 6) AS unit_sum,
+       -- zero-vector guard: Spark's non-ANSI x/0 makes unit_sum NULL
+       -- there naturally; DuckDB's x/0.0 would give nan — pin to NULL
+       CASE WHEN list_dot_product(e.v, e.v) <> 0
+            THEN round(list_sum(list_transform(e.v, x -> x / {_L2_NORM})), 6)
+       END AS unit_sum,
        CAST(list_sum(list_transform(e.v,
             x -> CAST(round(greatest(-127, least(127, x * 127 / 0.25))) AS BIGINT)))
             AS BIGINT) AS int8_sum
