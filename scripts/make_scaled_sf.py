@@ -75,10 +75,15 @@ def replicate(df: DataFrame, shifts: dict[str, int], k: int) -> DataFrame:
 def replicate_events_arrow(src: str, out: str, k: int) -> int:
     """Replicate events via pyarrow, preserving the TIMESTAMP(NANOS)
     physical type Spark's writer cannot produce."""
+    import os
+
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    # an events-only replication reaches here before any Spark write has
+    # created the output dir — pyarrow does not mkdir
+    os.makedirs(out, exist_ok=True)
     t0 = pq.read_table(f"{src}/events.parquet")
     ev_stride = pc.max(t0["event_id"]).as_py() + 1
     us_stride = pc.max(t0["user_id"]).as_py() + 1
