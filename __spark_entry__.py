@@ -62,6 +62,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # under-listed — ADVICE r3 #2: only the four ts queries were listed
 # while the jaccard/components/vector-fold rewrites left seven consumers
 # without a post-change row).
+# The round whose scoring window is being built NOW. Bump this at the
+# START of each round (it gates flag dormancy below). It is a constant,
+# not inferred from the committed CORRECTNESS files, because round 6
+# proved inference wrong: r6's scoring never ran (no CORRECTNESS_r06
+# exists — VERDICT.md stayed the round-5 judge), so "latest committed
+# round + 1" under-counted and would have parked the keyed-7 flags
+# forever.
+_CURRENT_ROUND = 7
+
 _RESCORE_AFTER = {
     # r3 operator rewrites whose consumers got NO r3 driver row
     # (posting-list jaccard, connected-components join drop, minhash
@@ -230,13 +239,13 @@ def _priority(name: str, history: dict[int, dict]) -> tuple[int, int]:
     if not green:
         return (1, -last_round)
     flag = _RESCORE_AFTER.get(name, 0)
-    if flag > max(history) + 1:
-        # DORMANT: a flag keyed past the round being scored now (= the
-        # latest committed round + 1) belongs to a FUTURE round's window.
-        # Changes landed late in a round — after that round's window was
-        # already exactly full — key their flags current_round + 1 so the
-        # promised stale-green rotation is not evicted; the flag goes
-        # active the moment this round's CORRECTNESS file exists.
+    if flag > _CURRENT_ROUND:
+        # DORMANT: a change landed late in the current round, after its
+        # window was already full — the flag belongs to a future
+        # round's window (activated by bumping _CURRENT_ROUND there).
+        # Keyed to the explicit round constant, NOT max(history)+1: r6's
+        # scoring never ran (no CORRECTNESS_r06 file), and the inferred
+        # form would have kept the keyed-7 flags dormant forever.
         flag = 0
     if last_round < flag:
         # flag self-expires: once a round >= the change-round has scored
