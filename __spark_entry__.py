@@ -204,6 +204,14 @@ _RESCORE_AFTER = {
     #   window — its post-change row lands this round.)
     "batch_sessionization": 7,
     "batch_sessionization_sliced": 7,
+    # r8 changes, landed in r7 after the window was already exactly
+    # full (2 never-scored + 40 active flags + 8 stale-green rotation)
+    # — DORMANT until _CURRENT_ROUND is bumped to 8:
+    #   plans/udf.py: short-document guard — sequence() stop clamped so
+    #   docs under one gram contribute zero rows instead of a runtime
+    #   IllegalArgumentException (Spark throws on stop < start with a
+    #   positive step; DuckDB's range just yields nothing)
+    "udtf_char_ngrams": 8,
 }
 
 

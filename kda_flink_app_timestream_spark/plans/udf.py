@@ -107,9 +107,19 @@ def udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows at stride 7. Implemented NATIVELY (posexplode-style
     sequence + transform — codegen'd, no Python) because the expansion
     is expressible; a Python UDTF would only add serde cost. The oracle
-    pins the row-multiplying semantics a UDTF provides."""
+    pins the row-multiplying semantics a UDTF provides.
+
+    Documents shorter than one gram (< 4 chars) contribute zero rows:
+    Spark's ``sequence`` THROWS when stop < start with a positive step
+    (DuckDB's ``range`` just yields nothing), so the stop is clamped
+    and such docs are dropped by exploding an empty array — identical
+    membership to the oracle on any corpus, not just one whose every
+    doc happens to be long enough."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    positions = F.sequence(F.lit(1), F.length("text") - 3, F.lit(7))
+    positions = F.when(
+        F.length("text") >= 4,
+        F.sequence(F.lit(1), F.length("text") - 3, F.lit(7)),
+    ).otherwise(F.array().cast("array<int>"))
     return d.select(
         "doc_id", "text", F.explode(positions).alias("pos")
     ).select(

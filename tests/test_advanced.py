@@ -79,3 +79,19 @@ def test_bootstrap_idempotent(spark):
     assert kv["retention.magnetic_store_days"] == "7"  # TimestreamInitializer.java:13
     spark.sql("DROP TABLE kda_test_db.points")
     spark.sql("DROP DATABASE kda_test_db")
+
+
+def test_udtf_char_ngrams_short_docs_yield_no_rows(spark, tmp_path):
+    """Spark's sequence() throws when stop < start with a positive
+    step, so a document shorter than one 4-char gram used to crash the
+    whole query; the clamped form must instead contribute zero rows
+    (DuckDB's range() semantics) while long docs are unaffected."""
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "abcdefghijkl")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["udtf_char_ngrams"].fn(spark, str(tmp_path)).collect()
+    assert {r["doc_id"] for r in out} == {3}
+    grams = sorted((r["pos"], r["gram"]) for r in out)
+    assert grams == [(1, "abcd"), (8, "hijk")]

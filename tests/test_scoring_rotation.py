@@ -86,8 +86,13 @@ def test_rescore_flag_flags_same_round_green():
     """A query changed in round N whose last green row is from round N-1
     must still be flagged until a round >= N scores it — the r3
     set-based form silently unflagged a query whose last green round
-    happened to equal the newest history round (ADVICE r3 #2)."""
-    name, changed = max(entry._RESCORE_AFTER.items(), key=lambda kv: kv[1])
+    happened to equal the newest history round (ADVICE r3 #2).
+    (Restricted to ACTIVE flags — those keyed <= _CURRENT_ROUND; a flag
+    keyed past the constant is dormant by design, covered below.)"""
+    name, changed = max(
+        ((n, r) for n, r in entry._RESCORE_AFTER.items() if r <= entry._CURRENT_ROUND),
+        key=lambda kv: kv[1],
+    )
     hist = {changed - 1: {name: _green()}}
     assert entry._priority(name, hist)[0] == 2
     hist[changed] = {name: _green()}
@@ -95,20 +100,23 @@ def test_rescore_flag_flags_same_round_green():
 
 
 def test_rescore_flag_keyed_future_round_is_dormant(monkeypatch):
-    """A flag keyed PAST the round being scored now (latest committed
-    round + 1) must stay inactive — late-in-round changes key their
-    flags current_round + 1 so they cannot evict the already-committed
-    window's stale greens, then activate the moment the current round's
-    CORRECTNESS file exists."""
-    monkeypatch.setitem(entry._RESCORE_AFTER, "__late_change__", 7)
-    # latest committed round = 5 → round 6 is being scored → keyed-7 dormant
-    hist = {5: {"__late_change__": _green()}}
+    """A flag keyed PAST the explicit _CURRENT_ROUND constant must stay
+    inactive — late-in-round changes key their flags current_round + 1
+    so they cannot evict the already-committed window's stale greens,
+    then activate when the next round bumps the constant. The gate is
+    the CONSTANT, not the committed-history maximum: round 6's scoring
+    never ran (no CORRECTNESS_r06 was written), and a history-inferred
+    gate would have parked every keyed-7 flag forever."""
+    cur = entry._CURRENT_ROUND
+    monkeypatch.setitem(entry._RESCORE_AFTER, "__late_change__", cur + 1)
+    hist = {cur - 2: {"__late_change__": _green()}}
+    # keyed past the constant → dormant regardless of history gaps
     assert entry._priority("__late_change__", hist)[0] == 3
-    # round 6's file lands → round 7 is being scored → flag activates
-    hist[6] = {"other": _green()}
+    # next round bumps the constant → flag activates
+    monkeypatch.setattr(entry, "_CURRENT_ROUND", cur + 1)
     assert entry._priority("__late_change__", hist)[0] == 2
-    # and self-expires once a round >= 7 scores it
-    hist[7] = {"__late_change__": _green()}
+    # and self-expires once a round >= its key scores it
+    hist[cur + 1] = {"__late_change__": _green()}
     assert entry._priority("__late_change__", hist)[0] == 3
 
 
