@@ -212,6 +212,11 @@ _RESCORE_AFTER = {
     #   IllegalArgumentException (Spark throws on stop < start with a
     #   positive step; DuckDB's range just yields nothing)
     "udtf_char_ngrams": 8,
+    #   operators/scale.py: salted_join's salt now hashes row content
+    #   instead of monotonically_increasing_id (positional ids re-number
+    #   under shuffle-retry recompute → rows can re-salt mid-recovery).
+    #   Edit is local to salted_join's body; its one catalog consumer:
+    "join_salted_skew": 8,
 }
 
 

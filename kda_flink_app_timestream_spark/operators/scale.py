@@ -64,6 +64,16 @@ def salted_join(
     Only left-preserving joins are legal: an unmatched RIGHT row exists
     once per replica, so right/full outer (or right semi/anti) would
     emit it ``salt_buckets`` times.
+
+    The salt hashes the left row's CONTENT (all columns), never a
+    positional id: ``monotonically_increasing_id`` re-numbers rows when
+    a lost shuffle partition is recomputed, so a positional salt can
+    route the recomputed rows to different reducers than the original
+    attempt — the classic repartition-on-random correctness hazard
+    under fault recovery at scale. Content-identical duplicate rows
+    share a salt (they collapse onto one reducer); that only matters if
+    the hot key's rows are also near-identical, in which case add a
+    distinguishing column before salting.
     """
     allowed = {"inner", "left", "left_outer", "leftouter", "semi", "left_semi",
                "leftsemi", "anti", "left_anti", "leftanti"}
@@ -73,7 +83,9 @@ def salted_join(
             f"got how={how!r} — the replicated right side would duplicate "
             "unmatched right rows"
         )
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+    )
     l_salted = left.withColumn("__salt", salt.cast("int"))
     r_salted = right.withColumn(
         "__salt",
