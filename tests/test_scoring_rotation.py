@@ -144,3 +144,23 @@ def test_bench_queries_all_registered():
     missing = [n for n in bench.BENCH_QUERIES if n not in reg]
     assert not missing, f"bench names not in registry: {missing}"
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+def test_rescore_flag_names_are_registered_queries():
+    """A typo in a _RESCORE_AFTER key silently no-ops (the flag attaches
+    to nothing and the real query never rescores) — every key must
+    resolve in the registry."""
+    unknown = [n for n in entry._RESCORE_AFTER if n not in entry.REGISTRY]
+    assert not unknown, f"flags for unregistered queries: {unknown}"
+
+
+def test_rescore_flags_never_keyed_past_next_round():
+    """Flags may be keyed at most _CURRENT_ROUND + 1 (the late-landing
+    convention): anything further ahead would stay dormant across a
+    whole extra round with no mechanism ever promising to activate it."""
+    too_far = {
+        n: r
+        for n, r in entry._RESCORE_AFTER.items()
+        if r > entry._CURRENT_ROUND + 1
+    }
+    assert not too_far, f"flags keyed past next round: {too_far}"
