@@ -430,8 +430,10 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     connected components → (doc_id, cluster_rep, is_duplicate). The
     keep-list is ``is_duplicate = false``; everything else drops — the
     final stage of a training-data dedup pipeline. Oracle: recursive-CTE
-    transitive closure (fine at oracle scale; Spark runs iterative min
-    propagation, O(diameter) distributed rounds)."""
+    transitive closure (fine at oracle scale; Spark runs large-star/
+    small-star contraction, O(log n) distributed rounds — the r5
+    rewrite; min-label propagation is retained separately as a
+    cross-check implementation)."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.size(tokens(F.col("text"))) >= 3
     )
