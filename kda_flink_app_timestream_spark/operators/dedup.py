@@ -61,13 +61,12 @@ MINHASH_A, MINHASH_B = minhash_coeffs(NUM_MINHASHES)
 
 
 def _scatter_batch(df: DataFrame) -> DataFrame:
-    """``scatter`` for the signature operators' inputs, bypassed for
-    streaming frames: ``inputFiles()`` is empty on a streaming plan, so
-    scatter would always inject a ``repartition(defaultParallelism)``
-    ahead of the deliberately-small streaming state partitioning
-    (BACKLOG r6 #7); a file-source stream's parallelism is its
-    maxFilesPerTrigger split anyway."""
-    return df if df.isStreaming else scatter(df)
+    """``scatter`` for the signature operators' inputs. The streaming
+    bypass this wrapper used to carry (BACKLOG r6 #7) moved into
+    ``scatter`` itself in r8 — every call site now gets it, not just the
+    dedup family; the name stays so the operators read as explicitly
+    batch-scatter-then-hash."""
+    return scatter(df)
 
 
 def band_structs(

@@ -60,7 +60,16 @@ def scatter(df: DataFrame, partitions: int | None = None) -> DataFrame:
     exactly the under-parallelized-expensive-map case scatter exists to
     prevent. When the count alone would skip the shuffle, a
     packing-aware estimate (file sizes vs Spark's ``maxSplitBytes``
-    formula, sampled stat calls for local files) decides instead."""
+    formula, sampled stat calls for local files) decides instead.
+
+    STREAMING frames bypass entirely (BACKLOG r6 #7, generalized from
+    the operator call sites in r8): ``inputFiles()`` is empty on a
+    streaming plan, so the width probe would always inject a
+    ``repartition(defaultParallelism)`` ahead of the deliberately-small
+    streaming state partitioning; a file-source stream's parallelism is
+    its ``maxFilesPerTrigger`` split anyway."""
+    if df.isStreaming:
+        return df
     try:
         spark = df.sparkSession
         target = partitions or spark.sparkContext.defaultParallelism

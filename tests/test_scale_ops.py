@@ -331,6 +331,20 @@ def test_ivf_partitioned_index_prunes_probe_scan(spark, sf_dir, tmp_path):
     assert probe.count() == expected > 0
 
 
+def test_scatter_bypasses_streaming_frames(spark):
+    """BACKLOG r6 #7, generalized in r8: scatter() on a STREAMING frame
+    must be the identity — its width probe (inputFiles) is meaningless
+    on a streaming plan and the fallback repartition(defaultParallelism)
+    would land ahead of the deliberately-small streaming state
+    partitioning. Pinned here at the shared operator (not per call
+    site), so any future operator calling scatter on a stream inherits
+    the bypass."""
+    from kda_flink_app_timestream_spark.sources.batch import scatter
+
+    sdf = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    assert scatter(sdf) is sdf
+
+
 def test_scatter_detects_small_file_bin_packing(spark, tmp_path):
     """ADVICE r3 #3: many SMALL files bin-pack into few FilePartitions,
     so a raw file-count probe can skip the repartition while real scan
