@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     # fan-out + parquet staging + ledger-collect offsets)
     "dedup_minhash_tuning",
     "kinesis_parallel_consume",
+    # r8: image-DIRECTORY ingest through the binaryFile source into the
+    # decode chain (the one mandated file format the scan family lacked)
+    "multimodal_binaryfile_scan",
 ]
 
 

@@ -179,6 +179,104 @@ FROM documents
 """
 
 
+# binaryFile-source ingest: the one mandated file format the scan family
+# didn't exercise yet. The fixture generator writes PNGs (same
+# deterministic pixel formula as multimodal_image_decode) as REAL FILES
+# once per (sf_dir, count) into an atomically-published stage — at
+# 100 TB the images already exist as files and only the scan+decode below
+# is the operator; the generator stands in for the upstream crawler.
+_BINFILE_COUNT = 200
+
+
+def _staged_png_dir(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    import numpy as np
+
+    from ..operators.multimodal import encode_png
+    from .streaming_queries import _publish_stage_dir
+
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}|{_BINFILE_COUNT}".encode()
+    ).hexdigest()[:16]
+    stage = os.path.join(tempfile.gettempdir(), f"png_binfile_{key}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        ids = [
+            r[0]
+            for r in load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _BINFILE_COUNT)
+            .select("doc_id")
+            .collect()
+        ]
+        build = f"{stage}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        os.makedirs(build)
+        for doc_id in ids:
+            px = (
+                ((int(doc_id) * 31 + np.arange(_DECODE_W * _DECODE_H) * 7) % 256)
+                .astype(np.uint8)
+                .reshape(_DECODE_H, _DECODE_W)
+            )
+            with open(os.path.join(build, f"{int(doc_id):06d}.png"), "wb") as f:
+                f.write(encode_png(px))
+        with open(os.path.join(build, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        _publish_stage_dir(build, stage, "_SUCCESS")
+    return stage
+
+
+_BINFILE_ORACLE = f"""
+SELECT doc_id,
+       CAST(TRUE AS BOOLEAN) AS decode_ok,
+       CAST({_DECODE_W} AS INT) AS width,
+       CAST({_DECODE_H} AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       (SELECT CAST(sum((doc_id * 31 + i * 7) % 256) AS BIGINT)
+        FROM range({_DECODE_W * _DECODE_H}) t(i)) AS pixel_checksum
+FROM documents
+WHERE doc_id < {_BINFILE_COUNT}
+"""
+
+
+@query(
+    "multimodal_binaryfile_scan",
+    oracle=_BINFILE_ORACLE,
+    tags=("multimodal", "source", "binaryfile", "image", "decode"),
+)
+def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-directory ingest through Spark's ``binaryFile`` source —
+    the real entry point of a multimodal pipeline (a crawler's output is
+    FILES, not parquet): ``spark.read.format("binaryFile")`` with a
+    ``pathGlobFilter`` yields (path, length, content) rows, the doc id
+    is parsed from the file name, and the payloads flow through the same
+    Arrow-batched ``decode_image`` as the parquet-sourced decode query.
+    The oracle recomputes every feature from the deterministic pixel
+    formula, so the whole scan→parse→decode chain is value-checked. At
+    100 TB: binaryFile parallelizes across files (one row per file,
+    splittable=false), so a million-image directory scans wide; keep
+    ``maxPartitionBytes``-sized Arrow batches and the decode stays the
+    irreducible per-row cost."""
+    stage = _staged_png_dir(spark, sf_dir)
+    from ..operators.multimodal import decode_image
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(stage)
+    )
+    with_id = bf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1).cast("long").alias(
+            "doc_id"
+        ),
+        F.col("content").alias("payload"),
+    )
+    return decode_image(with_id)
+
+
 @query(
     "multimodal_image_decode",
     oracle=_DECODE_ORACLE,
