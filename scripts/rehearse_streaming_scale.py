@@ -41,9 +41,26 @@ def main() -> int:
     from kda_flink_app_timestream_spark.session import build_spark
 
     registry = load_all_plans()
-    spark = build_spark(app_name="rehearse-streaming-scale")
+    # the staged stream queries land each micro-batch in a MEMORY sink
+    # (the driver-twin harness device — production uses real sinks), so
+    # the driver's task-result budget must be sized to the ANSWER: at
+    # 1000x the finalized-session answer is ~10^8 rows and the default
+    # 1g maxResultSize kills the final micro-batch (measured r8)
+    spark = build_spark(
+        app_name="rehearse-streaming-scale",
+        **{"spark.driver.maxResultSize": "16g"},
+    )
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     print(f"events rows: {n_events}", flush=True)
+
+    # optional override probing the r4 state-sizing rule at scale
+    # (state partitions ∝ state volume): STREAM_STATE_PARTITIONS=32 ...
+    sp = os.environ.get("STREAM_STATE_PARTITIONS")
+    if sp:
+        from kda_flink_app_timestream_spark.plans import streaming_queries
+
+        streaming_queries.STREAM_STATE_PARTITIONS = int(sp)
+        print(f"state partitions overridden to {sp}", flush=True)
 
     for name in names:
         t0 = time.perf_counter()
