@@ -465,3 +465,59 @@ def test_adapt_limit_empty_batch_keeps_current(current, n_records, batch_bytes):
     if n_records > 0 and batch_bytes > 0:
         return
     assert _adapt_limit(batch_bytes, n_records, 1000, current) == current
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(st.integers(1, 4000), min_size=1, max_size=40),
+    budget=st.sampled_from([512, 2048]),
+    partition_local=st.booleans(),
+)
+def test_pack_contexts_budget_invariant(spark, docs, budget, partition_local):
+    """Property (the guarantee the module docstring sells): every pack's
+    token total is <= budget + one document, in BOTH the global and the
+    partition-local rendition, for any doc-size mix including documents
+    larger than the budget; and the packing is a partition of the input
+    (every doc in exactly one pack)."""
+    from kda_flink_app_timestream_spark.operators.packing import pack_contexts
+
+    rows = [(i, n) for i, n in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_contexts(df, budget=budget, partition_local=partition_local)
+    got = packed.collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(i for i, _ in rows)
+    by_pack: dict = {}
+    for r in got:
+        by_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for members in by_pack.values():
+        assert sum(members) <= budget + max(members)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    weights=st.lists(st.integers(0, 350), min_size=1, max_size=30),
+)
+def test_weighted_mix_copy_counts(spark, weights):
+    """Property: weighted_mix emits, per doc, either floor(w/100) or
+    floor(w/100)+1 copies (the fractional share is a deterministic
+    hash-bucket, so re-running yields the SAME choice), with dense
+    0-based copy_idx — and rows whose copy count is zero disappear."""
+    from kda_flink_app_timestream_spark.operators.curation import weighted_mix
+    from pyspark.sql import functions as F
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out1 = weighted_mix(df, F.col("w")).collect()
+    out2 = weighted_mix(df, F.col("w")).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+    per_doc: dict = {}
+    for r in out1:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    w_of = dict(rows)
+    for doc_id, idxs in per_doc.items():
+        base = w_of[doc_id] // 100
+        assert sorted(idxs) == list(range(len(idxs)))  # dense 0-based
+        assert len(idxs) in (base, base + 1)
+    for doc_id, w in rows:
+        if doc_id not in per_doc:
+            assert w < 200  # absent only when the count could be zero
