@@ -217,6 +217,14 @@ _RESCORE_AFTER = {
     #   under shuffle-retry recompute → rows can re-salt mid-recovery).
     #   Edit is local to salted_join's body; its one catalog consumer:
     "join_salted_skew": 8,
+    #   operators/multimodal.py (r8): decode_png's documented
+    #   ValueError contract hardened — wrong-length IHDR and
+    #   valid-CRC non-zlib IDAT used to leak struct.error/zlib.error
+    #   (fuzz-pinned in tests/test_properties.py). Edit strictly local
+    #   to decode_png's body; its decode consumers are this query plus
+    #   multimodal_binaryfile_scan (tier 0 — first row lands this
+    #   round regardless):
+    "multimodal_image_decode": 8,
 }
 
 

@@ -121,9 +121,14 @@ def decode_png(data: bytes):
         if binascii.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {tag!r}")
         if tag == b"IHDR":
-            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
+            try:
+                w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+            except struct.error as ex:
+                # wrong-length IHDR body (CRC can still be valid on
+                # crafted input): documented contract is ValueError
+                raise ValueError(f"malformed IHDR: {ex}") from ex
             if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
                 raise ValueError("unsupported PNG variant")
         elif tag == b"IDAT":
@@ -135,7 +140,12 @@ def decode_png(data: bytes):
         raise ValueError("truncated PNG")
     channels = {0: 1, 2: 3, 6: 4}[color_type]
     stride = w * channels
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as ex:
+        # CRC-valid chunks can still carry a non-zlib payload on
+        # crafted input: documented contract is ValueError
+        raise ValueError(f"bad IDAT stream: {ex}") from ex
     if len(raw) != h * (stride + 1):
         raise ValueError("scanline data size mismatch")
     img = np.empty((h, stride), dtype=np.uint8)

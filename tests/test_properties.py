@@ -521,3 +521,51 @@ def test_weighted_mix_copy_counts(spark, weights):
     for doc_id, w in rows:
         if doc_id not in per_doc:
             assert w < 200  # absent only when the count could be zero
+
+
+@settings(max_examples=200, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=400))
+def test_decode_png_garbage_raises_valueerror_only(blob):
+    """Fuzz the documented contract: decode_png on arbitrary bytes
+    either succeeds or raises ValueError — never struct.error /
+    zlib.error / IndexError (callers degrade rows on ValueError; a
+    leaked foreign exception class would still be caught by the
+    operator's blanket except, but the module contract says ValueError
+    and crafted valid-CRC garbage used to leak zlib/struct errors)."""
+    from kda_flink_app_timestream_spark.operators.multimodal import decode_png
+
+    try:
+        decode_png(blob)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    payload=st.binary(min_size=0, max_size=64),
+    tag=st.sampled_from([b"IHDR", b"IDAT", b"abcd"]),
+)
+def test_decode_png_valid_crc_garbage_chunks(payload, tag):
+    """Adversarial variant: chunks whose CRCs ARE valid but whose
+    bodies are garbage (wrong-length IHDR, non-zlib IDAT) — the cases
+    a blind fuzz essentially never reaches because random CRCs don't
+    match. Contract: ValueError, never zlib.error/struct.error."""
+    import binascii
+    import struct
+
+    from kda_flink_app_timestream_spark.operators.multimodal import (
+        PNG_MAGIC,
+        decode_png,
+    )
+
+    def chunk(t, data):
+        return (
+            struct.pack(">I", len(data)) + t + data
+            + struct.pack(">I", binascii.crc32(t + data) & 0xFFFFFFFF)
+        )
+
+    png = PNG_MAGIC + chunk(tag, payload) + chunk(b"IEND", b"")
+    try:
+        decode_png(png)
+    except ValueError:
+        pass
