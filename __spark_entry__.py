@@ -204,27 +204,43 @@ _RESCORE_AFTER = {
     #   window — its post-change row lands this round.)
     "batch_sessionization": 7,
     "batch_sessionization_sliced": 7,
-    # r8 changes, landed in r7 after the window was already exactly
-    # full (2 never-scored + 40 active flags + 8 stale-green rotation)
-    # — DORMANT until _CURRENT_ROUND is bumped to 8:
+    # Changes intended for "r8" that in fact landed BEFORE the driver's
+    # r7 scoring ran (driver round numbering: r6 was skipped, so what
+    # this ledger called r8 scored as CORRECTNESS_r07 — VERDICT r7's
+    # round-numbering note). All three flags below were ACTIVE during
+    # r7's window build (_CURRENT_ROUND was already 8 > 7 dormancy
+    # check) and each query has a green post-change r7 row, so they are
+    # keyed 7 to self-expire rather than burn three r8 slots:
     #   plans/udf.py: short-document guard — sequence() stop clamped so
     #   docs under one gram contribute zero rows instead of a runtime
     #   IllegalArgumentException (Spark throws on stop < start with a
     #   positive step; DuckDB's range just yields nothing)
-    "udtf_char_ngrams": 8,
+    "udtf_char_ngrams": 7,
     #   operators/scale.py: salted_join's salt now hashes row content
     #   instead of monotonically_increasing_id (positional ids re-number
     #   under shuffle-retry recompute → rows can re-salt mid-recovery).
-    #   Edit is local to salted_join's body; its one catalog consumer:
-    "join_salted_skew": 8,
-    #   operators/multimodal.py (r8): decode_png's documented
-    #   ValueError contract hardened — wrong-length IHDR and
-    #   valid-CRC non-zlib IDAT used to leak struct.error/zlib.error
-    #   (fuzz-pinned in tests/test_properties.py). Edit strictly local
-    #   to decode_png's body; its decode consumers are this query plus
-    #   multimodal_binaryfile_scan (tier 0 — first row lands this
-    #   round regardless):
-    "multimodal_image_decode": 8,
+    "join_salted_skew": 7,
+    #   operators/multimodal.py: decode_png's documented ValueError
+    #   contract hardened (fuzz-pinned in tests/test_properties.py).
+    "multimodal_image_decode": 7,
+    # r8 changes (this round's window is being built now — ACTIVE):
+    #   plans/udf.py: applyinpandas_zscore retagged test-config next to
+    #   its new native twin (VERDICT r7 #2). Tags/docstring only —
+    #   result-identical — but per the r2 lesson the tag line IS
+    #   non-comment source, so it gets a post-change row:
+    "applyinpandas_zscore": 8,
+    #   plans/streaming_queries.py: stream_stateful_running_counts
+    #   retagged test-config next to its new native twin (VERDICT r7
+    #   #1); shared scaffolds untouched (additive new query only), so
+    #   the other stream queries are NOT flagged:
+    "stream_stateful_running_counts": 8,
+    #   plans/advanced.py: approx_sketches retagged test-config next to
+    #   the new sketch-only production query (VERDICT r7 #5):
+    "approx_sketches": 8,
+    #   plans/multimodal.py: staged-PNG cache key now folds in the
+    #   decode dims + pixel-formula version (ADVICE r7) — the stage
+    #   REBUILDS under a new key, so its one consumer re-scores:
+    "multimodal_binaryfile_scan": 8,
 }
 
 

@@ -102,7 +102,49 @@ BENCH_QUERIES = [
     # r8: image-DIRECTORY ingest through the binaryFile source into the
     # decode chain (the one mandated file format the scan family lacked)
     "multimodal_binaryfile_scan",
+    # r8 (VERDICT r7 #1/#2/#5): the native production twins next to their
+    # Python/exact-verification counterparts — the twin pairs put the
+    # "built-in beats UDF" rule in the bench artifact itself. The three
+    # counterparts are tagged test-config, so the tier split separates
+    # proof cost from production cost.
+    "stream_running_counts_native",
+    "stream_stateful_running_counts",  # test-config tier (Python-state proof)
+    "window_zscore_native",
+    "applyinpandas_zscore",  # test-config tier (grouped-map proof)
+    "approx_sketches_fast",
+    "approx_sketches",  # test-config tier (error-bound verdict contract)
 ]
+
+
+def _current_round() -> int:
+    """Round number for the committed bench artifact: newest committed
+    driver CORRECTNESS file + 1 (the round being built NOW), overridable
+    via SPARK_GRAFT_ROUND. Mirrors __spark_entry__'s bookkeeping."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _canary(spark) -> float:
+    """Fixed constant-cost probe (VERDICT r7 #3): a pure-JVM range
+    aggregation whose cost is independent of sf and of every catalog
+    query. Timed at bench start / middle / end; if the three samples
+    disagree the RUN was contended, and `canary_drift` (max/min) says so
+    in the artifact itself — no judge re-run needed to diagnose noise."""
+    t0 = time.perf_counter()
+    spark.range(0, 50_000_000, 1, 32).selectExpr(
+        "sum(id * 3 % 7) AS s"
+    ).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -150,6 +192,7 @@ def main() -> None:
     # the thing this benchmark exists to measure — and min-of-3
     # (VERDICT r5 #7) stops one contended pass from setting a band the
     # way min-of-2 occasionally let it.
+    canary_samples = [_canary(spark)]
     timings: dict[str, float] = {}
     for _pass in range(3):
         for name in BENCH_QUERIES:
@@ -172,6 +215,7 @@ def main() -> None:
             # touches the SQL cache layer)
             release_deferred()
             spark.catalog.clearCache()
+        canary_samples.append(_canary(spark))
 
     # one-shot FULL sweep (VERDICT r4 #6): every registered query not in
     # the regression list above runs ONCE so no query's cost is unknown;
@@ -195,6 +239,12 @@ def main() -> None:
         release_deferred()
         spark.catalog.clearCache()
 
+    canary_samples.append(_canary(spark))
+    canary = {
+        "samples": canary_samples,  # start, after each of 3 passes, end
+        "drift": round(max(canary_samples) / max(min(canary_samples), 1e-9), 2),
+    }
+
     total = round(sum(timings.values()), 3)
     # tier split (VERDICT r3 #7): queries tagged `test-config` are
     # oracle-pinned configurations deliberately retained for the
@@ -209,23 +259,30 @@ def main() -> None:
         "test_config": round(sum(v for n, v in timings.items() if n in test_cfg), 3),
         "test_config_queries": sorted(test_cfg),
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "passes": 3,  # headline timings are min-of-3
-                "queries": timings,
-                "tiers": tiers,
-                "full_sweep": full_sweep,
-                "full_sweep_over_2s": sorted(
-                    n for n, v in full_sweep.items() if v > 2.0 or v < 0
-                ),
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "passes": 3,  # headline timings are min-of-3
+        "canary": canary,  # 5 fixed-cost probes; drift>~2 ⇒ contended run
+        "queries": timings,
+        "tiers": tiers,
+        "full_sweep": full_sweep,
+        "full_sweep_over_2s": sorted(
+            n for n, v in full_sweep.items() if v > 2.0 or v < 0
+        ),
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # the driver stores only a 2000-char tail of this stdout (parsed:null
+    # since r2, VERDICT r7 #4) — persist the COMPLETE machine-readable
+    # artifact in the repo so every per-query number survives the round
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_LOCAL_r{_current_round()}.json",
     )
+    with open(local_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
     spark.stop()
 
 

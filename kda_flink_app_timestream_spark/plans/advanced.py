@@ -86,7 +86,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_returnflag
     """,
-    tags=("agg", "approx", "sketch"),
+    tags=("agg", "approx", "sketch", "test-config"),
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates made hash-checkable (VERDICT r3 #2): raw HLL /
@@ -100,7 +100,12 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bounds: approx_count_distinct's default rsd is 0.05 → |approx −
     exact| ≤ 0.15·exact is a ≥3σ envelope; percentile_approx (default
     accuracy 10⁴ → rank error ≤ n/10⁴) must land between the exact
-    interpolated 0.49/0.51 quantiles, a far wider band."""
+    interpolated 0.49/0.51 quantiles, a far wider band.
+
+    Tagged ``test-config`` (VERDICT r7 #5): the verdict contract pays
+    the EXACT countDistinct + exact percentiles it verifies against, so
+    its bench time measures the verification, not the sketches. The
+    production sketch cost is measured by ``approx_sketches_fast``."""
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
@@ -122,6 +127,35 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__approx_median") >= F.col("__p49"))
             & (F.col("__approx_median") <= F.col("__p51"))
         ).alias("approx_median_ok"),
+    )
+
+
+@query(
+    "approx_sketches_fast",
+    oracle=None,
+    tags=("agg", "approx", "sketch", "production-path"),
+)
+def approx_sketches_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sketch path (VERDICT r7 #5): one scan, one partial-
+    aggregable pass computing ONLY the sketches — approx_count_distinct
+    (HLL++) and percentile_approx (t-digest-style quantile summary) per
+    return flag. No exact countDistinct (which forces a distinct-expand
+    shuffle) and no exact percentile (which buffers whole groups): this
+    is the plan a 100 TB dashboard actually runs, and what the bench
+    should read as "sketch cost".
+
+    ``oracle=None`` (rows-only) by necessity: sketch ESTIMATES are
+    engine-specific (Spark's HLL++/quantile summaries vs DuckDB's), so
+    value-hash parity is impossible by design. The accuracy contract is
+    still driver-checked — ``approx_sketches`` (test-config twin, same
+    sketches) hash-pins the published error bounds against exact values.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.round(F.percentile_approx("l_extendedprice", F.lit(0.5)), 2).alias(
+            "approx_median"
+        ),
     )
 
 

@@ -201,8 +201,14 @@ def _staged_png_dir(spark: SparkSession, sf_dir: str) -> str:
 
     src = os.path.realpath(f"{sf_dir}/documents.parquet")
     st = os.stat(src)
+    # the key covers the pixel-formula inputs too (ADVICE r7): a stage
+    # built under old _DECODE_W/_DECODE_H (or an older pixel/encode
+    # formula — bump the version token when it changes) must not be
+    # reused, or the query fails its oracle confusingly instead of
+    # rebuilding
     key = hashlib.md5(
-        f"{src}|{st.st_mtime_ns}|{st.st_size}|{_BINFILE_COUNT}".encode()
+        f"{src}|{st.st_mtime_ns}|{st.st_size}|{_BINFILE_COUNT}"
+        f"|{_DECODE_W}x{_DECODE_H}|pxv1".encode()
     ).hexdigest()[:16]
     stage = os.path.join(tempfile.gettempdir(), f"png_binfile_{key}")
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):

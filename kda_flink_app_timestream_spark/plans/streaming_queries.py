@@ -447,13 +447,20 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY user_id
     """,
-    tags=("streaming", "stateful"),
+    tags=("streaming", "stateful", "test-config"),
 )
 def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom keyed state via applyInPandasWithState: per-user running
     (count, sum) — the general ProcessFunction-style capability (the
     reference's closest analog is its checkpointed sink buffer,
-    TimestreamSink.java:150-172). A key may emit once per micro-batch;
+    TimestreamSink.java:150-172). Tagged ``test-config`` (VERDICT r7
+    #1): this shape is fully expressible as a native streaming
+    aggregation — ``stream_running_counts_native`` below is the
+    production twin (JVM state store, measured ~30× cheaper at 100×,
+    SCALE.md) — so this variant exists to prove the arbitrary-state
+    extension point, and its Arrow-per-batch cost must never be read
+    as the running-aggregate operator's. A key may emit once per
+    micro-batch;
     the projection below keeps each key's LATEST state (n_events is
     monotone, so max-struct selects it), and because the state sums
     exact integer cents the final rows are independent of batch
@@ -468,6 +475,60 @@ def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFram
         result.groupBy("user_id")
         .agg(w_latest)
         .select("user_id", F.col("s.n_events").alias("n_events"), F.col("s.total_value").alias("total_value"))
+    )
+
+
+@query(
+    "stream_running_counts_native",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "native-state"),
+)
+def stream_running_counts_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION twin of ``stream_stateful_running_counts``: the
+    identical per-user running (count, sum) expressed as a NATIVE
+    streaming aggregation — ``groupBy(user_id).agg(...)`` in update
+    mode, so the keyed state lives in the JVM state store (partial
+    aggregation map-side, no Arrow crossing, no Python worker).
+
+    Why this twin exists: applyInPandasWithState ships EVERY grouped
+    row through Arrow to a Python worker per micro-batch — measured
+    247.8 s vs 7.9 s native at 100× (SCALE.md r8) — so the catalog's
+    rule is "native state for every state shape a built-in expresses;
+    applyInPandasWithState only for transition logic Spark genuinely
+    lacks". This query IS that rule demonstrated on the same oracle:
+    standard running aggregates need no custom state at all.
+
+    Exactness: the running sum accumulates integer cents (bigint), so
+    the result is independent of micro-batch boundaries and partial-agg
+    order; update mode may emit a key once per batch, and n_events is
+    monotone, so max-struct selects each key's final state — identical
+    projection to the Python-state variant, same batch GROUP BY oracle.
+    """
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("__cents"),
+        )
+        .select("user_id", "n_events", (F.col("__cents") / 100.0).alias("total_value"))
+    )
+    result = _run_to_memory(agg, spark, mode="update")
+    w_latest = F.max(F.struct("n_events", "total_value")).alias("s")
+    return (
+        result.groupBy("user_id")
+        .agg(w_latest)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_value"),
+        )
     )
 
 

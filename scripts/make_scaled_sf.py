@@ -33,6 +33,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,9 +93,17 @@ def replicate_events_arrow(src: str, out: str, k: int) -> int:
     # ~20 GB of Arrow buffers at K=1000 (the r8 fourth-decade fixture) —
     # the writer path is O(group) memory instead and produces the same
     # rows (row-group layout differs, irrelevant for a rehearsal fixture)
+    # Write to a temp path and rename on success (ADVICE r7): closing
+    # the writer in `finally` finalizes a VALID parquet footer even when
+    # replication died mid-loop (OOM/interrupt), and a truncated-but-
+    # readable fixture is worse than an unreadable one — a later
+    # rehearsal would silently consume it. The rename is atomic within
+    # the directory; on failure the partial temp file is deleted.
     group: list[pa.Table] = []
     n_rows = 0
-    writer = pq.ParquetWriter(f"{out}/events.parquet", t0.schema)
+    final_path = f"{out}/events.parquet"
+    tmp_path = f"{out}/.events.parquet.inprogress"
+    writer = pq.ParquetWriter(tmp_path, t0.schema)
     try:
         for i in range(k):
             t = t0.set_column(
@@ -113,8 +122,15 @@ def replicate_events_arrow(src: str, out: str, k: int) -> int:
                 writer.write_table(merged)
                 n_rows += merged.num_rows
                 group = []
-    finally:
+    except BaseException:
         writer.close()
+        try:
+            os.remove(tmp_path)
+        except OSError:
+            pass
+        raise
+    writer.close()
+    os.rename(tmp_path, final_path)
     return n_rows
 
 

@@ -519,8 +519,14 @@ def test_weighted_mix_copy_counts(spark, weights):
         assert sorted(idxs) == list(range(len(idxs)))  # dense 0-based
         assert len(idxs) in (base, base + 1)
     for doc_id, w in rows:
+        # zero copies is only possible when floor(w/100) == 0, i.e.
+        # w < 100 (ADVICE r7: the earlier w < 200 bound would have let
+        # a regression dropping docs with w in [100, 200) pass, since
+        # the per-doc copy-count loop only inspects PRESENT docs)
         if doc_id not in per_doc:
-            assert w < 200  # absent only when the count could be zero
+            assert w < 100, f"doc {doc_id} (w={w}) must emit >=1 copy"
+        elif w >= 100:
+            assert doc_id in per_doc
 
 
 @settings(max_examples=200, deadline=None)

@@ -164,3 +164,24 @@ def test_rescore_flags_never_keyed_past_next_round():
         if r > entry._CURRENT_ROUND + 1
     }
     assert not too_far, f"flags keyed past next round: {too_far}"
+
+
+def test_current_round_tracks_committed_correctness_files():
+    """VERDICT r7 #8: _CURRENT_ROUND is a hand-bumped constant (r6
+    proved inference from committed files wrong when a driver round is
+    skipped), but it must stay TIED to the driver artifacts — the round
+    being built is at least newest-committed + 1, and at most
+    newest + 2 (one driver round may be skipped, as r6 was; two in a
+    row would mean the constant was bumped without any driver scoring
+    in between, i.e. the ledger has drifted from reality). A stale
+    constant is the failure this pins: flags keyed to the real current
+    round would sit dormant and a scoring window would silently skip
+    the post-change rows it owes."""
+    history = entry._correctness_history()
+    assert history, "no committed CORRECTNESS_r*.json found"
+    newest = max(history)
+    assert newest + 1 <= entry._CURRENT_ROUND <= newest + 2, (
+        f"_CURRENT_ROUND={entry._CURRENT_ROUND} vs newest committed "
+        f"driver round {newest}: bump (or rewind) the constant at the "
+        f"start of each round so flag dormancy matches the driver"
+    )
