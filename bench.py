@@ -113,6 +113,11 @@ BENCH_QUERIES = [
     "applyinpandas_zscore",  # test-config tier (grouped-map proof)
     "approx_sketches_fast",
     "approx_sketches",  # test-config tier (error-bound verdict contract)
+    # r8: write-side layout family — partitioned ingest + compaction (the
+    # stage builds on first call and is content-keyed; the steady-state
+    # timing is the pruned/compacted READ, which is the production shape)
+    "layout_partition_pruned_agg",
+    "layout_compaction_roundtrip",
 ]
 
 

@@ -1,0 +1,86 @@
+"""Write-side data-layout management — the ingest/compaction half of a
+100 TB pipeline the read-side operators assume has already happened.
+
+The reference never writes a table (its sink streams records to
+Timestream, TimestreamSink.java:28-172), but the mandated batch surface
+— TPC-H-shaped analytics, dedup sweeps, ANN probes — is only fast at
+scale if the parquet it scans is LAID OUT for it:
+
+- **Hive partitioning** (``partitionBy`` dirs) buys partition PRUNING:
+  a filter on the partition column never opens non-matching files.
+- **One-file-per-partition discipline**: the classic ``partitionBy``
+  failure mode is small-file explosion (every task writes a file into
+  every partition dir → tasks × partitions files); repartitioning BY
+  the partition columns first collapses that to one file per dir, and
+  ``maxRecordsPerFile`` re-splits only genuinely oversized partitions.
+- **Range clustering** (``repartitionByRange`` + ``sortWithinPartitions``)
+  buys row-group/file SKIPPING on the sort key: each output file covers
+  a disjoint key range, so parquet min/max stats prune whole files for
+  range predicates — and it is exactly how small-file compaction should
+  rewrite: content-identical, fewer files, tighter statistics.
+
+Everything here is plain DataFrame writer API — no custom file
+management; Spark's committer gives atomic-enough directory semantics
+and the catalog queries stage through the same atomic-rename publish
+discipline the streaming splits use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def partitioned_write(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-partitioned parquet write with the one-file-per-partition
+    discipline: shuffle BY the partition columns first (so each task
+    owns whole partition-value groups — without this, tasks × partitions
+    small files), optionally cluster rows inside each file on
+    ``sort_cols`` (parquet min/max stats then prune row groups for
+    range predicates on those columns), and cap file size in rows via
+    ``maxRecordsPerFile`` so a skewed-hot partition value re-splits
+    instead of producing one giant file.
+
+    At 100 TB this is the ingest-side contract every read-side operator
+    here assumes: partition pruning comes from the directory layout,
+    file skipping from the clustering — both free at query time, both
+    paid exactly once at write time."""
+    out = df.repartition(*partition_cols)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite").partitionBy(*partition_cols)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def compact_files(
+    df: DataFrame,
+    path: str,
+    n_files: int,
+    range_col: str | None = None,
+) -> None:
+    """Small-file compaction: rewrite ``df`` (typically a fragmented
+    directory scan) into exactly ``n_files`` parquet files. With
+    ``range_col`` the rewrite is RANGE-CLUSTERED — each output file
+    covers a disjoint range of the column (repartitionByRange's
+    sampled range partitioner) with rows sorted inside, so the
+    compaction doesn't just cut file count: it leaves min/max
+    statistics that prune whole files for range predicates. Without it
+    the rewrite is a plain coalesce-shaped re-bin (round-robin), which
+    fixes file count but buys no skipping.
+
+    Content is preserved exactly — this is a pure layout rewrite; the
+    catalog query's oracle hash-checks that invariant."""
+    if range_col is not None:
+        out = df.repartitionByRange(n_files, range_col).sortWithinPartitions(
+            range_col
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(path)

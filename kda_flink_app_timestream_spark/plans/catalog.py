@@ -79,6 +79,7 @@ def load_all_plans() -> dict[str, Query]:
             clustering,
             curation,
             dedup,
+            layout,
             multimodal,
             reference,
             relational,

@@ -1,0 +1,163 @@
+"""Data-layout management queries (driver-r8): hive-partitioned ingest
+with partition pruning, and range-clustered small-file compaction.
+
+The reference has no write path at all (its only sink streams records
+out, TimestreamSink.java:28-172) — but the 100 TB mandate makes the
+WRITE side of the engine first-class: every read-side operator here is
+only fast if the parquet it scans was partitioned and clustered on the
+way in. These queries stage a real layout rewrite through
+``operators/layout.py`` and then prove, against the DuckDB oracle over
+the RAW table, that (a) a partition-pruned scan computes the same
+answer and (b) compaction is content-exact. The layout PROPERTIES that
+SQL can't see — file counts, partition-directory structure, pruned
+input files, disjoint per-file key ranges — are pinned by
+``tests/test_layout.py`` instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.layout import compact_files, partitioned_write
+from ..sources.batch import load_table
+from .catalog import query
+from .streaming_queries import _publish_stage_dir, _staged_stream_dir
+
+# bump when the staged layout's shape changes (ADVICE r7's cache-key
+# lesson, applied from birth: the formula version lives IN the key)
+_LAYOUT_VERSION = "v1"
+
+
+def _stage_key(sf_dir: str, tag: str) -> str:
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    st = os.stat(src)
+    return hashlib.md5(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}|{tag}|{_LAYOUT_VERSION}".encode()
+    ).hexdigest()[:16]
+
+
+def staged_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Events rewritten hive-partitioned by (event_type, day) with rows
+    clustered on ts inside each file — built once per testdata content
+    key and atomically published (same discipline as the stream splits).
+    One file per partition dir (the repartition-by-partition-cols
+    discipline); ~150 dirs at any sf (5 types × 30 days)."""
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"layout_part_events_{_stage_key(sf_dir, 'part')}",
+    )
+    if not os.path.exists(os.path.join(stage, "_LAYOUT_DONE")):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        build = f"{stage}.build-{os.getpid()}-{os.urandom(4).hex()}"
+        partitioned_write(
+            ev,
+            build,
+            partition_cols=["event_type", "day"],
+            sort_cols=["ts"],
+            max_records_per_file=2_000_000,
+        )
+        with open(os.path.join(build, "_LAYOUT_DONE"), "w") as f:
+            f.write("ok")
+        _publish_stage_dir(build, stage, "_LAYOUT_DONE")
+    return stage
+
+
+def staged_compacted_events(spark: SparkSession, sf_dir: str) -> str:
+    """The fragmented 4-file stream split compacted to 2 range-clustered
+    files on ts: content-identical, fewer files, disjoint per-file ts
+    ranges (so parquet min/max stats prune whole files for time-range
+    predicates — the statistic tests/test_layout.py asserts)."""
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"layout_compact_events_{_stage_key(sf_dir, 'compact')}",
+    )
+    if not os.path.exists(os.path.join(stage, "_LAYOUT_DONE")):
+        fragmented = spark.read.parquet(_staged_stream_dir(spark, sf_dir, "events"))
+        build = f"{stage}.build-{os.getpid()}-{os.urandom(4).hex()}"
+        compact_files(fragmented, build, n_files=2, range_col="ts")
+        with open(os.path.join(build, "_LAYOUT_DONE"), "w") as f:
+            f.write("ok")
+        _publish_stage_dir(build, stage, "_LAYOUT_DONE")
+    return stage
+
+
+@query(
+    "layout_partition_pruned_agg",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+      AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08'
+      AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-15'
+    GROUP BY day
+    """,
+    tags=("layout", "write", "partition-pruning"),
+)
+def layout_partition_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-then-prune round trip: events are staged hive-partitioned
+    by (event_type, day), then a week of one event type is aggregated
+    FROM THE PARTITIONED LAYOUT. Catalyst turns the two filters into
+    partition-directory pruning — the scan's PartitionFilters prune to
+    ~7 of ~150 directories and non-matching files are never opened
+    (asserted on inputFiles by tests/test_layout.py; the plan is in
+    PLANS.md). The oracle computes the same answer from the RAW table,
+    so the rewrite's content fidelity and the pruned scan's correctness
+    are hash-checked together. At 100 TB this is the difference between
+    scanning ~0.7 % of the corpus and all of it."""
+    part = spark.read.parquet(staged_partitioned_events(spark, sf_dir))
+    return (
+        part.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("day") >= F.lit("2024-01-08").cast("date"))
+            & (F.col("day") < F.lit("2024-01-15").cast("date"))
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            ).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "layout_compaction_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("layout", "write", "compaction"),
+)
+def layout_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction proven content-exact: the fragmented 4-file
+    split is rewritten to 2 range-clustered files (repartitionByRange on
+    ts + in-file sort), and the emitted per-type checksums (count, id
+    sum, exact-cents value sum) hash-match the oracle over the RAW
+    table — a pure layout rewrite, zero content drift. The layout gain
+    itself (file count halved, disjoint per-file ts ranges ⇒ min/max
+    file skipping for time predicates) is pinned by
+    tests/test_layout.py, which SQL can't express. At 100 TB compaction
+    is a maintenance operator you run continuously behind streaming
+    ingest; content-exactness is the invariant that makes it safe."""
+    compacted = spark.read.parquet(staged_compacted_events(spark, sf_dir))
+    return compacted.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("id_sum"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "total_value"
+        ),
+    )

