@@ -21,7 +21,7 @@ from .catalog import query
     SELECT o_orderkey, o_custkey,
            CASE WHEN count(*) OVER w > 1
                 THEN round((o_totalprice - avg(o_totalprice) OVER w)
-                           / stddev_samp(o_totalprice) OVER w, 4)
+                           / stddev_samp(o_totalprice) OVER w, 4) + 0.0
            END AS price_zscore
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey)
@@ -47,7 +47,7 @@ def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n > 1:
             mean = pdf["o_totalprice"].mean()
             std = pdf["o_totalprice"].std(ddof=1)
-            z = ((pdf["o_totalprice"] - mean) / std).round(4)
+            z = ((pdf["o_totalprice"] - mean) / std).round(4) + 0.0
         else:
             z = pd.Series([None] * n, dtype="float64")
         return pd.DataFrame(
@@ -69,7 +69,7 @@ def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey,
            CASE WHEN count(*) OVER w > 1
                 THEN round((o_totalprice - avg(o_totalprice) OVER w)
-                           / stddev_samp(o_totalprice) OVER w, 4)
+                           / stddev_samp(o_totalprice) OVER w, 4) + 0.0
            END AS price_zscore
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey)
@@ -98,11 +98,15 @@ def window_zscore_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.when(
             F.count("*").over(w) > 1,
+            # + 0.0 pins the IEEE sign of zero: a tiny-negative z rounds
+            # to -0.0 in DuckDB/pandas but +0.0 in Spark's round (found
+            # by the 10x rehearsal); x + 0.0 is +0.0 in all three
             F.round(
                 (F.col("o_totalprice") - F.avg("o_totalprice").over(w))
                 / F.stddev_samp("o_totalprice").over(w),
                 4,
-            ),
+            )
+            + F.lit(0.0),
         ).alias("price_zscore"),
     )
 
