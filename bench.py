@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     # timing is the pruned/compacted READ, which is the production shape)
     "layout_partition_pruned_agg",
     "layout_compaction_roundtrip",
+    "layout_stream_ingest_compact",
 ]
 
 

@@ -30,7 +30,9 @@ from .streaming_queries import _publish_stage_dir, _staged_stream_dir
 
 # bump when the staged layout's shape changes (ADVICE r7's cache-key
 # lesson, applied from birth: the formula version lives IN the key)
-_LAYOUT_VERSION = "v1"
+# v2: stream-ingest stages drop _spark_metadata at finalize (the
+# manifest pinned build-time paths that die in the atomic rename)
+_LAYOUT_VERSION = "v2"
 
 
 def _stage_key(sf_dir: str, tag: str) -> str:
@@ -86,6 +88,97 @@ def staged_compacted_events(spark: SparkSession, sf_dir: str) -> str:
             f.write("ok")
         _publish_stage_dir(build, stage, "_LAYOUT_DONE")
     return stage
+
+
+def staged_stream_ingested_events(spark: SparkSession, sf_dir: str) -> str:
+    """Events landed by a REAL Structured Streaming parquet sink,
+    hive-partitioned by event_type, from the staged 4-file source with
+    ``maxFilesPerTrigger=1`` — four genuine micro-batches, each
+    committing its own files into every partition directory. This is
+    the continuous-ingest layout problem in miniature: the sink's
+    per-batch commits fragment every partition (≥4 files per dir here;
+    one per trigger per dir in production), which is exactly the state
+    ``compact_files`` exists to repair."""
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"layout_stream_ingest_{_stage_key(sf_dir, 'ingest')}",
+    )
+    if not os.path.exists(os.path.join(stage, "_LAYOUT_DONE")):
+        from .streaming_queries import _events_stream
+
+        build = f"{stage}.build-{os.getpid()}-{os.urandom(4).hex()}"
+        ckpt = f"{build}.ckpt"
+        q = (
+            _events_stream(spark, sf_dir)
+            .writeStream.format("parquet")
+            .partitionBy("event_type")
+            .option("path", build)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        # drop the sink's _spark_metadata manifest at finalize: it
+        # references the BUILD-time absolute paths, which die in the
+        # atomic rename below (readers would chase ghost files). The
+        # manifest's job — hiding uncommitted files from readers racing
+        # a live sink — is over: the stream has terminated and the
+        # published stage is sealed immutable, so plain directory
+        # listing is the correct discovery mechanism from here on.
+        shutil.rmtree(os.path.join(build, "_spark_metadata"), ignore_errors=True)
+        with open(os.path.join(build, "_LAYOUT_DONE"), "w") as f:
+            f.write("ok")
+        _publish_stage_dir(build, stage, "_LAYOUT_DONE")
+    return stage
+
+
+@query(
+    "layout_stream_ingest_compact",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(min(ts) AS TIMESTAMP) AS first_ts,
+           CAST(max(ts) AS TIMESTAMP) AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("layout", "streaming", "write", "compaction"),
+)
+def layout_stream_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance loop a 100 TB streaming lakehouse runs
+    continuously, end to end: a real Structured Streaming parquet sink
+    lands events hive-partitioned by event_type across four micro-batch
+    commits (fragmenting every partition dir), then the fragmented
+    table is compacted to range-clustered files on ts, and the emitted
+    per-type checksums (count, id sum, exact min/max ts) hash-match the
+    oracle over the RAW table — proving the whole
+    ingest→fragment→compact chain preserved content exactly. The
+    layout deltas (≥4 files/dir before, fewer after, disjoint ranges)
+    are pinned by tests/test_layout.py; at scale the compactor runs
+    behind the watermark so it only rewrites partitions the sink has
+    finished."""
+    ingested = spark.read.parquet(staged_stream_ingested_events(spark, sf_dir))
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"layout_ingest_compact_{_stage_key(sf_dir, 'ingest-compact')}",
+    )
+    if not os.path.exists(os.path.join(stage, "_LAYOUT_DONE")):
+        build = f"{stage}.build-{os.getpid()}-{os.urandom(4).hex()}"
+        compact_files(ingested, build, n_files=2, range_col="ts")
+        with open(os.path.join(build, "_LAYOUT_DONE"), "w") as f:
+            f.write("ok")
+        _publish_stage_dir(build, stage, "_LAYOUT_DONE")
+    compacted = spark.read.parquet(stage)
+    return compacted.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("id_sum"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
 
 
 @query(

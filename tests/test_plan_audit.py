@@ -79,8 +79,10 @@ def test_audit_covers_the_catalog():
     # pin the exclusion count: registering a new streaming query should
     # consciously bump this, and a tag typo that silently pulls batch
     # queries out of the audit trips it immediately
-    # (driver-r8: +1 for stream_running_counts_native)
-    assert len(excluded) == 16, sorted(excluded)
+    # (driver-r8: +1 stream_running_counts_native, +1
+    # layout_stream_ingest_compact — tagged streaming because building
+    # its stage runs a real micro-batch sink)
+    assert len(excluded) == 17, sorted(excluded)
 
 
 if __name__ == "__main__":
