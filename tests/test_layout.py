@@ -52,14 +52,21 @@ def test_partition_pruned_scan_carries_partition_filters(spark, sf_dir):
         & (F.col("day") >= F.lit("2024-01-08").cast("date"))
         & (F.col("day") < F.lit("2024-01-15").cast("date"))
     )
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # widen metadata truncation for the assertion: the filter list is
+    # cut at spark.sql.maxMetadataStringLength chars (default 100), and
+    # in a long-lived session growing expression ids push the day
+    # bounds past the cut (the suite-order flake this conf fixes)
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf, plan
     filters = pf[0]
-    # Spark truncates long filter lists in toString ("(da..."), so pin
-    # what reliably survives: the equality + the lower day bound
     assert "event_type" in filters and "purchase" in filters, filters
-    assert "2024-01-08" in filters, filters
+    assert "2024-01-08" in filters and "2024-01-15" in filters, filters
     # a per-row (non-partition) filter must NOT remain: all predicates
     # are on partition columns, so the data-filter list is empty
     assert "DataFilters: []" in filters, filters
