@@ -123,21 +123,28 @@ BENCH_QUERIES = [
 
 
 def _current_round() -> int:
-    """Round number for the committed bench artifact: newest committed
-    driver CORRECTNESS file + 1 (the round being built NOW), overridable
-    via SPARK_GRAFT_ROUND. Mirrors __spark_entry__'s bookkeeping."""
+    """Round number for the committed bench artifact: __spark_entry__'s
+    hand-maintained ``_CURRENT_ROUND`` (the single source of truth —
+    inference from committed CORRECTNESS files undercounts when a
+    driver round is skipped, as r6 was), overridable via
+    SPARK_GRAFT_ROUND; file-count inference only as a last resort."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
         return int(env)
-    import glob
+    try:
+        import __spark_entry__
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
-    ]
-    return (max(rounds) + 1) if rounds else 1
+        return int(__spark_entry__._CURRENT_ROUND)
+    except Exception:
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        ]
+        return (max(rounds) + 1) if rounds else 1
 
 
 def _canary(spark) -> float:
@@ -295,10 +302,13 @@ def main() -> None:
     print(json.dumps(payload))
     # the driver stores only a 2000-char tail of this stdout (parsed:null
     # since r2, VERDICT r7 #4) — persist the COMPLETE machine-readable
-    # artifact in the repo so every per-query number survives the round
+    # artifact in the repo so every per-query number survives the round.
+    # Non-default sf dirs get their own suffix so a scaled-fixture run
+    # can never clobber the round's committed sf0.1 headline artifact.
+    suffix = "" if sf == 0.1 else f"_sf{sf}"
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_LOCAL_r{_current_round()}.json",
+        f"BENCH_LOCAL_r{_current_round()}{suffix}.json",
     )
     with open(local_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)

@@ -52,7 +52,14 @@ def partitioned_write(
     paid exactly once at write time."""
     out = df.repartition(*partition_cols)
     if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
+        # prefix the sort with the partition columns: the parquet writer
+        # REQUIRES a partition-local ordering on the partition cols and
+        # inserts its own Sort when the incoming order doesn't satisfy
+        # it — sorting on sort_cols alone would be paid twice and the
+        # clustering would then hang on sort stability; the prefixed
+        # sort satisfies the writer's requirement and guarantees rows
+        # inside each file are ts-clustered in one pass
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
     writer = out.write.mode("overwrite").partitionBy(*partition_cols)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

@@ -32,7 +32,9 @@ from .streaming_queries import _publish_stage_dir, _staged_stream_dir
 # lesson, applied from birth: the formula version lives IN the key)
 # v2: stream-ingest stages drop _spark_metadata at finalize (the
 # manifest pinned build-time paths that die in the atomic rename)
-_LAYOUT_VERSION = "v2"
+# v3: partitioned_write sorts (partition_cols, sort_cols) in one pass —
+# staged file content order changed
+_LAYOUT_VERSION = "v3"
 
 
 def _stage_key(sf_dir: str, tag: str) -> str:
@@ -161,12 +163,17 @@ def layout_stream_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pinned by tests/test_layout.py; at scale the compactor runs
     behind the watermark so it only rewrites partitions the sink has
     finished."""
-    ingested = spark.read.parquet(staged_stream_ingested_events(spark, sf_dir))
     stage = os.path.join(
         tempfile.gettempdir(),
         f"layout_ingest_compact_{_stage_key(sf_dir, 'ingest-compact')}",
     )
     if not os.path.exists(os.path.join(stage, "_LAYOUT_DONE")):
+        # the ingest stage is only needed (and only built) when the
+        # compacted stage is cold — reading it unconditionally would
+        # re-run a full streaming ingest whose output is then discarded
+        ingested = spark.read.parquet(
+            staged_stream_ingested_events(spark, sf_dir)
+        )
         build = f"{stage}.build-{os.getpid()}-{os.urandom(4).hex()}"
         compact_files(ingested, build, n_files=2, range_col="ts")
         with open(os.path.join(build, "_LAYOUT_DONE"), "w") as f:

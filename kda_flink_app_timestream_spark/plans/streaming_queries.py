@@ -438,15 +438,21 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(dedup, spark, mode="append")
 
 
-@query(
-    "stream_stateful_running_counts",
-    oracle="""
+# ONE oracle for both running-counts twins — the "same oracle, same
+# hash" twin contract as a shared constant, so a future edit cannot
+# drift one side silently
+_RUNNING_COUNTS_ORACLE = """
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
            sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY user_id
-    """,
+    """
+
+
+@query(
+    "stream_stateful_running_counts",
+    oracle=_RUNNING_COUNTS_ORACLE,
     tags=("streaming", "stateful", "test-config"),
 )
 def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,13 +486,7 @@ def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "stream_running_counts_native",
-    oracle="""
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
-    FROM events
-    GROUP BY user_id
-    """,
+    oracle=_RUNNING_COUNTS_ORACLE,
     tags=("streaming", "stateful", "native-state"),
 )
 def stream_running_counts_native(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,9 +15,11 @@ from ..sources.batch import load_table
 from .catalog import query
 
 
-@query(
-    "applyinpandas_zscore",
-    oracle="""
+# ONE oracle for both z-score twins ("same oracle, same hash" is the
+# twins' contract — a shared constant removes the silent-drift channel
+# a future one-sided edit would open; this round's sign-of-zero pin was
+# exactly such an edit)
+_ZSCORE_ORACLE = """
     SELECT o_orderkey, o_custkey,
            CASE WHEN count(*) OVER w > 1
                 THEN round((o_totalprice - avg(o_totalprice) OVER w)
@@ -25,7 +27,12 @@ from .catalog import query
            END AS price_zscore
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey)
-    """,
+    """
+
+
+@query(
+    "applyinpandas_zscore",
+    oracle=_ZSCORE_ORACLE,
     tags=("udf", "applyInPandas", "grouped-map", "test-config"),
 )
 def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,15 +72,7 @@ def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_zscore_native",
-    oracle="""
-    SELECT o_orderkey, o_custkey,
-           CASE WHEN count(*) OVER w > 1
-                THEN round((o_totalprice - avg(o_totalprice) OVER w)
-                           / stddev_samp(o_totalprice) OVER w, 4) + 0.0
-           END AS price_zscore
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey)
-    """,
+    oracle=_ZSCORE_ORACLE,
     tags=("window", "analytic", "native-twin"),
 )
 def window_zscore_native(spark: SparkSession, sf_dir: str) -> DataFrame:

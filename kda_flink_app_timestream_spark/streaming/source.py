@@ -53,9 +53,18 @@ def kinesis_option_map(
     its STREAM_INITIAL_POSITION default)."""
     merged = {**KINESIS_DEFAULT_OPTIONS, **(options or {})}
     merged.setdefault("initialPosition", "LATEST")
-    merged["streamName"] = stream_name
-    merged["region"] = region or "us-east-1"
-    return {k: str(v) for k, v in merged.items()}
+    # the options dict outranks the convenience args (last-option-wins,
+    # matching the old reader.option call order): an explicit
+    # options={"region": ...} must not be silently overwritten
+    merged.setdefault("streamName", stream_name)
+    merged.setdefault("region", region or "us-east-1")
+
+    def to_str(v) -> str:
+        # DataStreamReader.option lowercases booleans; str() would send
+        # 'True'/'False' to a connector that parses with == "true"
+        return "true" if v is True else "false" if v is False else str(v)
+
+    return {k: to_str(v) for k, v in merged.items()}
 
 
 def streaming_source(

@@ -82,6 +82,17 @@ def test_kinesis_option_map_caller_overrides_win():
     assert got["kinesis.executor.maxFetchRecordsPerShard"] == "5000"
     assert got["kinesis.executor.maxFetchTimeInMs"] == "1000"  # default kept
     assert got["awsUseInstanceProfile"] == "false"  # passthrough preserved
+    # the options DICT outranks the convenience args (last-option-wins,
+    # the old reader.option call order — review finding this round: an
+    # early version force-overwrote region/streamName after the merge)
+    got2 = kinesis_option_map(
+        "s", region="us-east-1", options={"region": "ap-south-1", "streamName": "x"}
+    )
+    assert got2["region"] == "ap-south-1"
+    assert got2["streamName"] == "x"
+    # and booleans reach the connector lowercased, as DataStreamReader
+    # would send them — str(False) = 'False' would misread downstream
+    assert kinesis_option_map("s", options={"flag": False})["flag"] == "false"
 
 
 def test_kinesis_default_options_mirror_reference_tuning():

@@ -26,12 +26,18 @@ def test_partitioned_write_one_file_per_partition_dir(spark, sf_dir):
     upstream repartition, every task writes into every dir — the
     small-file explosion this operator exists to prevent)."""
     stage = staged_partitioned_events(spark, sf_dir)
+    # the stage writes with maxRecordsPerFile=2M, so a partition only
+    # legitimately splits past 2M rows — way above any test fixture;
+    # compute the allowance instead of hardcoding 1 so a scaled fixture
+    # doesn't turn the desired re-split behavior into a failure
+    n_events = load_table(spark, sf_dir, "events").count()
+    max_files = max(1, -(-n_events // 2_000_000))  # ceil
     dirs = 0
     for root, _dirs, files in os.walk(stage):
         parts = [f for f in files if f.endswith(".parquet")]
         if parts:
             assert "day=" in root and "event_type=" in root, root
-            assert len(parts) == 1, f"{root} has {len(parts)} files"
+            assert len(parts) <= max_files, f"{root} has {len(parts)} files"
             dirs += 1
     # 5 event types × ~30 days of data
     assert dirs >= 100, f"only {dirs} partition dirs"

@@ -525,8 +525,6 @@ def test_weighted_mix_copy_counts(spark, weights):
         # the per-doc copy-count loop only inspects PRESENT docs)
         if doc_id not in per_doc:
             assert w < 100, f"doc {doc_id} (w={w}) must emit >=1 copy"
-        elif w >= 100:
-            assert doc_id in per_doc
 
 
 @settings(max_examples=200, deadline=None)
