@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "layout_partition_pruned_agg",
     "layout_compaction_roundtrip",
     "layout_stream_ingest_compact",
+    "layout_retention_vacuum",
 ]
 
 

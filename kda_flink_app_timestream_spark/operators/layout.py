@@ -66,6 +66,40 @@ def partitioned_write(
     writer.parquet(path)
 
 
+def vacuum_partitions(path: str, partition_col: str, cutoff: str) -> int:
+    """Retention vacuum as PARTITION-DIRECTORY lifecycle: delete every
+    hive directory ``{partition_col}={value}`` (searched at any nesting
+    level under ``path``) whose value sorts below ``cutoff``. Returns
+    the number of directories removed.
+
+    This is the reference's retention policy
+    (TimestreamInitializer.java:12-13, 47-49 — 24 h memory / 7 d
+    magnetic, enforced by the store) re-expressed for a lakehouse: with
+    data day-partitioned, expiry is a METADATA operation — O(expired
+    dirs) unlink calls, zero data scanned, zero rows rewritten — which
+    is why retention on 100 TB must ride the partition layout rather
+    than a row-level DELETE (that would rewrite every touched file).
+    Values must be ISO-formatted (dates/zero-padded) so the string
+    comparison is the value comparison; hive dir names encode them
+    exactly that way."""
+    import os
+    import shutil
+
+    prefix = f"{partition_col}="
+    removed = 0
+    for root, dirs, _files in os.walk(path, topdown=True):
+        expired = [
+            d for d in dirs if d.startswith(prefix) and d[len(prefix):] < cutoff
+        ]
+        for d in expired:
+            shutil.rmtree(os.path.join(root, d))
+            removed += 1
+        # don't descend into what we just deleted (or into survivors'
+        # data files — partition dirs of the same col don't nest)
+        dirs[:] = [d for d in dirs if not d.startswith(prefix)]
+    return removed
+
+
 def compact_files(
     df: DataFrame,
     path: str,

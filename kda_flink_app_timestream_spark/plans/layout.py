@@ -23,7 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.layout import compact_files, partitioned_write
+from ..operators.layout import compact_files, partitioned_write, vacuum_partitions
 from ..sources.batch import load_table
 from .catalog import query
 from .streaming_queries import _publish_stage_dir, _staged_stream_dir
@@ -260,4 +260,75 @@ def layout_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
             "total_value"
         ),
+    )
+
+
+def staged_vacuumed_events(spark: SparkSession, sf_dir: str) -> str:
+    """A day-partitioned copy of events with the reference's magnetic
+    retention applied PHYSICALLY: partition dirs older than
+    (max event time − 7 days) are vacuumed before publish — the
+    TimestreamInitializer retention policy (24 h memory / 7 d magnetic,
+    TimestreamInitializer.java:12-13, 47-49) as lakehouse directory
+    lifecycle. Built fresh per content key so the pruning/compaction
+    stages (which must keep ALL days) are never mutated."""
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"layout_vacuum_events_{_stage_key(sf_dir, 'vacuum')}",
+    )
+    if not os.path.exists(os.path.join(stage, "_LAYOUT_DONE")):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        # the retention anchor: one bounded one-row aggregate (same
+        # driver-side pattern as the watermark-span derivation)
+        cutoff_row = ev.agg(
+            F.date_format(
+                F.to_date(F.max("ts") - F.expr("INTERVAL 7 DAYS")), "yyyy-MM-dd"
+            ).alias("c")
+        ).collect()[0]
+        build = f"{stage}.build-{os.getpid()}-{os.urandom(4).hex()}"
+        partitioned_write(
+            ev, build, partition_cols=["day"], sort_cols=["ts"]
+        )
+        if cutoff_row["c"] is not None:
+            vacuum_partitions(build, "day", cutoff_row["c"])
+        with open(os.path.join(build, "_LAYOUT_DONE"), "w") as f:
+            f.write("ok")
+        _publish_stage_dir(build, stage, "_LAYOUT_DONE")
+    return stage
+
+
+@query(
+    "layout_retention_vacuum",
+    oracle="""
+    WITH anchor AS (
+        SELECT CAST(CAST(max(ts) AS TIMESTAMP) - INTERVAL 7 DAY AS DATE) AS c
+        FROM events
+    )
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events, anchor
+    WHERE CAST(ts AS DATE) >= anchor.c
+    GROUP BY day
+    """,
+    tags=("layout", "retention", "reference-parity", "write"),
+)
+def layout_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical retention enforcement, oracle-checked: events are
+    day-partitioned, dirs past the reference's 7-day magnetic retention
+    (TimestreamInitializer.java:12-13 — anchored to the dataset's max
+    event time so the verdict is deterministic) are DELETED as a pure
+    directory operation, and the surviving per-day checksums hash-match
+    the oracle's time-filtered view of the raw table — proving the
+    vacuum removed exactly the expired days and nothing else. The
+    logical twin is ``events_retention_tiers`` (per-row tier
+    classification); this is the enforcement half: at 100 TB retention
+    must be O(expired partition dirs) metadata work, never a row-level
+    DELETE that rewrites files. tests/test_layout.py pins the physical
+    side (expired dirs gone, survivors intact)."""
+    vac = spark.read.parquet(staged_vacuumed_events(spark, sf_dir))
+    return vac.groupBy("day").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("id_sum"),
     )

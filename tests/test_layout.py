@@ -136,3 +136,29 @@ def test_stream_ingest_fragments_then_compaction_repairs(spark, sf_dir):
             if f.endswith(".parquet")
         ]
         assert len(parts) >= 4, f"{d}: only {len(parts)} files — expected one per micro-batch"
+
+
+def test_retention_vacuum_removes_exactly_expired_days(spark, sf_dir):
+    """The physical half of the retention contract: every surviving
+    day-dir is >= the 7-day cutoff (anchored to max event time), at
+    least one expired day was actually deleted (the fixture spans a
+    month), and the survivors' row count equals the raw table filtered
+    to the cutoff — nothing extra vacuumed."""
+    from kda_flink_app_timestream_spark.plans.layout import staged_vacuumed_events
+
+    stage = staged_vacuumed_events(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        F.date_format(
+            F.to_date(F.max("ts") - F.expr("INTERVAL 7 DAYS")), "yyyy-MM-dd"
+        ).alias("c")
+    ).collect()[0]["c"]
+    day_dirs = [d for d in os.listdir(stage) if d.startswith("day=")]
+    assert day_dirs, "vacuum deleted everything"
+    assert all(d[len("day="):] >= cutoff for d in day_dirs), (cutoff, day_dirs)
+    # the month-long fixture must actually have had expired days
+    n_days_raw = ev.select(F.to_date("ts").alias("d")).distinct().count()
+    assert len(day_dirs) < n_days_raw
+    n_survivors = spark.read.parquet(stage).count()
+    n_expected = ev.filter(F.to_date("ts") >= F.lit(cutoff).cast("date")).count()
+    assert n_survivors == n_expected
