@@ -573,3 +573,36 @@ def test_decode_png_valid_crc_garbage_chunks(payload, tag):
         decode_png(png)
     except ValueError:
         pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    days=st.sets(st.integers(1, 28), min_size=1, max_size=20),
+    cutoff_day=st.integers(1, 28),
+    nested=st.booleans(),
+)
+def test_vacuum_partitions_removes_exactly_below_cutoff(tmp_path_factory, days, cutoff_day, nested):
+    """Property: vacuum_partitions deletes exactly the day= dirs whose
+    ISO value sorts below the cutoff — at any nesting level — and never
+    touches survivors' contents or non-partition files."""
+    import os
+
+    from kda_flink_app_timestream_spark.operators.layout import vacuum_partitions
+
+    root = tmp_path_factory.mktemp("vac")
+    base = root / "event_type=x" if nested else root
+    base.mkdir(exist_ok=True)
+    for d in days:
+        p = base / f"day=2024-01-{d:02d}"
+        p.mkdir()
+        (p / "part-0.parquet").write_bytes(b"x")
+    (base / "_LAYOUT_DONE").write_text("ok")
+    cutoff = f"2024-01-{cutoff_day:02d}"
+    removed = vacuum_partitions(str(root), "day", cutoff)
+    expected_gone = {d for d in days if f"2024-01-{d:02d}" < cutoff}
+    assert removed == len(expected_gone)
+    survivors = {p.name for p in base.iterdir() if p.name.startswith("day=")}
+    assert survivors == {f"day=2024-01-{d:02d}" for d in days - expected_gone}
+    for name in survivors:
+        assert (base / name / "part-0.parquet").read_bytes() == b"x"
+    assert (base / "_LAYOUT_DONE").exists()
