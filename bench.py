@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "layout_compaction_roundtrip",
     "layout_stream_ingest_compact",
     "layout_retention_vacuum",
+    # r8: fuzzy cross-corpus decontamination (broadcast benchmark band
+    # index; train side never shuffles)
+    "dedup_cross_corpus_prune",
 ]
 
 

@@ -802,3 +802,61 @@ def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionByName(row)
     assert out is not None
     return out
+
+
+@query(
+    "dedup_cross_corpus_prune",
+    oracle=f"""
+    WITH {minhash_sig_ctes()},
+    bench AS (
+        SELECT DISTINCT band_idx, band_key FROM bands WHERE doc_id % 20 = 0
+    ),
+    train AS (SELECT * FROM bands WHERE doc_id % 20 <> 0)
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.band_idx) AS BIGINT) AS n_hit_bands
+    FROM train t
+    JOIN bench b ON t.band_idx = b.band_idx AND t.band_key = b.band_key
+    GROUP BY t.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh", "decontamination", "llm"),
+)
+def dedup_cross_corpus_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY cross-corpus decontamination — the third decontamination
+    shape next to exact n-gram overlap (``text_decontaminate_overlap``)
+    and within-corpus semantic prune (``dedup_semantic_prune``): a
+    training document is flagged when ANY of its MinHash LSH bands hits
+    a band bucket claimed by the held-out benchmark corpus (here the
+    deterministic ``doc_id % 20 == 0`` slice standing in for the eval
+    set), catching paraphrase-level contamination that exact n-gram
+    hashing misses. Emits each contaminated train doc with how many of
+    its bands hit — the triage strength signal.
+
+    Scale shape: signatures are row-local (shared
+    ``operators/dedup.py:minhash_signature``); the benchmark band
+    index — tiny next to the train corpus, as eval sets are — is
+    DISTINCT-ed and broadcast, so the train side never shuffles: one
+    scan, one broadcast-hash join, one partial-aggregable count. The
+    band layout is the same shared ``band_structs`` expression every
+    other LSH consumer uses, so the generated DuckDB twin stays in
+    lockstep by construction."""
+    from ..operators.dedup import band_structs, minhash_signature
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(tokens(F.col("text"))) >= 3
+    )
+    sig = minhash_signature(d)
+    bands = sig.select(
+        "doc_id",
+        F.explode(band_structs(F.col("sig"))).alias("bb"),
+    ).select("doc_id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.band_key").alias("band_key"))
+    bench = (
+        bands.filter(F.col("doc_id") % 20 == 0)
+        .select("band_idx", "band_key")
+        .distinct()
+    )
+    train = bands.filter(F.col("doc_id") % 20 != 0)
+    return (
+        train.join(F.broadcast(bench), ["band_idx", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("band_idx").alias("n_hit_bands"))
+    )
