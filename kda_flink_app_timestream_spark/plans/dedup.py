@@ -845,10 +845,15 @@ def dedup_cross_corpus_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens(F.col("text"))) >= 3
     )
     sig = minhash_signature(d)
+    # both branches (bench index, train probe) consume the banded frame,
+    # and the signature computation (one md5 per shingle) dominates the
+    # query — cache it so the corpus is scanned and hashed ONCE (review
+    # finding; same convention as minhash_near_dup_pairs)
     bands = sig.select(
         "doc_id",
         F.explode(band_structs(F.col("sig"))).alias("bb"),
-    ).select("doc_id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.band_key").alias("band_key"))
+    ).select("doc_id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.band_key").alias("band_key")).cache()
+    defer_release(bands)
     bench = (
         bands.filter(F.col("doc_id") % 20 == 0)
         .select("band_idx", "band_key")

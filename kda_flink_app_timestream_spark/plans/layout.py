@@ -34,7 +34,11 @@ from .streaming_queries import _publish_stage_dir, _staged_stream_dir
 # manifest pinned build-time paths that die in the atomic rename)
 # v3: partitioned_write sorts (partition_cols, sort_cols) in one pass —
 # staged file content order changed
-_LAYOUT_VERSION = "v3"
+# v4: shared _published_stage skeleton (stage dir names changed); the
+# vacuum stage filters null-day rows at write (hive default-partition
+# dirs sort above every ISO date and would survive vacuum forever while
+# the oracle's date filter drops null-ts rows)
+_LAYOUT_VERSION = "v4"
 
 
 def _stage_key(sf_dir: str, tag: str) -> str:
@@ -45,32 +49,48 @@ def _stage_key(sf_dir: str, tag: str) -> str:
     ).hexdigest()[:16]
 
 
+_MARKER = "_LAYOUT_DONE"
+
+
+def _published_stage(sf_dir: str, tag: str, build_fn) -> str:
+    """The stage-publish skeleton every layout stage shares (review
+    finding: it was copy-pasted five times): content-keyed path under
+    the temp dir, completeness-marker probe, process-unique build dir
+    handed to ``build_fn`` for the actual write, then marker + atomic
+    publish through the streaming splits' ``_publish_stage_dir``
+    discipline. A change to the publish protocol now lands in exactly
+    one place."""
+    stage = os.path.join(
+        tempfile.gettempdir(), f"layout_{tag}_{_stage_key(sf_dir, tag)}"
+    )
+    if not os.path.exists(os.path.join(stage, _MARKER)):
+        build = f"{stage}.build-{os.getpid()}-{os.urandom(4).hex()}"
+        build_fn(build)
+        with open(os.path.join(build, _MARKER), "w") as f:
+            f.write("ok")
+        _publish_stage_dir(build, stage, _MARKER)
+    return stage
+
+
 def staged_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """Events rewritten hive-partitioned by (event_type, day) with rows
     clustered on ts inside each file — built once per testdata content
     key and atomically published (same discipline as the stream splits).
     One file per partition dir (the repartition-by-partition-cols
     discipline); ~150 dirs at any sf (5 types × 30 days)."""
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"layout_part_events_{_stage_key(sf_dir, 'part')}",
-    )
-    if not os.path.exists(os.path.join(stage, "_LAYOUT_DONE")):
+    def build(build_dir: str) -> None:
         ev = load_table(spark, sf_dir, "events").withColumn(
             "day", F.to_date("ts")
         )
-        build = f"{stage}.build-{os.getpid()}-{os.urandom(4).hex()}"
         partitioned_write(
             ev,
-            build,
+            build_dir,
             partition_cols=["event_type", "day"],
             sort_cols=["ts"],
             max_records_per_file=2_000_000,
         )
-        with open(os.path.join(build, "_LAYOUT_DONE"), "w") as f:
-            f.write("ok")
-        _publish_stage_dir(build, stage, "_LAYOUT_DONE")
-    return stage
+
+    return _published_stage(sf_dir, "part", build)
 
 
 def staged_compacted_events(spark: SparkSession, sf_dir: str) -> str:
@@ -78,18 +98,13 @@ def staged_compacted_events(spark: SparkSession, sf_dir: str) -> str:
     files on ts: content-identical, fewer files, disjoint per-file ts
     ranges (so parquet min/max stats prune whole files for time-range
     predicates — the statistic tests/test_layout.py asserts)."""
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"layout_compact_events_{_stage_key(sf_dir, 'compact')}",
-    )
-    if not os.path.exists(os.path.join(stage, "_LAYOUT_DONE")):
-        fragmented = spark.read.parquet(_staged_stream_dir(spark, sf_dir, "events"))
-        build = f"{stage}.build-{os.getpid()}-{os.urandom(4).hex()}"
-        compact_files(fragmented, build, n_files=2, range_col="ts")
-        with open(os.path.join(build, "_LAYOUT_DONE"), "w") as f:
-            f.write("ok")
-        _publish_stage_dir(build, stage, "_LAYOUT_DONE")
-    return stage
+    def build(build_dir: str) -> None:
+        fragmented = spark.read.parquet(
+            _staged_stream_dir(spark, sf_dir, "events")
+        )
+        compact_files(fragmented, build_dir, n_files=2, range_col="ts")
+
+    return _published_stage(sf_dir, "compact", build)
 
 
 def staged_stream_ingested_events(spark: SparkSession, sf_dir: str) -> str:
@@ -101,40 +116,35 @@ def staged_stream_ingested_events(spark: SparkSession, sf_dir: str) -> str:
     per-batch commits fragment every partition (≥4 files per dir here;
     one per trigger per dir in production), which is exactly the state
     ``compact_files`` exists to repair."""
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"layout_stream_ingest_{_stage_key(sf_dir, 'ingest')}",
-    )
-    if not os.path.exists(os.path.join(stage, "_LAYOUT_DONE")):
+    def build(build_dir: str) -> None:
+        import shutil
+
         from .streaming_queries import _events_stream
 
-        build = f"{stage}.build-{os.getpid()}-{os.urandom(4).hex()}"
-        ckpt = f"{build}.ckpt"
+        ckpt = f"{build_dir}.ckpt"
         q = (
             _events_stream(spark, sf_dir)
             .writeStream.format("parquet")
             .partitionBy("event_type")
-            .option("path", build)
+            .option("path", build_dir)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        import shutil
-
         shutil.rmtree(ckpt, ignore_errors=True)
         # drop the sink's _spark_metadata manifest at finalize: it
         # references the BUILD-time absolute paths, which die in the
-        # atomic rename below (readers would chase ghost files). The
-        # manifest's job — hiding uncommitted files from readers racing
-        # a live sink — is over: the stream has terminated and the
-        # published stage is sealed immutable, so plain directory
+        # atomic rename at publish (readers would chase ghost files).
+        # The manifest's job — hiding uncommitted files from readers
+        # racing a live sink — is over: the stream has terminated and
+        # the published stage is sealed immutable, so plain directory
         # listing is the correct discovery mechanism from here on.
-        shutil.rmtree(os.path.join(build, "_spark_metadata"), ignore_errors=True)
-        with open(os.path.join(build, "_LAYOUT_DONE"), "w") as f:
-            f.write("ok")
-        _publish_stage_dir(build, stage, "_LAYOUT_DONE")
-    return stage
+        shutil.rmtree(
+            os.path.join(build_dir, "_spark_metadata"), ignore_errors=True
+        )
+
+    return _published_stage(sf_dir, "ingest", build)
 
 
 @query(
@@ -163,23 +173,18 @@ def layout_stream_ingest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pinned by tests/test_layout.py; at scale the compactor runs
     behind the watermark so it only rewrites partitions the sink has
     finished."""
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"layout_ingest_compact_{_stage_key(sf_dir, 'ingest-compact')}",
-    )
-    if not os.path.exists(os.path.join(stage, "_LAYOUT_DONE")):
+    def build(build_dir: str) -> None:
         # the ingest stage is only needed (and only built) when the
         # compacted stage is cold — reading it unconditionally would
         # re-run a full streaming ingest whose output is then discarded
         ingested = spark.read.parquet(
             staged_stream_ingested_events(spark, sf_dir)
         )
-        build = f"{stage}.build-{os.getpid()}-{os.urandom(4).hex()}"
-        compact_files(ingested, build, n_files=2, range_col="ts")
-        with open(os.path.join(build, "_LAYOUT_DONE"), "w") as f:
-            f.write("ok")
-        _publish_stage_dir(build, stage, "_LAYOUT_DONE")
-    compacted = spark.read.parquet(stage)
+        compact_files(ingested, build_dir, n_files=2, range_col="ts")
+
+    compacted = spark.read.parquet(
+        _published_stage(sf_dir, "ingest-compact", build)
+    )
     return compacted.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("event_id").alias("id_sum"),
@@ -271,31 +276,34 @@ def staged_vacuumed_events(spark: SparkSession, sf_dir: str) -> str:
     TimestreamInitializer.java:12-13, 47-49) as lakehouse directory
     lifecycle. Built fresh per content key so the pruning/compaction
     stages (which must keep ALL days) are never mutated."""
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"layout_vacuum_events_{_stage_key(sf_dir, 'vacuum')}",
-    )
-    if not os.path.exists(os.path.join(stage, "_LAYOUT_DONE")):
-        ev = load_table(spark, sf_dir, "events").withColumn(
-            "day", F.to_date("ts")
+    def build(build_dir: str) -> None:
+        # null-day rows are dropped at write (review finding): they
+        # would land in day=__HIVE_DEFAULT_PARTITION__, which sorts
+        # ABOVE every ISO date and so would survive the vacuum forever
+        # while the oracle's date filter excludes null-ts rows
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .withColumn("day", F.to_date("ts"))
+            .filter(F.col("day").isNotNull())
         )
-        # the retention anchor: one bounded one-row aggregate (same
-        # driver-side pattern as the watermark-span derivation)
-        cutoff_row = ev.agg(
-            F.date_format(
-                F.to_date(F.max("ts") - F.expr("INTERVAL 7 DAYS")), "yyyy-MM-dd"
-            ).alias("c")
-        ).collect()[0]
-        build = f"{stage}.build-{os.getpid()}-{os.urandom(4).hex()}"
-        partitioned_write(
-            ev, build, partition_cols=["day"], sort_cols=["ts"]
+        partitioned_write(ev, build_dir, partition_cols=["day"], sort_cols=["ts"])
+        # the retention anchor comes from the WRITTEN directory names —
+        # zero extra data scanned (review finding: the previous max(ts)
+        # aggregate was a second full pass over events). Under the
+        # pinned UTC session a whole-day interval commutes with date
+        # truncation, so to_date(max_ts − 7 days) == max day dir − 7 d.
+        days = sorted(
+            d[len("day=") :]
+            for d in os.listdir(build_dir)
+            if d.startswith("day=")
         )
-        if cutoff_row["c"] is not None:
-            vacuum_partitions(build, "day", cutoff_row["c"])
-        with open(os.path.join(build, "_LAYOUT_DONE"), "w") as f:
-            f.write("ok")
-        _publish_stage_dir(build, stage, "_LAYOUT_DONE")
-    return stage
+        if days:
+            from datetime import date, timedelta
+
+            cutoff = (date.fromisoformat(days[-1]) - timedelta(days=7)).isoformat()
+            vacuum_partitions(build_dir, "day", cutoff)
+
+    return _published_stage(sf_dir, "vacuum", build)
 
 
 @query(
