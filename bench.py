@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     # r8: fuzzy cross-corpus decontamination (broadcast benchmark band
     # index; train side never shuffles)
     "dedup_cross_corpus_prune",
+    # r8: Kinesis through a REAL registered Spark source (Python
+    # DataSource API) — engine-managed offsets, produce->consume->parse
+    "kinesis_pysource_consume",
 ]
 
 
