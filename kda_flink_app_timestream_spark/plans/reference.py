@@ -640,3 +640,110 @@ def kinesis_pysource_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.select(decode_payload(F.col("data"), codec="gzip").alias("value"))
     )
     return parsed.select(*_POINT_COLS)
+
+
+@query(
+    "timestream_pysink_roundtrip",
+    oracle="""
+    SELECT make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS time,
+           'latency' AS measure_name,
+           CAST(value AS VARCHAR) AS measure_value,
+           event_type AS operation,
+           lpad(CAST(user_id AS VARCHAR), 12, '0') AS aws_account_id
+    FROM events
+    WHERE event_id <= 1200
+    """,
+    tags=("timestream", "streaming", "sink", "datasource-api", "reference-parity"),
+)
+def timestream_pysink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE sink side through a REAL registered Spark
+    sink: points stream → ``writeStream.format("timestream_py")``
+    (streaming/timestream_pysink.py, Spark 4's Python DataSource writer
+    API) → DDL-bootstrapped fake Timestream endpoint (real boto3 wire
+    protocol, TimestreamInitializer's ConflictException-idempotent
+    CreateDatabase/CreateTable first) → records read back from the
+    store and compared to the identity oracle. The staged 4-file source
+    with ``maxFilesPerTrigger=1`` drives FOUR genuine micro-batches
+    through the sink's write→commit barrier, each partition chunking at
+    the reference's 50-record batch size with rejection repair
+    (TimestreamSink.java:88-142) — so a record lost, duplicated, or
+    mangled across ANY batch/partition/chunk boundary hash-mismatches.
+
+    Driver-side read-back is bounded by the event_cap=1200 slice (the
+    same pin as the kinesis fixtures)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.bootstrap import initialize_timestream_boto3
+    from ..streaming.timestream_fake import FakeTimestream
+    from ..streaming.timestream_pysink import TimestreamPythonDataSource
+    from .streaming_queries import _events_stream
+
+    spark.dataSource.register(TimestreamPythonDataSource)
+    points = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_id") <= 1200)
+        .select(
+            F.col("ts").alias("time"),
+            F.lit("latency").alias("measure_name"),
+            F.col("value").cast("string").alias("measure_value"),
+            F.lit("DOUBLE").alias("measure_value_type"),
+            F.create_map(
+                F.lit("operation"),
+                F.col("event_type"),
+                F.lit("awsaccountid"),
+                F.lpad(F.col("user_id").cast("string"), 12, "0"),
+            ).alias("dimensions"),
+        )
+    )
+    creds = {"aws_access_key_id": "test", "aws_secret_access_key": "test"}
+    with FakeTimestream() as ft:
+        initialize_timestream_boto3(
+            "svcdb",
+            "svcpoints",
+            endpoint_url=ft.endpoint_url,
+            client_kwargs=creds,
+        )
+        ckpt = tempfile.mkdtemp(prefix="timestream_pysink_ckpt_")
+        try:
+            q = (
+                points.writeStream.format("timestream_py")
+                .option("database", "svcdb")
+                .option("table", "svcpoints")
+                .option("endpointUrl", ft.endpoint_url)
+                .option("accessKeyId", "test")
+                .option("secretAccessKey", "test")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        stored = list(ft.store[("svcdb", "svcpoints")])
+
+    def _dim(rec: dict, name: str) -> str:
+        return next(d["Value"] for d in rec["Dimensions"] if d["Name"] == name)
+
+    rows = [
+        (
+            int(rec["Time"]),
+            rec["MeasureName"],
+            rec["MeasureValue"],
+            _dim(rec, "operation"),
+            _dim(rec, "awsaccountid"),
+        )
+        for rec in stored
+    ]
+    back = spark.createDataFrame(
+        rows,
+        "time_millis long, measure_name string, measure_value string, "
+        "operation string, aws_account_id string",
+    )
+    return back.select(
+        F.timestamp_millis(F.col("time_millis")).alias("time"),
+        "measure_name",
+        "measure_value",
+        "operation",
+        "aws_account_id",
+    )
