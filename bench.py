@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     # DataSource writer API) — 4 micro-batches, write->commit barrier,
     # chunked writes at the reference's batch size
     "timestream_pysink_roundtrip",
+    # r8: executor-parallel batch snapshot through the registered format
+    # (one InputPartition per shard)
+    "kinesis_pysource_batch_snapshot",
 ]
 
 

@@ -747,3 +747,79 @@ def timestream_pysink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "operation",
         "aws_account_id",
     )
+
+
+@query(
+    "kinesis_pysource_batch_snapshot",
+    oracle="""
+    SELECT make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS time,
+           'latency' AS measure_name,
+           CAST(value AS VARCHAR) AS measure_value,
+           value AS measure_value_double,
+           'DOUBLE' AS measure_value_type,
+           lpad(CAST(user_id AS VARCHAR), 12, '0') AS aws_account_id,
+           event_type AS operation,
+           'GLUE' AS caller_service
+    FROM events
+    WHERE event_id <= 1000
+    """,
+    tags=("kinesis", "streaming", "datasource-api", "executor-parallel"),
+)
+def kinesis_pysource_batch_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTOR-PARALLEL Kinesis snapshot through the registered format:
+    ``spark.read.format("kinesis_py")`` plans ONE InputPartition per
+    shard (streaming/kinesis_pysource.py:KinesisBatchReader), so each
+    of the 4 shards is drained by its own executor task with its own
+    boto3 client — the production fan-out shape (1000 shards = 1000
+    parallel tasks, driver does metadata only), now through Spark's
+    public DataSource partition planning rather than the hand-rolled
+    mapInPandas poller. Records gunzip + parse back into points;
+    identity oracle. One-task-per-shard planning is pinned by
+    tests/test_kinesis_source.py."""
+    import gzip as _gzip
+
+    from ..streaming.kinesis_fake import FakeKinesis
+    from ..streaming.kinesis_pysource import KinesisPythonDataSource
+    from ..streaming.source import decode_payload
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 1000)
+    rendered = e.select(
+        *_render_service_log(
+            [F.lpad(F.col("user_id").cast("string"), 12, "0").alias("pk")]
+        )
+    ).collect()
+
+    spark.dataSource.register(KinesisPythonDataSource)
+    with FakeKinesis() as fk:
+        import boto3
+
+        producer = boto3.client(
+            "kinesis",
+            endpoint_url=fk.endpoint_url,
+            region_name="us-east-1",
+            aws_access_key_id="test",
+            aws_secret_access_key="test",
+        )
+        producer.create_stream(StreamName="pysnap-log", ShardCount=4)
+        recs = [
+            {"Data": _gzip.compress(r["value"].encode()), "PartitionKey": r["pk"]}
+            for r in rendered
+        ]
+        for i in range(0, len(recs), 500):  # PutRecords API cap
+            producer.put_records(StreamName="pysnap-log", Records=recs[i : i + 500])
+        raw = (
+            spark.read.format("kinesis_py")
+            .option("streamName", "pysnap-log")
+            .option("endpointUrl", fk.endpoint_url)
+            .option("accessKeyId", "test")
+            .option("secretAccessKey", "test")
+            .load()
+        )
+        # the fake endpoint dies with the context manager, so the
+        # executor-parallel scan must run INSIDE it; localCheckpoint
+        # pins the drained rows and cuts the lineage back to the source
+        raw = raw.localCheckpoint(eager=True)
+    parsed = parse_service_logs(
+        raw.select(decode_payload(F.col("data"), codec="gzip").alias("value"))
+    )
+    return parsed.select(*_POINT_COLS)

@@ -32,9 +32,15 @@ replay bounds).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Any, Iterator
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 TRIM = "<TRIM_HORIZON>"
 # one GetRecords page per shard per poll in the reference's fixed mode
@@ -189,6 +195,56 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+@dataclass
+class ShardPartition(InputPartition):
+    """One Spark input partition per Kinesis shard — picklable, shipped
+    to the executor that will own the shard's drain."""
+
+    shard_id: str
+
+
+class KinesisBatchReader(DataSourceReader):
+    """EXECUTOR-PARALLEL batch snapshot through the registered format:
+    ``spark.read.format("kinesis_py")`` plans one InputPartition per
+    shard (discovered at planning time on the driver), and each
+    executor task builds its OWN boto3 client and drains its shard from
+    TRIM_HORIZON to the current tip — the same shards-fan-out shape as
+    ``kinesis_dev.py``'s executor-parallel poller, but through Spark's
+    public DataSource partition planning instead of a hand-rolled
+    mapInPandas. At 1000 shards this is 1000 parallel tasks, no driver
+    bottleneck; the driver only lists shards."""
+
+    def __init__(self, options: dict):
+        self._options = {k.lower(): v for k, v in dict(options).items()}
+        self._stream = self._options.get("streamname")
+        if not self._stream:
+            raise ValueError("kinesis_py requires the streamName option")
+
+    def partitions(self) -> list[ShardPartition]:
+        # driver-side: shard listing only (metadata call, no records)
+        reader = KinesisSimpleStreamReader(self._options)
+        return [ShardPartition(s) for s in reader._shard_ids()]
+
+    def read(self, partition: ShardPartition) -> Iterator[tuple]:
+        # executor-side: own client, own shard, full drain
+        opts = self._options
+        stream = self._stream
+        client = _client(opts)
+        max_records = int(opts.get("maxfetchrecordspershard", DEFAULT_MAX_RECORDS))
+        it = client.get_shard_iterator(
+            StreamName=stream,
+            ShardId=partition.shard_id,
+            ShardIteratorType="TRIM_HORIZON",
+        )["ShardIterator"]
+        while it:
+            page = client.get_records(ShardIterator=it, Limit=max_records)
+            for rec in page.get("Records", []):
+                yield _record_row(stream, partition.shard_id, rec)
+            it = page.get("NextShardIterator")
+            if not page.get("Records") and page.get("MillisBehindLatest", 0) == 0:
+                break
+
+
 class KinesisPythonDataSource(DataSource):
     """``format("kinesis_py")`` — register with
     ``spark.dataSource.register(KinesisPythonDataSource)``. Emits the
@@ -209,3 +265,8 @@ class KinesisPythonDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> KinesisSimpleStreamReader:
         return KinesisSimpleStreamReader(self.options)
+
+    def reader(self, schema) -> KinesisBatchReader:
+        """Batch snapshot path: ``spark.read.format("kinesis_py")`` —
+        executor-parallel, one task per shard."""
+        return KinesisBatchReader(self.options)

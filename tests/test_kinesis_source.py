@@ -1218,3 +1218,51 @@ def test_kinesis_pysource_read_between_offsets_exact_bounds(spark):
         assert [r[3] for r in part] == seqs[3:7]
         # empty window: start == end yields nothing
         assert list(reader.readBetweenOffsets(mid_end, mid_end)) == []
+
+
+def test_kinesis_pysource_batch_plans_one_task_per_shard(spark):
+    """The executor-parallel contract of the registered batch reader:
+    partition planning yields exactly one Spark task per shard, each
+    task drains only its own shard, and per-shard record order is
+    preserved (Kinesis's ordering guarantee is per shard)."""
+    from kda_flink_app_timestream_spark.streaming.kinesis_pysource import (
+        KinesisPythonDataSource,
+    )
+
+    from .fake_kinesis import FakeKinesis
+
+    spark.dataSource.register(KinesisPythonDataSource)
+    with FakeKinesis() as fk:
+        client = _pysource_client(fk)
+        client.create_stream(StreamName="pysnap-plan", ShardCount=3)
+        client.put_records(
+            StreamName="pysnap-plan",
+            Records=[
+                {"Data": f"m{i}".encode(), "PartitionKey": f"k{i}"}
+                for i in range(30)
+            ],
+        )
+        df = (
+            spark.read.format("kinesis_py")
+            .option("streamName", "pysnap-plan")
+            .option("endpointUrl", fk.endpoint_url)
+            .option("accessKeyId", "test")
+            .option("secretAccessKey", "test")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 3  # one InputPartition/shard
+        # each task touches exactly one shard
+        per_task = df.rdd.mapPartitions(
+            lambda rows: [sorted({r["shardId"] for r in rows})]
+        ).collect()
+        assert all(len(s) == 1 for s in per_task), per_task
+        assert sorted(s[0] for s in per_task) == sorted(
+            {r["shardId"] for r in df.collect()}
+        )
+        # per-shard sequence order preserved within each task
+        seqs_per_task = df.rdd.mapPartitions(
+            lambda rows: [[int(r["sequenceNumber"]) for r in rows]]
+        ).collect()
+        for seqs in seqs_per_task:
+            assert seqs == sorted(seqs)
+        assert df.count() == 30

@@ -83,8 +83,9 @@ def test_audit_covers_the_catalog():
     # layout_stream_ingest_compact — tagged streaming because building
     # its stage runs a real micro-batch sink — and +1
     # kinesis_pysource_consume, a kinesis_-prefixed real streaming run,
-    # and +1 timestream_pysink_roundtrip — streaming-tagged sink run)
-    assert len(excluded) == 19, sorted(excluded)
+    # and +1 timestream_pysink_roundtrip — streaming-tagged sink run —
+    # and +1 kinesis_pysource_batch_snapshot)
+    assert len(excluded) == 20, sorted(excluded)
 
 
 if __name__ == "__main__":
