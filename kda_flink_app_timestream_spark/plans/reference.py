@@ -553,6 +553,39 @@ def kinesis_parallel_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _produce_rendered_events_to_fake(
+    spark: SparkSession,
+    sf_dir: str,
+    producer,
+    stream_name: str,
+    *,
+    event_cap: int,
+    shard_count: int = 4,
+) -> None:
+    """Shared produce side of the two registered-format Kinesis queries
+    (review finding: the render+create_stream+gzip+chunked-PutRecords
+    block was copy-pasted): render the capped events slice into the
+    generator's gzip'd wire format and put it to a fresh fake stream in
+    500-record chunks (the PutRecords API cap)."""
+    import gzip as _gzip
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= event_cap)
+    rendered = e.select(
+        *_render_service_log(
+            [F.lpad(F.col("user_id").cast("string"), 12, "0").alias("pk")]
+        )
+    ).collect()
+    producer.create_stream(StreamName=stream_name, ShardCount=shard_count)
+    recs = [
+        {"Data": _gzip.compress(r["value"].encode()), "PartitionKey": r["pk"]}
+        for r in rendered
+    ]
+    for i in range(0, len(recs), 500):
+        producer.put_records(StreamName=stream_name, Records=recs[i : i + 500])
+
+
 @query(
     "kinesis_pysource_consume",
     oracle="""
@@ -585,20 +618,12 @@ def kinesis_pysource_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatches. Offset resume and failure replay
     (``readBetweenOffsets``) are pinned by tests/test_kinesis_source.py.
     """
-    import gzip as _gzip
     import os
 
     from ..session import defer_release
     from ..streaming.kinesis_fake import FakeKinesis
     from ..streaming.kinesis_pysource import KinesisPythonDataSource
     from ..streaming.source import decode_payload
-
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 1000)
-    rendered = e.select(
-        *_render_service_log(
-            [F.lpad(F.col("user_id").cast("string"), 12, "0").alias("pk")]
-        )
-    ).collect()
 
     spark.dataSource.register(KinesisPythonDataSource)
     sink = f"kinesis_pysource_sink_{os.getpid()}"
@@ -612,13 +637,9 @@ def kinesis_pysource_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
             aws_access_key_id="test",
             aws_secret_access_key="test",
         )
-        producer.create_stream(StreamName="pysource-log", ShardCount=4)
-        recs = [
-            {"Data": _gzip.compress(r["value"].encode()), "PartitionKey": r["pk"]}
-            for r in rendered
-        ]
-        for i in range(0, len(recs), 500):  # PutRecords API cap
-            producer.put_records(StreamName="pysource-log", Records=recs[i : i + 500])
+        _produce_rendered_events_to_fake(
+            spark, sf_dir, producer, "pysource-log", event_cap=1000
+        )
         stream_df = (
             spark.readStream.format("kinesis_py")
             .option("streamName", "pysource-log")
@@ -776,18 +797,10 @@ def kinesis_pysource_batch_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
     mapInPandas poller. Records gunzip + parse back into points;
     identity oracle. One-task-per-shard planning is pinned by
     tests/test_kinesis_source.py."""
-    import gzip as _gzip
-
+    from ..session import defer_release
     from ..streaming.kinesis_fake import FakeKinesis
     from ..streaming.kinesis_pysource import KinesisPythonDataSource
     from ..streaming.source import decode_payload
-
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 1000)
-    rendered = e.select(
-        *_render_service_log(
-            [F.lpad(F.col("user_id").cast("string"), 12, "0").alias("pk")]
-        )
-    ).collect()
 
     spark.dataSource.register(KinesisPythonDataSource)
     with FakeKinesis() as fk:
@@ -800,13 +813,9 @@ def kinesis_pysource_batch_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
             aws_access_key_id="test",
             aws_secret_access_key="test",
         )
-        producer.create_stream(StreamName="pysnap-log", ShardCount=4)
-        recs = [
-            {"Data": _gzip.compress(r["value"].encode()), "PartitionKey": r["pk"]}
-            for r in rendered
-        ]
-        for i in range(0, len(recs), 500):  # PutRecords API cap
-            producer.put_records(StreamName="pysnap-log", Records=recs[i : i + 500])
+        _produce_rendered_events_to_fake(
+            spark, sf_dir, producer, "pysnap-log", event_cap=1000
+        )
         raw = (
             spark.read.format("kinesis_py")
             .option("streamName", "pysnap-log")
@@ -817,8 +826,12 @@ def kinesis_pysource_batch_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
         )
         # the fake endpoint dies with the context manager, so the
         # executor-parallel scan must run INSIDE it; localCheckpoint
-        # pins the drained rows and cuts the lineage back to the source
+        # pins the drained rows and cuts the lineage back to the
+        # source — released through the standard deferred hook once
+        # the result is consumed (review finding: an unregistered
+        # checkpoint pins executor storage for the session's lifetime)
         raw = raw.localCheckpoint(eager=True)
+        defer_release(raw)
     parsed = parse_service_logs(
         raw.select(decode_payload(F.col("data"), codec="gzip").alias("value"))
     )

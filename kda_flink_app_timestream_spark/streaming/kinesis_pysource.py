@@ -43,13 +43,16 @@ from pyspark.sql.datasource import (
 )
 
 TRIM = "<TRIM_HORIZON>"
+# a shard that was fully drained AND closed (reshard parent): the prefix
+# keeps the final sequence number so the CLOSING batch can still be
+# replayed exactly, while later batches skip the shard entirely — once a
+# real endpoint ages the sequence past retention, a naive
+# AFTER_SEQUENCE_NUMBER iterator request would throw on every trigger
+# and wedge the query (review finding)
+CLOSED = "<CLOSED>:"
 # one GetRecords page per shard per poll in the reference's fixed mode
 # (SHARD_GETRECORDS_MAX, StreamingJob.java:93-94)
 DEFAULT_MAX_RECORDS = 10_000
-# availableNow falls back to a single batch for Python sources, so one
-# read() must be able to drain a bounded test stream: cap the pages per
-# shard per read() instead of reading exactly one.
-MAX_PAGES_PER_READ = 20
 
 
 def _client(options: dict):
@@ -94,6 +97,15 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         self._max_records = int(
             self._options.get("maxfetchrecordspershard", DEFAULT_MAX_RECORDS)
         )
+        # per-shard page cap per micro-batch: 0 (default) = drain until
+        # caught up, which is what availableNow's single-batch fallback
+        # needs for a complete snapshot; set it for continuous triggers
+        # to bound batch size — truncation is NOT data loss there (the
+        # next trigger continues from the committed offsets), but under
+        # availableNow it would be, which is why unbounded is the
+        # default (review finding: a silent 20-page cap could truncate
+        # a single-batch drain)
+        self._max_pages = int(self._options.get("maxpagesperbatch", 0))
         self._boto = None
 
     def _c(self):
@@ -102,16 +114,22 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         return self._boto
 
     def _shard_ids(self) -> list[str]:
-        shards, token = [], None
+        # ListShards, not DescribeStream: the real API caps
+        # DescribeStream at 10 TPS account-wide while ListShards (the
+        # purpose-built call) allows 100 TPS — one listing per
+        # micro-batch across a few queries would throttle on the
+        # control-plane call otherwise (review finding)
+        shards: list[str] = []
+        token = None
         while True:
-            kwargs = {"StreamName": self._stream}
-            if token:
-                kwargs["ExclusiveStartShardId"] = token
-            page = self._c().describe_stream(**kwargs)["StreamDescription"]
-            shards.extend(s["ShardId"] for s in page["Shards"])
-            if not page.get("HasMoreShards"):
+            kwargs = (
+                {"NextToken": token} if token else {"StreamName": self._stream}
+            )
+            page = self._c().list_shards(**kwargs)
+            shards.extend(s["ShardId"] for s in page.get("Shards", []))
+            token = page.get("NextToken")
+            if not token:
                 return shards
-            token = shards[-1]
 
     def _iterator(self, shard_id: str, after_seq: str):
         if after_seq == TRIM:
@@ -138,29 +156,39 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         return {s: TRIM for s in self._shard_ids()}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        """One micro-batch: page each shard forward from its offset (up
-        to MAX_PAGES_PER_READ GetRecords calls of max_records each),
+        """One micro-batch: page each shard forward from its offset
+        until caught up (or until ``maxPagesPerBatch`` when set),
         admitting shards created since the last batch at TRIM_HORIZON
-        (post-reshard children)."""
+        (post-reshard children) and RETIRING shards that close after a
+        full drain (tombstoned with their final sequence so the closing
+        batch stays replayable, never polled again afterwards)."""
         offsets = dict(start)
         for s in self._shard_ids():
             offsets.setdefault(s, TRIM)
         rows: list[tuple] = []
         out = dict(offsets)
         for shard_id, seq in offsets.items():
+            if seq.startswith(CLOSED):
+                continue  # retired reshard parent: fully consumed
             it = self._iterator(shard_id, seq)
             last = seq
-            for _ in range(MAX_PAGES_PER_READ):
-                if not it:
-                    break
+            pages = 0
+            while it:
                 page = self._c().get_records(ShardIterator=it, Limit=self._max_records)
                 for rec in page.get("Records", []):
                     rows.append(_record_row(self._stream, shard_id, rec))
                     last = str(rec["SequenceNumber"])
                 it = page.get("NextShardIterator")
+                pages += 1
                 if page.get("MillisBehindLatest", 0) == 0 and not page.get("Records"):
                     break
-            out[shard_id] = last
+                if self._max_pages and pages >= self._max_pages:
+                    break  # deferred to the next trigger, not lost
+            if it is None:
+                # NextShardIterator null = shard CLOSED and drained
+                out[shard_id] = CLOSED + (last if last != TRIM else "")
+            else:
+                out[shard_id] = last
         return iter(rows), out
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
@@ -169,9 +197,18 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         sequence comparison; Kinesis sequences strictly increase)."""
         rows: list[tuple] = []
         for shard_id, end_seq in end.items():
+            if end_seq.startswith(CLOSED):
+                # the closing batch's bound is preserved inside the
+                # tombstone; an empty payload means the shard closed
+                # without this query ever reading a record from it
+                end_seq = end_seq[len(CLOSED) :]
+                if not end_seq:
+                    continue
             if end_seq == TRIM:
                 continue  # nothing was read from this shard in the batch
             begin = start.get(shard_id, TRIM)
+            if begin.startswith(CLOSED):
+                continue  # retired before this batch: nothing to replay
             if begin != TRIM and int(begin) >= int(end_seq):
                 continue
             it = self._iterator(shard_id, begin)

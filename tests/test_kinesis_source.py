@@ -1094,17 +1094,6 @@ def test_kinesis_fixture_producer_cap_is_pinned():
     assert all(c <= 2000 for c in caps), f"driver-side fixture cap grew: {caps}"
 
 
-def _pysource_client(fk):
-    boto3 = pytest.importorskip("boto3")
-    return boto3.client(
-        "kinesis",
-        endpoint_url=fk.endpoint_url,
-        region_name="us-east-1",
-        aws_access_key_id="test",
-        aws_secret_access_key="test",
-    )
-
-
 def test_kinesis_pysource_checkpoint_resume_exactly_once(spark, tmp_path):
     """The engine-managed offset path the hand-rolled poller never had:
     run the registered ``kinesis_py`` source with a persistent
@@ -1144,7 +1133,7 @@ def test_kinesis_pysource_checkpoint_resume_exactly_once(spark, tmp_path):
         }
 
     with FakeKinesis() as fk:
-        client = _pysource_client(fk)
+        client = _fake_client(fk)
         client.create_stream(StreamName="pysrc-resume", ShardCount=2)
         client.put_records(
             StreamName="pysrc-resume",
@@ -1186,7 +1175,7 @@ def test_kinesis_pysource_read_between_offsets_exact_bounds(spark):
     from .fake_kinesis import FakeKinesis
 
     with FakeKinesis() as fk:
-        client = _pysource_client(fk)
+        client = _fake_client(fk)
         client.create_stream(StreamName="pysrc-replay", ShardCount=1)
         client.put_records(
             StreamName="pysrc-replay",
@@ -1233,7 +1222,7 @@ def test_kinesis_pysource_batch_plans_one_task_per_shard(spark):
 
     spark.dataSource.register(KinesisPythonDataSource)
     with FakeKinesis() as fk:
-        client = _pysource_client(fk)
+        client = _fake_client(fk)
         client.create_stream(StreamName="pysnap-plan", ShardCount=3)
         client.put_records(
             StreamName="pysnap-plan",
@@ -1266,3 +1255,67 @@ def test_kinesis_pysource_batch_plans_one_task_per_shard(spark):
         for seqs in seqs_per_task:
             assert seqs == sorted(seqs)
         assert df.count() == 30
+
+
+def test_kinesis_pysource_reshard_retires_closed_parent(spark):
+    """Reshard lifecycle through the reader contract: after a
+    SplitShard, the next read() admits the children at TRIM_HORIZON and
+    tombstones the drained CLOSED parent (review finding: keeping a
+    closed shard's sequence in the offsets forever would wedge the
+    query once real retention ages it out — GetShardIterator throws on
+    every subsequent trigger). Records produced before and after the
+    split all arrive exactly once; the parent is never polled again."""
+    from kda_flink_app_timestream_spark.streaming.kinesis_pysource import (
+        CLOSED,
+        KinesisSimpleStreamReader,
+    )
+
+    from .fake_kinesis import FakeKinesis
+
+    with FakeKinesis() as fk:
+        client = _fake_client(fk)
+        client.create_stream(StreamName="pysrc-reshard", ShardCount=1)
+        client.put_records(
+            StreamName="pysrc-reshard",
+            Records=[
+                {"Data": f"pre-{i}".encode(), "PartitionKey": str(i)}
+                for i in range(5)
+            ],
+        )
+        reader = KinesisSimpleStreamReader(
+            {
+                "streamname": "pysrc-reshard",
+                "endpointurl": fk.endpoint_url,
+                "accesskeyid": "test",
+                "secretaccesskey": "test",
+            }
+        )
+        o0 = reader.initialOffset()
+        parent = next(iter(o0))
+        rows1, o1 = reader.read(o0)
+        got1 = {bytes(r[0]).decode() for r in rows1}
+        assert got1 == {f"pre-{i}" for i in range(5)}
+
+        client.split_shard(
+            StreamName="pysrc-reshard",
+            ShardToSplit=parent,
+            NewStartingHashKey=str(2**127),
+        )
+        client.put_records(
+            StreamName="pysrc-reshard",
+            Records=[
+                {"Data": f"post-{i}".encode(), "PartitionKey": str(i)}
+                for i in range(6)
+            ],
+        )
+        rows2, o2 = reader.read(o1)
+        got2 = {bytes(r[0]).decode() for r in rows2}
+        assert got2 == {f"post-{i}" for i in range(6)}
+        # the parent closed and drained: tombstoned, children tracked
+        assert o2[parent].startswith(CLOSED), o2
+        children = [s for s in o2 if s != parent]
+        assert len(children) == 2
+        # a third read never touches the parent and finds nothing new
+        rows3, o3 = reader.read(o2)
+        assert list(rows3) == []
+        assert o3[parent] == o2[parent]
