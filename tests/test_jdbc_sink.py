@@ -32,7 +32,7 @@ def _run(spark, src: str, ckpt: str, sink) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'query did not terminate in 120s'
 
 
 def test_streaming_into_jdbc_with_epoch_idempotence(spark, tmp_path):
@@ -114,7 +114,7 @@ def test_continuous_rollup_upsert_into_jdbc(spark, tmp_path, monkeypatch):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'query did not terminate in 120s'
 
     drop([(0, 1.5), (60_000, 2.5), (660_000, 10.0)])      # windows 0 and 1
     run()
@@ -262,7 +262,7 @@ def test_jdbc_repair_sink_streaming_end_to_end(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'query did not terminate in 120s'
 
     landed = (
         spark.read.format("jdbc")

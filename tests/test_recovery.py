@@ -39,7 +39,7 @@ def _run_once(spark, src_dir: str, sink_dir: str, ckpt: str) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'query did not terminate in 120s'
 
 
 def _sink_records(sink_dir: str) -> list[dict]:
@@ -216,7 +216,7 @@ def test_throttled_source_yields_multiple_epochs(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'query did not terminate in 120s'
     epochs = {f.split("epoch=")[1].split("/")[0] for f in glob.glob(f"{sink_dir}/epoch=*/part=*.jsonl")}
     assert len(epochs) == 3, f"expected 3 epochs, got {sorted(epochs)}"
     assert len(_sink_records(sink_dir)) == 30

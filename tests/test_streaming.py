@@ -115,7 +115,7 @@ def test_kinesis_source_optional_integration(spark):
             options={"endpointUrl": endpoint, "initialPosition": "TRIM_HORIZON"},
         )
         q = df.writeStream.format("memory").queryName("kin").trigger(availableNow=True).start()
-        q.awaitTermination(60)
+        assert q.awaitTermination(60), 'query did not terminate in 60s'
         vals = [r["value"] for r in spark.sql("SELECT * FROM kin").collect()]
         assert payload in vals
     finally:
@@ -145,7 +145,7 @@ def test_kinesis_substitute_file_source_equivalent(spark, tmp_path):
         stream.writeStream.format("memory").queryName("filesub")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(60)
+    assert q.awaitTermination(60), 'query did not terminate in 60s'
     got = sorted(r["value"] for r in spark.sql("SELECT * FROM filesub").collect())
     assert got == sorted(blobs)
 

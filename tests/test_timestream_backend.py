@@ -144,7 +144,7 @@ def test_streaming_foreachbatch_into_fake_timestream(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'query did not terminate in 120s'
 
         landed = ft.store[("kda", "stream_pts")]
         assert len(landed) == 28
@@ -269,7 +269,7 @@ def test_registered_pysink_rejection_repair(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'query did not terminate in 120s'
         stored = ft.store[("db", "t")]
         assert len(stored) == 16  # 20 − 4 poisoned (i = 0,5,10,15)
         got_ops = {d["Value"] for r in stored for d in r["Dimensions"]}
