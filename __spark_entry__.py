@@ -254,6 +254,16 @@ _RESCORE_AFTER = {
     "kinesis_pysource_batch_snapshot": 9,
     "kinesis_incremental_consume": 9,
     "kinesis_parallel_consume": 9,
+    #   operators/layout.py: compact_files n_files now defaults to
+    #   input bytes / target file size (VERDICT r8 #4) and
+    #   vacuum_partitions explicitly handles the null hive partition
+    #   (ADVICE r8) — call sites pass explicit values so results are
+    #   provably identical, but per the r2 lesson every consumer of a
+    #   changed implementation file gets a post-change driver row:
+    "layout_partition_pruned_agg": 9,
+    "layout_compaction_roundtrip": 9,
+    "layout_stream_ingest_compact": 9,
+    "layout_retention_vacuum": 9,
 }
 
 
