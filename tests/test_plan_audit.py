@@ -85,7 +85,10 @@ def test_audit_covers_the_catalog():
     # kinesis_pysource_consume, a kinesis_-prefixed real streaming run,
     # and +1 timestream_pysink_roundtrip — streaming-tagged sink run —
     # and +1 kinesis_pysource_batch_snapshot)
-    assert len(excluded) == 20, sorted(excluded)
+    # (driver-r9: +1 kinesis_pysource_latest_resume and +1
+    # kinesis_pysource_partitioned_consume — both real streaming runs
+    # through the registered source)
+    assert len(excluded) == 22, sorted(excluded)
 
 
 if __name__ == "__main__":
