@@ -133,7 +133,31 @@ BENCH_QUERIES = [
     # r8: executor-parallel batch snapshot through the registered format
     # (one InputPartition per shard)
     "kinesis_pysource_batch_snapshot",
+    # r9: LATEST initial position (two checkpointed availableNow runs +
+    # a bounded <=1 s anchor-granularity wait — machinery cost, noted)
+    # and executor-parallel STREAMING through the full
+    # DataSourceStreamReader (driver bounds probe + one task per shard)
+    "kinesis_pysource_latest_resume",
+    "kinesis_pysource_partitioned_consume",
 ]
+
+# canary steady-state spread at/above which the three timed passes are
+# treated as contended and ONE extra pass re-runs before reporting
+CANARY_RETRY_THRESHOLD = 2.0
+
+
+def needs_canary_retry(samples: list[float], threshold: float = CANARY_RETRY_THRESHOLD) -> bool:
+    """VERDICT r8 #6: decide from the canary samples whether the timed
+    passes ran contended. Sample 0 is taken before pass 1 and can still
+    carry C2-JIT warmup, so the rule reads the STEADY tail (samples
+    1..n — after each pass): max/min >= threshold means some pass saw a
+    host-contention window large enough to pollute even min-of-3, and
+    one retry pass is warranted. One retry only — a box that stays
+    contended is reported as such (the drift stays in the artifact)."""
+    steady = samples[1:]
+    if len(steady) < 2:
+        return False
+    return max(steady) / max(min(steady), 1e-9) >= threshold
 
 
 def _current_round() -> int:
@@ -229,7 +253,8 @@ def main() -> None:
     _canary(spark)  # untimed first-touch: codegen/plan warmup is not drift
     canary_samples = [_canary(spark)]
     timings: dict[str, float] = {}
-    for _pass in range(3):
+
+    def _timed_pass() -> None:
         for name in BENCH_QUERIES:
             q = registry.get(name)
             if q is None:
@@ -250,6 +275,23 @@ def main() -> None:
             # touches the SQL cache layer)
             release_deferred()
             spark.catalog.clearCache()
+
+    for _pass in range(3):
+        _timed_pass()
+        canary_samples.append(_canary(spark))
+
+    # self-retry on canary drift (VERDICT r8 #6): if the steady canary
+    # tail says a pass ran contended, one extra min-merged pass stops a
+    # single polluted window from setting the committed band; the extra
+    # canary sample keeps the (still-reported) drift diagnosable
+    retry_pass = needs_canary_retry(canary_samples)
+    if retry_pass:
+        print(
+            f"canary steady drift >= {CANARY_RETRY_THRESHOLD}: "
+            "re-running one timed pass",
+            file=sys.stderr,
+        )
+        _timed_pass()
         canary_samples.append(_canary(spark))
 
     # one-shot FULL sweep (VERDICT r4 #6): every registered query not in
@@ -283,6 +325,8 @@ def main() -> None:
         # warm — an idle box reads ~1.0-1.2 here even when sample 0's
         # JIT warmup pushes the overall drift toward ~2
         "steady_drift": round(max(steady) / max(min(steady), 1e-9), 2),
+        # True when the drift rule triggered the extra min-merged pass
+        "retry_pass": retry_pass,
     }
 
     total = round(sum(timings.values()), 3)
@@ -303,7 +347,7 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "passes": 3,  # headline timings are min-of-3
+        "passes": 3 + int(retry_pass),  # headline timings are min-of-N
         "canary": canary,  # 5 fixed-cost probes; drift>~2 ⇒ contended run
         "queries": timings,
         "tiers": tiers,

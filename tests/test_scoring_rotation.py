@@ -185,3 +185,24 @@ def test_current_round_tracks_committed_correctness_files():
         f"driver round {newest}: bump (or rewind) the constant at the "
         f"start of each round so flag dormancy matches the driver"
     )
+
+
+def test_bench_canary_retry_rule():
+    """VERDICT r8 #6: one contended pass must trigger exactly the
+    retry decision — the rule reads the steady tail (sample 0 may carry
+    JIT warmup and must NOT count toward the drift)."""
+    import bench
+
+    # idle box: steady tail tight -> no retry
+    assert not bench.needs_canary_retry([0.7, 0.31, 0.30, 0.32, 0.30])
+    # JIT-warm sample 0 alone must not trigger (its 2.3x vs steady is
+    # exactly the false positive the steady-tail rule exists to avoid)
+    assert not bench.needs_canary_retry([0.7, 0.30, 0.31, 0.30, 0.30])
+    # one contended pass inflates a steady sample past the threshold
+    assert bench.needs_canary_retry([0.7, 0.30, 0.75, 0.31, 0.30])
+    # degenerate inputs: too few samples -> never retry
+    assert not bench.needs_canary_retry([0.3])
+    assert not bench.needs_canary_retry([0.3, 0.4])
+    # threshold is a parameter (boundary inclusive)
+    assert bench.needs_canary_retry([0.5, 0.30, 0.60], threshold=2.0)
+    assert not bench.needs_canary_retry([0.5, 0.30, 0.59], threshold=2.0)
