@@ -55,6 +55,15 @@ Initial positions (``initialPosition`` option) mirror the connector's:
   LATEST anchor is therefore rounded UP to the next whole second at
   query start, keeping it strictly "records arriving after start".
 
+Trigger note: Spark's PythonMicroBatchStream wrapper does not implement
+SupportsTriggerAvailableNow, so ``trigger(availableNow=True)`` degrades
+(with an engine warning) to single-batch execution for BOTH reader
+modes. With the default unbounded drain that single batch is still a
+complete snapshot; combining availableNow with ``maxPagesPerBatch`` is
+the one lossy combination (the cap truncates the only batch) — page
+caps belong to continuous triggers, where the next trigger continues
+from the committed offsets.
+
 Offset format: ``{shard_id: position}`` where position is
 ``"<TRIM_HORIZON>"`` (not yet read, from the oldest record), an
 ``"<AT_TS>:<epoch>"`` anchor (not yet read, from an arrival timestamp),
