@@ -606,3 +606,162 @@ def test_vacuum_partitions_removes_exactly_below_cutoff(tmp_path_factory, days, 
     for name in survivors:
         assert (base / name / "part-0.parquet").read_bytes() == b"x"
     assert (base / "_LAYOUT_DONE").exists()
+
+
+@st.composite
+def _pysource_op_sequence(draw):
+    """A random interleaving of produces, reads, and reshard events,
+    plus a per-example page-cap setting — the adversarial schedule the
+    kinesis_py reader contract must survive."""
+    ops = draw(
+        st.lists(
+            st.sampled_from(["put", "put", "put", "read", "split", "merge"]),
+            min_size=6,
+            max_size=22,
+        )
+    )
+    keys = draw(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=len(ops),
+            max_size=len(ops),
+        )
+    )
+    max_pages = draw(st.sampled_from([0, 1, 2]))
+    return ops, keys, max_pages
+
+
+@settings(max_examples=10, deadline=None)
+@given(scenario=_pysource_op_sequence())
+def test_pysource_random_reshard_schedule_exactly_once(scenario):
+    """End-to-end property for the registered kinesis_py reader
+    (streaming/kinesis_pysource.py) under ANY interleaving of puts,
+    page-capped micro-batch reads, splits, and merges:
+
+    1. every produced record is received exactly once at fixpoint;
+    2. records sharing a partition key arrive in production order
+       (Kinesis's per-key guarantee — survives the key's shard closing
+       mid-stream only because children defer until the parent
+       tombstones CLOSED);
+    3. every batch is exactly reproducible from its offset bounds via
+       readBetweenOffsets — Spark's failure-replay contract, covering
+       TRIM anchors, concrete sequences, and CLOSED tombstones alike.
+    """
+    import boto3
+
+    from kda_flink_app_timestream_spark.streaming.kinesis_pysource import (
+        KinesisSimpleStreamReader,
+    )
+
+    from .fake_kinesis import FakeKinesis
+
+    ops, keys, max_pages = scenario
+    with FakeKinesis() as fk:
+        client = boto3.client(
+            "kinesis",
+            endpoint_url=fk.endpoint_url,
+            region_name="us-east-1",
+            aws_access_key_id="t",
+            aws_secret_access_key="t",
+        )
+        client.create_stream(StreamName="prop", ShardCount=2)
+        reader = KinesisSimpleStreamReader(
+            {
+                "streamname": "prop",
+                "endpointurl": fk.endpoint_url,
+                "accesskeyid": "t",
+                "secretaccesskey": "t",
+                "maxfetchrecordspershard": "2",
+                "maxpagesperbatch": str(max_pages),
+            }
+        )
+
+        def open_shards():
+            return [
+                s
+                for s in client.list_shards(StreamName="prop")["Shards"]
+                if "EndingSequenceNumber" not in s["SequenceNumberRange"]
+            ]
+
+        produced: list[tuple[str, str]] = []  # (key, payload) in order
+        offsets = reader.initialOffset()
+        batches: list[tuple[dict, list, dict]] = []  # (start, rows, end)
+
+        def one_read():
+            nonlocal offsets
+            rows, end = reader.read(offsets)
+            rows = list(rows)
+            batches.append((offsets, rows, end))
+            offsets = end
+            return rows
+
+        for i, (op, key) in enumerate(zip(ops, keys)):
+            if op == "put":
+                payload = f"{key}-{i}"
+                client.put_record(
+                    StreamName="prop", Data=payload.encode(), PartitionKey=key
+                )
+                produced.append((key, payload))
+            elif op == "read":
+                one_read()
+            elif op == "split":
+                cands = [
+                    s
+                    for s in open_shards()
+                    if int(s["HashKeyRange"]["EndingHashKey"])
+                    > int(s["HashKeyRange"]["StartingHashKey"])
+                ]
+                if cands:
+                    s = cands[0]
+                    lo = int(s["HashKeyRange"]["StartingHashKey"])
+                    hi = int(s["HashKeyRange"]["EndingHashKey"])
+                    client.split_shard(
+                        StreamName="prop",
+                        ShardToSplit=s["ShardId"],
+                        NewStartingHashKey=str((lo + hi) // 2 + 1),
+                    )
+            elif op == "merge":
+                shards = open_shards()
+                pair = None
+                for a in shards:
+                    for b in shards:
+                        if (
+                            int(a["HashKeyRange"]["EndingHashKey"]) + 1
+                            == int(b["HashKeyRange"]["StartingHashKey"])
+                        ):
+                            pair = (a, b)
+                            break
+                    if pair:
+                        break
+                if pair:
+                    client.merge_shards(
+                        StreamName="prop",
+                        ShardToMerge=pair[0]["ShardId"],
+                        AdjacentShardToMerge=pair[1]["ShardId"],
+                    )
+        # drain to fixpoint: page caps + child deferral mean progress can
+        # need several reads per remaining record
+        for _ in range(60):
+            if not one_read() and batches[-1][0] == batches[-1][2]:
+                break
+        else:
+            raise AssertionError("no fixpoint after 60 drain reads")
+
+        received = [
+            (r[2], bytes(r[0]).decode())  # (partitionKey, payload)
+            for _s, rows, _e in batches
+            for r in rows
+        ]
+        # 1. exactly once
+        assert sorted(received) == sorted(produced), (received, produced)
+        # 2. per-key production order preserved across reshards
+        for key in {k for k, _ in produced}:
+            assert [p for k, p in received if k == key] == [
+                p for k, p in produced if k == key
+            ], (key, received)
+        # 3. every batch replays exactly from its offset bounds
+        for start, rows, end in batches:
+            replay = sorted(
+                (r[4], r[3]) for r in reader.readBetweenOffsets(start, end)
+            )
+            assert replay == sorted((r[4], r[3]) for r in rows), (start, end)
