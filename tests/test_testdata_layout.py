@@ -165,3 +165,47 @@ def test_epoch_helpers_accept_ntz(spark):
     assert r["s"] == 1_700_000_000
     assert r["ms"] == 1_700_000_000_123
     assert r["us"] == 1_700_000_000_123_456
+
+
+def test_sketch_anchors_match_current_testdata():
+    """Drift guard for the committed sketch-verification anchors
+    (plans/advanced.py:_SKETCH_ANCHORS): if the driver ever regenerates
+    the testdata with a different seed, `approx_sketches_fast` would
+    emit NULL verdicts against an oracle pinning TRUE — this test makes
+    that failure mode a named suite red instead of a mysterious driver
+    hash mismatch. Recomputes the exact anchors with DuckDB at every
+    available sf and compares value-for-value."""
+    import os
+
+    import duckdb
+
+    from kda_flink_app_timestream_spark.plans.advanced import _SKETCH_ANCHORS
+
+    checked = 0
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/lineitem.parquet"
+        if not os.path.exists(path):
+            continue
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT l_returnflag, count(*) AS n,
+                   count(DISTINCT l_partkey) AS nd,
+                   quantile_cont(l_extendedprice, 0.49) AS p49,
+                   quantile_cont(l_extendedprice, 0.51) AS p51
+            FROM read_parquet('{path}') GROUP BY 1
+            """
+        ).fetchall()
+        con.close()
+        for flag, n, nd, p49, p51 in rows:
+            anchor = _SKETCH_ANCHORS.get((flag, n))
+            assert anchor is not None, (
+                f"sf{sf} {flag}: no committed anchor for n={n} — the "
+                "testdata changed; recompute _SKETCH_ANCHORS"
+            )
+            a_nd, a_p49, a_p51 = anchor
+            assert a_nd == nd, (sf, flag, nd, a_nd)
+            assert abs(a_p49 - p49) < 1e-6, (sf, flag, p49, a_p49)
+            assert abs(a_p51 - p51) < 1e-6, (sf, flag, p51, a_p51)
+            checked += 1
+    assert checked >= 3, "no testdata scale was available to check"
