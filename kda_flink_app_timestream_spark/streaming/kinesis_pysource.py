@@ -477,6 +477,14 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         return dict(self._position)
 
     def partitions(self, start: dict, end: dict) -> list[ShardRangePartition]:
+        if self._position is None:
+            # query restart with an uncommitted batch: the engine
+            # replays it (partitions with the logged bounds) BEFORE the
+            # next latestOffset — seed the probe position from the
+            # replayed batch's end so the first live trigger advances
+            # from there instead of re-paging the whole retained stream
+            # from the initial anchor
+            self._position = dict(end)
         parts: list[ShardRangePartition] = []
         for shard_id, end_seq in end.items():
             if end_seq.startswith(CLOSED):

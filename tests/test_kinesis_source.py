@@ -1683,3 +1683,61 @@ def test_kinesis_pysource_partitioned_plans_exact_ranges():
             reader.partitions({"s": TRIM}, {"s": TRIM}) == []
             and reader.partitions({"s": "3"}, {"s": CLOSED}) == []
         )
+
+
+def test_kinesis_pysource_partitioned_restart_seeds_probe_from_replay():
+    """Restart efficiency contract of the partitioned reader: when the
+    engine replays an uncommitted batch (partitions() with logged
+    bounds) before the first latestOffset, the probe position seeds
+    from the replayed batch's END — the next latestOffset pages only
+    the delta instead of re-reading the whole retained stream from the
+    initial anchor (observable as GetRecords call count against the
+    fake)."""
+    from kda_flink_app_timestream_spark.streaming.kinesis_pysource import (
+        KinesisPartitionedStreamReader,
+    )
+
+    from .fake_kinesis import FakeKinesis
+
+    with FakeKinesis() as fk:
+        client = _fake_client(fk)
+        client.create_stream(StreamName="pysrc-seed", ShardCount=1)
+        client.put_records(
+            StreamName="pysrc-seed",
+            Records=[
+                {"Data": f"old-{i}".encode(), "PartitionKey": "k"}
+                for i in range(20)
+            ],
+        )
+        opts = {
+            "streamname": "pysrc-seed",
+            "endpointurl": fk.endpoint_url,
+            "accesskeyid": "t",
+            "secretaccesskey": "t",
+            "maxfetchrecordspershard": "2",  # 10 pages of backlog
+        }
+        r1 = KinesisPartitionedStreamReader(opts)
+        start = r1.initialOffset()
+        end = r1.latestOffset()  # pages the 20-record backlog
+        # fresh reader = restarted query; engine replays the batch first
+        r2 = KinesisPartitionedStreamReader(opts)
+        parts = r2.partitions(start, end)
+        assert len(parts) == 1
+        client.put_records(
+            StreamName="pysrc-seed",
+            Records=[
+                {"Data": f"new-{i}".encode(), "PartitionKey": "k"}
+                for i in range(2)
+            ],
+        )
+        before = len(fk.get_records_log)
+        end2 = r2.latestOffset()
+        probe_pages = len(fk.get_records_log) - before
+        # seeded from the replayed end: one page of 2 new records plus
+        # at most the empty tip check — NOT the 10+ pages a TRIM
+        # re-probe would pay
+        assert probe_pages <= 2, probe_pages
+        shard = next(iter(end2))
+        rows = list(r2.read(r2.partitions(end, end2)[0]))
+        assert [bytes(x[0]).decode() for x in rows] == ["new-0", "new-1"]
+        assert int(end2[shard]) == int(end[shard]) + 2
