@@ -765,3 +765,56 @@ def test_pysource_random_reshard_schedule_exactly_once(scenario):
                 (r[4], r[3]) for r in reader.readBetweenOffsets(start, end)
             )
             assert replay == sorted((r[4], r[3]) for r in rows), (start, end)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    points=st.lists(
+        st.integers(min_value=-100_000, max_value=100_000), min_size=1, max_size=20
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=-100_000, max_value=100_000),
+            st.integers(min_value=0, max_value=5_000),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    bucket_s=st.sampled_from([7, 60, 600, 3600]),
+)
+def test_interval_join_bucketed_matches_naive(spark, points, intervals, bucket_s):
+    """Property: the manufactured-equi-key interval join returns exactly
+    the naive point-in-interval pairs for ANY bucket size — including
+    pre-1970 epochs, where `(epoch/b).cast(long)` truncates toward zero
+    rather than flooring; coverage survives because truncation is
+    monotone, so trunc(start/b) <= trunc(p/b) <= trunc(end/b) whenever
+    start <= p <= end (the review-pass argument, pinned here)."""
+    from datetime import datetime, timezone
+
+    from kda_flink_app_timestream_spark.operators.relational import (
+        interval_join_bucketed,
+    )
+
+    def ts(e):
+        return datetime.fromtimestamp(e, tz=timezone.utc).replace(tzinfo=None)
+
+    left = spark.createDataFrame(
+        [(i, ts(p)) for i, p in enumerate(points)], "pid int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(j, ts(s), ts(s + d)) for j, (s, d) in enumerate(intervals)],
+        "iid int, start timestamp, end timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join_bucketed(
+            left, right, "ts", "start", "end", bucket_seconds=bucket_s
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (s, d) in enumerate(intervals)
+        if s <= p <= s + d
+    }
+    assert got == want
