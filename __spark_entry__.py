@@ -264,6 +264,18 @@ _RESCORE_AFTER = {
     "layout_compaction_roundtrip": 9,
     "layout_stream_ingest_compact": 9,
     "layout_retention_vacuum": 9,
+    # r10 changes (this round's window is being built now — ACTIVE):
+    #   streaming/kinesis_pysource.py rewritten (VERDICT r9 #2 + ADVICE
+    #   r9: the partitioned reader's latestOffset is now metadata-only —
+    #   whole-second arrival-time boundaries instead of a driver-side
+    #   full-payload bounds probe — and is stateless across restarts, so
+    #   LATEST anchors are never re-resolved; the simple reader lost its
+    #   probe()/collect plumbing): every registered consumer of the file
+    #   gets a post-change driver row:
+    "kinesis_pysource_consume": 10,
+    "kinesis_pysource_batch_snapshot": 10,
+    "kinesis_pysource_latest_resume": 10,
+    "kinesis_pysource_partitioned_consume": 10,
 }
 
 
