@@ -276,6 +276,15 @@ _RESCORE_AFTER = {
     "kinesis_pysource_batch_snapshot": 10,
     "kinesis_pysource_latest_resume": 10,
     "kinesis_pysource_partitioned_consume": 10,
+    #   operators/layout.py: sized_n_files now URI-parses inputFiles()
+    #   entries before stat'ing (ADVICE r9) — catalog call sites pass
+    #   explicit n_files so results are provably identical, but per the
+    #   r2 lesson every consumer of a changed implementation file gets a
+    #   post-change driver row:
+    "layout_partition_pruned_agg": 10,
+    "layout_compaction_roundtrip": 10,
+    "layout_stream_ingest_compact": 10,
+    "layout_retention_vacuum": 10,
 }
 
 

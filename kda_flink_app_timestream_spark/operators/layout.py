@@ -137,6 +137,7 @@ def sized_n_files(
     input files (derived/in-memory frames must pass ``n_files``
     explicitly — there is no size to derive)."""
     import os
+    from urllib.parse import unquote, urlparse
 
     files = df.inputFiles()
     if not files:
@@ -144,11 +145,21 @@ def sized_n_files(
             "sized_n_files needs a file-scan DataFrame (inputFiles() is "
             "empty) — pass n_files explicitly for derived frames"
         )
-    # local paths in tests; object-store URIs at scale would take their
-    # sizes from the same catalog listing that produced inputFiles()
-    total = sum(
-        os.path.getsize(f.removeprefix("file:")) for f in files
-    )
+    # inputFiles() returns percent-encoded URIs (ADVICE r9): parse and
+    # unquote before stat'ing, and give non-local schemes this
+    # function's own guidance instead of an opaque stat failure.
+    # Object-store URIs at scale would take their sizes from the same
+    # catalog listing that produced inputFiles().
+    total = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            raise ValueError(
+                f"sized_n_files can only stat local file: scans (got "
+                f"{parsed.scheme}: URI {f!r}) — pass n_files explicitly "
+                "for non-local scans"
+            )
+        total += os.path.getsize(unquote(parsed.path))
     return max(1, -(-total // target_file_bytes))
 
 

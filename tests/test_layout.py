@@ -196,6 +196,33 @@ def test_compact_files_auto_sizes_from_input_bytes(spark, tmp_path):
         sized_n_files(spark.range(10))
 
 
+def test_sized_n_files_decodes_uri_paths(spark, tmp_path):
+    """ADVICE r9: inputFiles() returns percent-encoded URIs — a local
+    directory containing spaces (or any URI-encoded character) must
+    still stat correctly, and non-file schemes must hit this function's
+    own pass-n_files guidance rather than an opaque FileNotFoundError."""
+    import pytest as _pytest
+
+    from kda_flink_app_timestream_spark.operators.layout import sized_n_files
+
+    src = str(tmp_path / "with space dir")
+    spark.range(0, 1000).write.parquet(src)
+    df = spark.read.parquet(src)
+    assert any("%20" in f for f in df.inputFiles()), df.inputFiles()
+    total = sum(
+        f.stat().st_size for f in (tmp_path / "with space dir").glob("*.parquet")
+    )
+    assert sized_n_files(df, target_file_bytes=total + 1) == 1
+    assert sized_n_files(df, target_file_bytes=max(1, total // 2)) >= 2
+    # non-local scheme: explicit ValueError with guidance, not a stat error
+    class _Fake:
+        def inputFiles(self):
+            return ["s3a://bucket/key.parquet"]
+
+    with _pytest.raises(ValueError, match="n_files explicitly"):
+        sized_n_files(_Fake())
+
+
 def test_vacuum_skips_null_partition_by_default(tmp_path):
     """ADVICE r8: day=__HIVE_DEFAULT_PARTITION__ (null partition values)
     sorts above every ISO date — string comparison alone would retain it
