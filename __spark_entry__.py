@@ -285,6 +285,11 @@ _RESCORE_AFTER = {
     "layout_compaction_roundtrip": 10,
     "layout_stream_ingest_compact": 10,
     "layout_retention_vacuum": 10,
+    #   plans/reference.py: harness-roundtrip tier tag added (VERDICT r9
+    #   #4) — result-identical, but the tag tuple is non-comment source
+    #   (the applyinpandas_zscore r8 precedent), so the one consumer not
+    #   already keyed 10 gets a post-change row:
+    "timestream_pysink_roundtrip": 10,
 }
 
 

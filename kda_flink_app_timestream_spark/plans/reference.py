@@ -682,7 +682,14 @@ def kinesis_pysource_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WHERE event_id <= 1200
     """,
-    tags=("timestream", "streaming", "sink", "datasource-api", "reference-parity"),
+    tags=(
+        "timestream",
+        "streaming",
+        "sink",
+        "datasource-api",
+        "reference-parity",
+        "harness-roundtrip",
+    ),
 )
 def timestream_pysink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's WHOLE sink side through a REAL registered Spark
@@ -699,7 +706,13 @@ def timestream_pysink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     mangled across ANY batch/partition/chunk boundary hash-mismatches.
 
     Driver-side read-back is bounded by the event_cap=1200 slice (the
-    same pin as the kinesis fixtures)."""
+    same pin as the kinesis fixtures).
+
+    Tagged ``harness-roundtrip`` (VERDICT r9 #4): the timed body is
+    dominated by constant-cost machinery — four real micro-batches
+    through checkpoint + the fake endpoint's DDL bootstrap and
+    read-back — not by a distributed plan, so bench.py reports it in
+    the harness tier and keeps it out of the plan-cost headline."""
     import shutil
     import tempfile
 
@@ -860,7 +873,13 @@ def kinesis_pysource_batch_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
     FROM events
     WHERE event_id > 500 AND event_id <= 1000
     """,
-    tags=("kinesis", "streaming", "datasource-api", "initial-position"),
+    tags=(
+        "kinesis",
+        "streaming",
+        "datasource-api",
+        "initial-position",
+        "harness-roundtrip",
+    ),
 )
 def kinesis_pysource_latest_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATEST initial position through the registered ``kinesis_py``
@@ -878,7 +897,14 @@ def kinesis_pysource_latest_resume(spark: SparkSession, sf_dir: str) -> DataFram
     lost wave-2 record, or an anchor that re-resolved on restart
     (skipping or double-reading) all hash-mismatch. This is also the
     checkpoint-resume proof for anchor offsets: the second run restores
-    ``<AT_TS>`` positions from the engine's own offset log."""
+    ``<AT_TS>`` positions from the engine's own offset log.
+
+    Tagged ``harness-roundtrip`` (VERDICT r9 #4): the timed body is
+    dominated by constant-cost harness machinery — two full
+    produce->checkpoint->consume runs plus a bounded <=1 s
+    anchor-granularity boundary wait (ADVICE r9) — not by any
+    distributed plan, so bench.py reports it in the harness tier and
+    keeps it out of the plan-cost headline."""
     import os
     import shutil
     import tempfile

@@ -132,6 +132,40 @@ def test_full_ordering_is_deterministic_and_window_covers_needy():
     assert not missing, f"never-scored queries outside the window: {missing}"
 
 
+def test_stale_greens_are_scheduled_in_the_upcoming_window():
+    """VERDICT r9 #6 (rotation-debt gate): r9 found 33 queries whose
+    newest green row dated to r4/r5 — green when last scored, but
+    unverified for 4+ rounds. The invariant that prevents that debt
+    from ever silently recurring: every registered query whose newest
+    driver row is older than MAX_GREEN_AGE rounds must be INSIDE the
+    upcoming ~50-slot scoring window (the driver scores the first 50
+    ``queries()`` entries, so in-window == gets re-verified this
+    round). If stale queries ever outnumber the slots left after
+    tier-0/1/2, this fails — future rotation debt becomes a red suite
+    instead of a judge finding."""
+    MAX_GREEN_AGE = 4
+    hist = entry._correctness_history()
+    assert hist, "no committed CORRECTNESS_r*.json found"
+    window = set(entry._ordered_names()[:50])
+
+    def newest_row_round(name):
+        rounds = [r for r in sorted(hist) if name in hist[r]]
+        return rounds[-1] if rounds else None
+
+    stale_outside = {
+        n: r
+        for n in entry.REGISTRY
+        if (r := newest_row_round(n)) is not None
+        and r <= entry._CURRENT_ROUND - MAX_GREEN_AGE
+        and n not in window
+    }
+    assert not stale_outside, (
+        f"queries whose newest driver row is {MAX_GREEN_AGE}+ rounds old "
+        f"are NOT in the upcoming scoring window (rotation debt): "
+        f"{stale_outside}"
+    )
+
+
 def test_bench_queries_all_registered():
     """Every BENCH_QUERIES name must resolve in the registry — bench.py
     silently skips unknown names (registry.get), so a typo would drop a
