@@ -818,3 +818,205 @@ def test_interval_join_bucketed_matches_naive(spark, points, intervals, bucket_s
         if s <= p <= s + d
     }
     assert got == want
+
+
+class _VirtualClock:
+    """Deterministic stand-in for the ``time`` module, shared by the
+    fake endpoint (arrival stamps) and the partitioned reader
+    (boundary choice + boundary wait): ``sleep`` advances the clock, so
+    the reader's <1 s whole-second boundary wait completes instantly
+    and every arrival second is test-controlled."""
+
+    def __init__(self, start: float):
+        self.now = start
+
+    def time(self) -> float:
+        return self.now
+
+    def sleep(self, dt: float) -> None:
+        self.now += dt
+
+
+@st.composite
+def _partitioned_op_sequence(draw):
+    """A random interleaving of produces, clock ticks, micro-batches,
+    reshard events, and query restarts — the adversarial schedule the
+    partitioned reader's arrival-time-interval contract must survive."""
+    ops = draw(
+        st.lists(
+            st.sampled_from(
+                ["put", "put", "put", "tick", "read", "split", "merge", "restart"]
+            ),
+            min_size=8,
+            max_size=24,
+        )
+    )
+    keys = draw(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=len(ops),
+            max_size=len(ops),
+        )
+    )
+    return ops, keys
+
+
+@settings(max_examples=10, deadline=None)
+@given(scenario=_partitioned_op_sequence())
+def test_pysource_partitioned_random_reshard_schedule_exactly_once(scenario):
+    """VERDICT r9 #7, adapted to the v2 partitioned reader (whose
+    offsets are whole-second arrival-time boundaries, not page-capped
+    sequence probes): under ANY interleaving of puts, clock ticks,
+    micro-batches, splits, merges, and mid-run reader restarts —
+
+    1. every produced record is received exactly once at fixpoint;
+    2. records sharing a partition key never arrive in an EARLIER batch
+       than a record of that key produced before them (per-key batch
+       monotonicity across reshards — the parent's closing drain lands
+       no later than any child batch);
+    3. every batch is exactly reproducible from its offset bounds alone
+       (partitions(start, end) + read on a FRESH reader instance) —
+       Spark's failure-replay contract over TRIM anchors, AT_TS
+       boundaries, and CLOSED tombstones alike;
+    4. latestOffset never pages records through the driver (the fake's
+       GetRecords log grows only during executor-style read calls).
+    """
+    from unittest import mock
+
+    import boto3
+
+    from kda_flink_app_timestream_spark.streaming import kinesis_fake
+    from kda_flink_app_timestream_spark.streaming import kinesis_pysource as kps
+
+    ops, keys = scenario
+    clock = _VirtualClock(start=1_700_000_000.5)
+    opts = None
+
+    def fresh_reader():
+        return kps.KinesisPartitionedStreamReader(opts)
+
+    with mock.patch.object(kinesis_fake, "time", clock), mock.patch.object(
+        kps, "time", clock
+    ), kinesis_fake.FakeKinesis() as fk:
+        client = boto3.client(
+            "kinesis",
+            endpoint_url=fk.endpoint_url,
+            region_name="us-east-1",
+            aws_access_key_id="t",
+            aws_secret_access_key="t",
+        )
+        client.create_stream(StreamName="pprop", ShardCount=2)
+        opts = {
+            "streamname": "pprop",
+            "endpointurl": fk.endpoint_url,
+            "accesskeyid": "t",
+            "secretaccesskey": "t",
+            "maxfetchrecordspershard": "2",  # force multi-page drains
+        }
+        reader = fresh_reader()
+
+        def open_shards():
+            return [
+                s
+                for s in client.list_shards(StreamName="pprop")["Shards"]
+                if "EndingSequenceNumber" not in s["SequenceNumberRange"]
+            ]
+
+        produced: list[tuple[str, str]] = []  # (key, payload) in order
+        offsets = reader.initialOffset()
+        batches: list[tuple[dict, list, dict]] = []  # (start, rows, end)
+
+        def one_read():
+            nonlocal offsets
+            before = len(fk.get_records_log)
+            end = reader.latestOffset()
+            assert len(fk.get_records_log) == before, "driver paged records"
+            rows = [r for p in reader.partitions(offsets, end) for r in reader.read(p)]
+            batches.append((offsets, rows, end))
+            offsets = end
+            return rows
+
+        for i, (op, key) in enumerate(zip(ops, keys)):
+            if op == "put":
+                payload = f"{key}-{i}"
+                client.put_record(
+                    StreamName="pprop", Data=payload.encode(), PartitionKey=key
+                )
+                produced.append((key, payload))
+            elif op == "tick":
+                clock.sleep(1.0)
+            elif op == "read":
+                one_read()
+            elif op == "restart":
+                # stateless-restart contract: a fresh reader resumes
+                # purely from the checkpointed offsets
+                reader = fresh_reader()
+            elif op == "split":
+                cands = [
+                    s
+                    for s in open_shards()
+                    if int(s["HashKeyRange"]["EndingHashKey"])
+                    > int(s["HashKeyRange"]["StartingHashKey"])
+                ]
+                if cands:
+                    s = cands[0]
+                    lo = int(s["HashKeyRange"]["StartingHashKey"])
+                    hi = int(s["HashKeyRange"]["EndingHashKey"])
+                    client.split_shard(
+                        StreamName="pprop",
+                        ShardToSplit=s["ShardId"],
+                        NewStartingHashKey=str((lo + hi) // 2 + 1),
+                    )
+            elif op == "merge":
+                shards = open_shards()
+                pair = None
+                for a in shards:
+                    for b in shards:
+                        if (
+                            int(a["HashKeyRange"]["EndingHashKey"]) + 1
+                            == int(b["HashKeyRange"]["StartingHashKey"])
+                        ):
+                            pair = (a, b)
+                            break
+                    if pair:
+                        break
+                if pair:
+                    client.merge_shards(
+                        StreamName="pprop",
+                        ShardToMerge=pair[0]["ShardId"],
+                        AdjacentShardToMerge=pair[1]["ShardId"],
+                    )
+        # drain to fixpoint: the boundary advances every read (the wait
+        # pushes the virtual clock across each whole second)
+        for _ in range(10):
+            one_read()
+            if not batches[-1][1]:
+                break
+        else:
+            raise AssertionError("no empty batch after 10 drain reads")
+
+        received = [
+            (r[2], bytes(r[0]).decode())  # (partitionKey, payload)
+            for _s, rows, _e in batches
+            for r in rows
+        ]
+        # 1. exactly once
+        assert sorted(received) == sorted(produced), (received, produced)
+        # 2. per-key batch monotonicity across reshards
+        batch_of = {
+            bytes(r[0]).decode(): bi
+            for bi, (_s, rows, _e) in enumerate(batches)
+            for r in rows
+        }
+        for k in {key for key, _ in produced}:
+            seq = [batch_of[p] for key, p in produced if key == k]
+            assert seq == sorted(seq), (k, seq, batches)
+        # 3. every batch replays exactly on a fresh reader from bounds alone
+        replayer = fresh_reader()
+        for start, rows, end in batches:
+            replay = sorted(
+                (r[4], r[3])
+                for p in replayer.partitions(start, end)
+                for r in replayer.read(p)
+            )
+            assert replay == sorted((r[4], r[3]) for r in rows), (start, end)
