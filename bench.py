@@ -139,6 +139,11 @@ BENCH_QUERIES = [
     # DataSourceStreamReader (driver bounds probe + one task per shard)
     "kinesis_pysource_latest_resume",
     "kinesis_pysource_partitioned_consume",
+    # r10: reshard lifecycle across a checkpoint boundary through the
+    # registered partitioned source (two checkpointed runs + SplitShard
+    # with undrained parent records — harness-roundtrip tier, like
+    # latest_resume)
+    "kinesis_pysource_reshard_resume",
 ]
 
 # canary steady-state spread at/above which the three timed passes are

@@ -978,6 +978,133 @@ def kinesis_pysource_latest_resume(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "kinesis_pysource_reshard_resume",
+    oracle="""
+    SELECT make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS time,
+           'latency' AS measure_name,
+           CAST(value AS VARCHAR) AS measure_value,
+           value AS measure_value_double,
+           'DOUBLE' AS measure_value_type,
+           lpad(CAST(user_id AS VARCHAR), 12, '0') AS aws_account_id,
+           event_type AS operation,
+           'GLUE' AS caller_service
+    FROM events
+    WHERE event_id <= 800
+    """,
+    tags=(
+        "kinesis",
+        "streaming",
+        "datasource-api",
+        "executor-parallel",
+        "reshard",
+        "harness-roundtrip",
+    ),
+)
+def kinesis_pysource_reshard_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESHARD lifecycle through the registered partitioned source,
+    ACROSS a checkpoint boundary — the scaling event the reference's
+    live stream undergoes (its Flink connector handles shard
+    split/merge through the same public API, StreamingJob.java:74-110),
+    previously pinned only by pytest, now a driver oracle row:
+
+    wave 1 (event_id <= 400) → availableNow run 1 (commits per-shard
+    arrival-time boundaries) → wave 2a (400 < id <= 600, lands in the
+    ORIGINAL shards) → SplitShard closes shard 0 with wave-2a records
+    still undrained → wave 2b (600 < id <= 800, lands in survivors +
+    children) → availableNow run 2 from the SAME checkpoint. Run 2 must
+    tombstone-drain the closed parent's remainder exactly once, admit
+    the children from TRIM, and time-drain the survivors — the oracle
+    is the identity over event_id <= 800, so a record dropped with the
+    closed shard (the ADVICE r9 failure mode), duplicated across the
+    parent/child hand-off, or leaked from a child into the wrong batch
+    hash-mismatches.
+
+    Tagged ``harness-roundtrip``: two checkpointed runs + three produce
+    waves + a reshard are constant-cost machinery, not a distributed
+    plan."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..session import defer_release
+    from ..streaming.kinesis_fake import FakeKinesis
+    from ..streaming.kinesis_pysource import KinesisPythonDataSource
+    from ..streaming.source import decode_payload
+
+    spark.dataSource.register(KinesisPythonDataSource)
+    work = tempfile.mkdtemp(prefix="kinesis_pysource_reshard_")
+    defer_release(lambda: shutil.rmtree(work, ignore_errors=True))
+    out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+    with FakeKinesis() as fk:
+        import boto3
+
+        producer = boto3.client(
+            "kinesis",
+            endpoint_url=fk.endpoint_url,
+            region_name="us-east-1",
+            aws_access_key_id="test",
+            aws_secret_access_key="test",
+        )
+
+        def run_to_termination() -> None:
+            q = (
+                spark.readStream.format("kinesis_py")
+                .option("streamName", "pysource-reshard")
+                .option("endpointUrl", fk.endpoint_url)
+                .option("accessKeyId", "test")
+                .option("secretAccessKey", "test")
+                .option("reader", "partitioned")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300), "kinesis_py query did not terminate"
+
+        _produce_rendered_events_to_fake(
+            spark, sf_dir, producer, "pysource-reshard", event_cap=400
+        )
+        run_to_termination()  # commits arrival-time boundaries per shard
+        # downtime: wave 2a lands in the ORIGINAL shards, then shard 0
+        # closes with those records still undrained
+        _produce_rendered_events_to_fake(
+            spark,
+            sf_dir,
+            producer,
+            "pysource-reshard",
+            event_min=400,
+            event_cap=600,
+            create_stream=False,
+        )
+        shard0 = producer.list_shards(StreamName="pysource-reshard")["Shards"][0]
+        hr = shard0["HashKeyRange"]
+        producer.split_shard(
+            StreamName="pysource-reshard",
+            ShardToSplit=shard0["ShardId"],
+            NewStartingHashKey=str(
+                (int(hr["StartingHashKey"]) + int(hr["EndingHashKey"])) // 2 + 1
+            ),
+        )
+        _produce_rendered_events_to_fake(
+            spark,
+            sf_dir,
+            producer,
+            "pysource-reshard",
+            event_min=600,
+            event_cap=800,
+            create_stream=False,
+        )
+        run_to_termination()  # tombstone-drains the parent, admits children
+    raw = spark.read.parquet(out)
+    parsed = parse_service_logs(
+        raw.select(decode_payload(F.col("data"), codec="gzip").alias("value"))
+    )
+    return parsed.select(*_POINT_COLS)
+
+
+@query(
     "kinesis_pysource_partitioned_consume",
     oracle="""
     SELECT make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000) AS time,
