@@ -520,14 +520,33 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         # (seconds) so a query resuming after long downtime advances in
         # bounded batches instead of one giant interval. Purely a batch-
         # sizing knob — a capped boundary is already in the past, and
-        # the next trigger continues from it. Restart resets the cap
-        # base (first post-restart batch is uncapped); that costs batch
-        # sizing only, never correctness.
+        # the next trigger continues from it. The cap base seeds from
+        # the initial anchor (fresh LATEST/AT_TIMESTAMP queries) or from
+        # the begin anchors of a replayed batch; a restart with no
+        # pending batch can't see the committed position before its
+        # first latestOffset (the API passes no start), so that one
+        # batch runs uncapped — batch sizing only, never correctness.
+        # A TRIM first batch is inherently span-unbounded either way:
+        # its lower end is the oldest retained record, not a boundary.
         self._max_span = int(self._options.get("maxbatchtimerangeseconds", 0))
         self._last_boundary: int | None = None
 
+    def _seed_cap_base(self, positions) -> None:
+        anchors = [
+            int(float(pos[len(AT_TS):]))
+            for pos in positions
+            if pos.startswith(AT_TS)
+        ]
+        if anchors:
+            base = max(anchors)
+            if self._last_boundary is None or base > self._last_boundary:
+                self._last_boundary = base
+
     def initialOffset(self) -> dict:
-        return self._meta.initialOffset()
+        out = self._meta.initialOffset()
+        if self._max_span:
+            self._seed_cap_base(out.values())
+        return out
 
     def latestOffset(self) -> dict:
         listed = self._meta._list_shards()
@@ -561,6 +580,12 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         return out
 
     def partitions(self, start: dict, end: dict) -> list[ShardRangePartition]:
+        if self._max_span and self._last_boundary is None:
+            # restart with a pending uncommitted batch: the engine
+            # replays it before the first latestOffset — seed the cap
+            # base from the replayed END anchors so the first live
+            # trigger is span-capped from the committed position
+            self._seed_cap_base(end.values())
         parts: list[ShardRangePartition] = []
         for shard_id, end_pos in end.items():
             begin = start.get(shard_id, TRIM)

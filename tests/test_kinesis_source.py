@@ -1717,6 +1717,80 @@ def test_kinesis_pysource_partitioned_plans_exact_ranges():
         )
 
 
+def test_kinesis_pysource_partitioned_batch_span_cap():
+    """maxBatchTimeRangeSeconds bounds each trigger's arrival-time span
+    during catch-up: after a long gap, consecutive latestOffset calls
+    advance the boundary by at most the cap (no wall-clock wait — the
+    capped boundary is already in the past), batches drain in bounded
+    slices, and the union is still exactly-once. Driven under a virtual
+    clock so the whole-second boundary wait is instant."""
+    from unittest import mock
+
+    from kda_flink_app_timestream_spark.streaming import kinesis_fake
+    from kda_flink_app_timestream_spark.streaming import kinesis_pysource as kps
+
+    class _Clock:
+        def __init__(self, start):
+            self.now = start
+
+        def time(self):
+            return self.now
+
+        def sleep(self, dt):
+            self.now += dt
+
+    clock = _Clock(1_700_000_000.3)
+    with mock.patch.object(kinesis_fake, "time", clock), mock.patch.object(
+        kps, "time", clock
+    ), kinesis_fake.FakeKinesis() as fk:
+        client = _fake_client(fk)
+        client.create_stream(StreamName="pysrc-span", ShardCount=1)
+        backlog_start = int(clock.now)
+        # one record per second across a 10 s backlog
+        for i in range(10):
+            client.put_record(
+                StreamName="pysrc-span", Data=f"r{i}".encode(), PartitionKey="k"
+            )
+            clock.sleep(1.0)
+        reader = kps.KinesisPartitionedStreamReader(
+            {
+                "streamname": "pysrc-span",
+                "endpointurl": fk.endpoint_url,
+                "accesskeyid": "t",
+                "secretaccesskey": "t",
+                "maxbatchtimerangeseconds": "3",
+                # explicit time anchor: the cap base seeds from it, so
+                # the 10 s catch-up is span-capped from the FIRST batch
+                # (a TRIM start is inherently span-unbounded — its lower
+                # end is the oldest retained record, not a boundary)
+                "initialposition": "AT_TIMESTAMP",
+                "initialpositiontimestamp": str(backlog_start),
+            }
+        )
+        offsets = reader.initialOffset()
+        got: list[str] = []
+        batch_sizes: list[int] = []
+        prev_boundary = None
+        for _ in range(12):
+            end = reader.latestOffset()
+            (pos,) = end.values()
+            boundary = float(pos[len(kps.AT_TS):])
+            if prev_boundary is not None:
+                assert boundary - prev_boundary <= 3, (prev_boundary, boundary)
+            prev_boundary = boundary
+            rows = [r for p in reader.partitions(offsets, end) for r in reader.read(p)]
+            batch_sizes.append(len(rows))
+            got.extend(bytes(r[0]).decode() for r in rows)
+            offsets = end
+            if boundary > clock.now:
+                break
+        assert got == [f"r{i}" for i in range(10)], got
+        # the cap actually sliced the backlog: no batch carried more
+        # than cap-seconds' worth of arrivals (1 rec/s -> <= 3)
+        assert max(batch_sizes) <= 3, batch_sizes
+        assert len([b for b in batch_sizes if b]) >= 4, batch_sizes
+
+
 def test_kinesis_pysource_partitioned_latestoffset_is_metadata_only():
     """VERDICT r9 #2 (the one perf-weak finding): the partitioned
     reader's latestOffset must never page record payloads through the
