@@ -249,7 +249,9 @@ _RESCORE_AFTER = {
     #   every EXISTING consumer of either file gets a post-change row
     #   (the two new r9 queries are tier-0 and need no flag); the
     #   plans/reference.py produce-helper also grew event_min/
-    #   create_stream params (its consumers are exactly these):
+    #   create_stream params (its consumers are exactly these).
+    #   (All four keys below are superseded by the r10 block — same
+    #   names, keyed 10; kept for the ledger, later-wins applies.)
     "kinesis_pysource_consume": 9,
     "kinesis_pysource_batch_snapshot": 9,
     "kinesis_incremental_consume": 9,
@@ -259,7 +261,9 @@ _RESCORE_AFTER = {
     #   vacuum_partitions explicitly handles the null hive partition
     #   (ADVICE r8) — call sites pass explicit values so results are
     #   provably identical, but per the r2 lesson every consumer of a
-    #   changed implementation file gets a post-change driver row:
+    #   changed implementation file gets a post-change driver row.
+    #   (All four keys below are superseded by the r10 block — same
+    #   names, keyed 10; kept for the ledger, later-wins applies.)
     "layout_partition_pruned_agg": 9,
     "layout_compaction_roundtrip": 9,
     "layout_stream_ingest_compact": 9,

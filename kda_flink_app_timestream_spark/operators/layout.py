@@ -148,18 +148,24 @@ def sized_n_files(
     # inputFiles() returns percent-encoded URIs (ADVICE r9): parse and
     # unquote before stat'ing, and give non-local schemes this
     # function's own guidance instead of an opaque stat failure.
+    # Percent-decoding applies only to real file: URIs — a scheme-less
+    # entry is a raw path where "%20" is literal bytes, not an escape.
     # Object-store URIs at scale would take their sizes from the same
     # catalog listing that produced inputFiles().
     total = 0
     for f in files:
         parsed = urlparse(f)
-        if parsed.scheme not in ("", "file"):
+        if parsed.scheme == "file":
+            path = unquote(parsed.path)
+        elif parsed.scheme == "":
+            path = f
+        else:
             raise ValueError(
                 f"sized_n_files can only stat local file: scans (got "
                 f"{parsed.scheme}: URI {f!r}) — pass n_files explicitly "
                 "for non-local scans"
             )
-        total += os.path.getsize(unquote(parsed.path))
+        total += os.path.getsize(path)
     return max(1, -(-total // target_file_bytes))
 
 

@@ -40,9 +40,26 @@ Two streaming execution modes (``reader`` option):
   second has fully elapsed before returning. position(T) is monotone in
   T even if arrival stamps are locally non-monotonic (first-index-with-
   arrival>=T can only move forward), so consecutive batches are disjoint
-  and exhaustive. Clock-skew caveat (same as the LATEST anchor): the
-  boundary is the driver's clock, arrival stamps are the service's — a
-  producer racing a trigger under skew lands in the next trigger.
+  and exhaustive. Clock-skew caveat: the boundary is the driver's
+  clock, arrival stamps are the service's. A service clock AHEAD of
+  the driver only defers records to a later trigger; a service clock
+  BEHIND the driver by d seconds can LOSE a record — one ingested
+  right after a batch's drain but stamped before that batch's
+  boundary sits positionally before where the next batch's
+  AT_TIMESTAMP iterator starts. ``boundaryLagSeconds`` (default 0)
+  closes this: the boundary is held that many seconds behind the
+  driver clock and ``latestOffset`` returns only once the boundary is
+  lag-deep in the past, so any record stamped before it by a service
+  clock up to ``lag`` behind is already ingested and drained. Set it
+  to the deployment's clock-error bound (a few seconds) in
+  production; the in-process test fake shares one clock, so 0 is
+  exact there. Boundaries are also clamped monotonic per reader, so a
+  backwards driver-clock step (NTP) holds the last boundary (blocking
+  the trigger until the clock re-passes it — a boundary that has not
+  elapsed is never returned) instead of regressing offsets and
+  re-emitting records; a regression that survives a restart (the one
+  case the clamp cannot see) fails partition planning loudly rather
+  than committing a duplicate or empty batch.
   Closed shards (reshard parents) are detected from ListShards metadata
   (``EndingSequenceNumber``) and tombstoned with a final
   sequence-bounded batch that drains the whole remainder, so a shard
@@ -100,7 +117,6 @@ checkpoint.
 from __future__ import annotations
 
 import logging
-import math
 import time
 from dataclasses import dataclass
 from typing import Any, Iterator
@@ -256,9 +272,10 @@ def _drain_until_boundary(
     whose server-side arrival stamp reaches ``boundary`` (that record
     is ``position(boundary)``, the next batch's start), or at the shard
     tip. Deterministic on replay: records are immutable, any record
-    ingested after wall-clock ``boundary`` is stamped >= ``boundary``
-    (and the caller's latestOffset only returns once the boundary
-    second has elapsed), and the stop rule is a pure function of the
+    ingested after the caller's latestOffset returned is stamped
+    >= ``boundary`` for any service clock at most ``boundaryLagSeconds``
+    behind the driver's (latestOffset returns only once the boundary is
+    lag-deep in the past), and the stop rule is a pure function of the
     stored stamps."""
     it = _get_iterator(client, stream, shard_id, begin)
     while it:
@@ -338,14 +355,21 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
             # the replayable tip anchor: AT_TIMESTAMP(query start). A
             # LATEST iterator token can't live in a checkpoint or be
             # re-created for replay; the arrival-timestamp anchor can.
-            # Rounded UP to the next whole second: botocore serializes
-            # the Timestamp wire param as INTEGER epoch seconds, so a
-            # fractional anchor would truncate DOWN and re-admit
-            # records that arrived earlier in the same second — before
-            # query start. Ceiling keeps LATEST strict ("only records
-            # arriving after start") at the cost of a <1 s admission
-            # blind spot right at startup.
-            anchor = AT_TS + str(math.ceil(time.time() + 1e-3))
+            # Rounded UP to the NEXT whole second (int(now) + 1):
+            # botocore serializes the Timestamp wire param as INTEGER
+            # epoch seconds, so a fractional anchor would truncate DOWN
+            # and re-admit records that arrived earlier in the same
+            # second — before query start. The next-second form keeps
+            # LATEST strict ("only records arriving after start") at
+            # the cost of a <1 s admission blind spot at startup, and
+            # deliberately matches the partitioned reader's boundary
+            # formula exactly: an ANCHOR computed at t1 can then never
+            # exceed a BOUNDARY computed at t2 >= t1, even across the
+            # engine's separate planner processes where no in-memory
+            # state is shared (a ceil(now + epsilon) variant could jump
+            # TWO seconds ahead within epsilon of a second boundary and
+            # plan a batch whose end precedes its start).
+            anchor = AT_TS + str(int(time.time()) + 1)
         elif pos == "AT_TIMESTAMP":
             ts = self._options.get("initialpositiontimestamp")
             if ts is None:
@@ -529,9 +553,23 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         # A TRIM first batch is inherently span-unbounded either way:
         # its lower end is the oldest retained record, not a boundary.
         self._max_span = int(self._options.get("maxbatchtimerangeseconds", 0))
+        # initial offset, resolved once and cached (see initialOffset)
+        self._initial: dict | None = None
+        # skew guard (see module docstring): boundaries held this many
+        # seconds behind the driver clock, and latestOffset returns only
+        # once the boundary is lag-deep in the past — set to the
+        # deployment's clock-error bound to close the
+        # service-clock-behind-driver loss window
+        self._lag = int(self._options.get("boundarylagseconds", 0))
+        # newest boundary this reader has returned: the span cap's base
+        # AND the monotonic floor (a backwards driver-clock step must
+        # yield empty batches, never a regressed offset — a regressed
+        # offset would re-emit already-committed records one trigger
+        # later). Seeded from the initial anchor or a replayed batch's
+        # end anchors where the API lets us see them.
         self._last_boundary: int | None = None
 
-    def _seed_cap_base(self, positions) -> None:
+    def _seed_boundary_floor(self, positions) -> None:
         anchors = [
             int(float(pos[len(AT_TS):]))
             for pos in positions
@@ -543,28 +581,57 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
                 self._last_boundary = base
 
     def initialOffset(self) -> dict:
-        out = self._meta.initialOffset()
-        if self._max_span:
-            self._seed_cap_base(out.values())
-        return out
+        # Resolved ONCE per reader and cached: the engine may call
+        # latestOffset BEFORE initialOffset on a fresh query (observed
+        # against Spark 4.1's PythonStreamingSourceRunner), so whichever
+        # runs first resolves the anchor and the other reuses it — a
+        # re-resolved LATEST anchor taken ~0.1 s later can cross a
+        # whole-second boundary and exceed the already-returned first
+        # batch boundary, planning a batch whose start exceeds its end
+        # (ADVICE r9's cache-the-anchor prescription).
+        if self._initial is None:
+            out = self._meta.initialOffset()
+            self._seed_boundary_floor(out.values())
+            self._initial = out
+        return dict(self._initial)
 
     def latestOffset(self) -> dict:
+        if self._last_boundary is None and self._initial is None:
+            # fresh query, latestOffset-before-initialOffset call order:
+            # resolve and cache the initial anchor FIRST so this
+            # trigger's boundary can never precede the anchor the
+            # engine will log as the query's start
+            self.initialOffset()
         listed = self._meta._list_shards()
-        # next whole second: integral because the GetShardIterator
-        # Timestamp wire param carries integer epoch seconds (botocore
-        # serializer), so executors can resolve position(T) exactly
-        boundary = int(time.time()) + 1
+        # next whole second (lag-shifted): integral because the
+        # GetShardIterator Timestamp wire param carries integer epoch
+        # seconds (botocore serializer), so executors can resolve
+        # position(T) exactly
+        boundary = int(time.time() - self._lag) + 1
         if self._max_span and self._last_boundary is not None:
             boundary = min(boundary, self._last_boundary + self._max_span)
+        if self._last_boundary is not None:
+            # monotonic floor: a stalled or backwards-stepped driver
+            # clock must never regress the offset (a regressed offset
+            # re-emits committed records one trigger later)
+            boundary = max(boundary, self._last_boundary)
+        # freeze the interval UNCONDITIONALLY: wait until the boundary
+        # second is lag-deep in the past, so every record NOT yet
+        # ingested will carry an arrival stamp >= boundary (for any
+        # service clock at most `lag` behind the driver's) and the
+        # batch content below is a fixed set. A boundary that has not
+        # elapsed must NEVER be returned — a batch planned against a
+        # future boundary drains early and records arriving before the
+        # boundary afterwards are lost (the ADVICE r9 failure mode).
+        # Normally <1 s; zero during capped catch-up (boundary already
+        # past); after a backwards clock step this blocks until the
+        # clock re-passes the held boundary (correctness over
+        # availability — the alternative is silent duplication).
+        while time.time() < boundary + self._lag:
+            time.sleep(
+                min(0.02, max(boundary + self._lag - time.time(), 0.001))
+            )
         self._last_boundary = boundary
-        # freeze the interval: wait until the boundary second has fully
-        # elapsed, so every record NOT yet ingested will carry an
-        # arrival stamp >= boundary (same clock, modulo service skew —
-        # see module docstring) and the batch content below is a fixed
-        # set. <1 s; zero wait during capped catch-up (boundary already
-        # past).
-        while time.time() < boundary:
-            time.sleep(min(0.02, max(boundary - time.time(), 0.001)))
         out: dict[str, str] = {}
         for shard in listed:
             shard_id = shard["ShardId"]
@@ -580,12 +647,13 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         return out
 
     def partitions(self, start: dict, end: dict) -> list[ShardRangePartition]:
-        if self._max_span and self._last_boundary is None:
+        if self._last_boundary is None:
             # restart with a pending uncommitted batch: the engine
-            # replays it before the first latestOffset — seed the cap
-            # base from the replayed END anchors so the first live
-            # trigger is span-capped from the committed position
-            self._seed_cap_base(end.values())
+            # replays it before the first latestOffset — seed the
+            # monotonic floor / span-cap base from the replayed END
+            # anchors so the first live trigger advances from the
+            # committed position
+            self._seed_boundary_floor(end.values())
         parts: list[ShardRangePartition] = []
         for shard_id, end_pos in end.items():
             begin = start.get(shard_id, TRIM)
@@ -602,14 +670,40 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
                 # parent record in a batch no later than any child's
                 parts.append(ShardRangePartition(shard_id, begin, bound))
             elif end_pos.startswith(AT_TS):
-                if begin.startswith(AT_TS) and float(
-                    begin[len(AT_TS):]
-                ) >= float(end_pos[len(AT_TS):]):
-                    continue  # no boundary progress this trigger
+                if begin.startswith(AT_TS):
+                    b, e = float(begin[len(AT_TS):]), float(end_pos[len(AT_TS):])
+                    if b == e:
+                        continue  # no boundary progress this trigger
+                    if b > e:
+                        # a logged end EARLIER than the committed start
+                        # can only mean the driver clock stepped back
+                        # across a restart (the in-process monotonic
+                        # clamp cannot see a checkpoint). Committing
+                        # this batch would regress the offset and
+                        # re-emit records one trigger later — fail
+                        # loudly; the query recovers once the clock
+                        # re-passes the committed boundary.
+                        raise ValueError(
+                            f"kinesis_py: batch end boundary {e} precedes "
+                            f"committed start {b} on {shard_id} — driver "
+                            "clock moved backwards across a restart; "
+                            "refusing to plan a regressed batch"
+                        )
                 parts.append(ShardRangePartition(shard_id, begin, end_pos))
-            # a bare-sequence or TRIM end never appears in this reader's
-            # offsets; skip rather than guess (e.g. the engine passing a
-            # start map entry through an end map in tests)
+            elif end_pos == TRIM:
+                continue  # nothing was ever readable for this shard
+            else:
+                # a bare-sequence end is the r9 (sequence-bounds) offset
+                # format: silently skipping would commit an EMPTY batch
+                # over a pending pre-upgrade replay and lose its records
+                # — fail loudly instead; cross-version checkpoints need
+                # a fresh checkpoint directory (module docstring)
+                raise ValueError(
+                    f"kinesis_py: unrecognized end offset {end_pos!r} for "
+                    f"{shard_id} (pre-v2 sequence-bounds checkpoint?) — "
+                    "the arrival-time-boundary reader cannot replay it; "
+                    "start from a fresh checkpoint"
+                )
         return parts
 
     def read(self, partition: ShardRangePartition) -> Iterator[tuple]:

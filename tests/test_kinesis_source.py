@@ -1782,13 +1782,101 @@ def test_kinesis_pysource_partitioned_batch_span_cap():
             batch_sizes.append(len(rows))
             got.extend(bytes(r[0]).decode() for r in rows)
             offsets = end
-            if boundary > clock.now:
-                break
+            if boundary > backlog_start + 10:
+                break  # boundary advanced past the whole backlog
         assert got == [f"r{i}" for i in range(10)], got
         # the cap actually sliced the backlog: no batch carried more
         # than cap-seconds' worth of arrivals (1 rec/s -> <= 3)
         assert max(batch_sizes) <= 3, batch_sizes
         assert len([b for b in batch_sizes if b]) >= 4, batch_sizes
+
+
+def test_kinesis_pysource_partitioned_clock_step_back_holds_boundary():
+    """A backwards driver-clock step (NTP) must never regress the
+    offset: latestOffset holds the last boundary (an empty batch) and
+    blocks until the clock re-passes it — a boundary that has not
+    elapsed must never be returned (a batch planned against a future
+    boundary drains early and later same-second arrivals are lost). A
+    regression that survives a restart — where the in-process clamp
+    can't see the checkpoint — fails partition planning loudly instead
+    of silently committing a batch that would re-emit records."""
+    from unittest import mock
+
+    import pytest as _pytest
+
+    from kda_flink_app_timestream_spark.streaming import kinesis_fake
+    from kda_flink_app_timestream_spark.streaming import kinesis_pysource as kps
+
+    class _Clock:
+        def __init__(self, start):
+            self.now = start
+
+        def time(self):
+            return self.now
+
+        def sleep(self, dt):
+            self.now += dt
+
+    clock = _Clock(1_700_000_000.2)
+    with mock.patch.object(kinesis_fake, "time", clock), mock.patch.object(
+        kps, "time", clock
+    ), kinesis_fake.FakeKinesis() as fk:
+        client = _fake_client(fk)
+        client.create_stream(StreamName="pysrc-ntp", ShardCount=1)
+        reader = kps.KinesisPartitionedStreamReader(
+            {
+                "streamname": "pysrc-ntp",
+                "endpointurl": fk.endpoint_url,
+                "accesskeyid": "t",
+                "secretaccesskey": "t",
+            }
+        )
+        reader.initialOffset()
+        end1 = reader.latestOffset()
+        (b1,) = (float(p[len(kps.AT_TS):]) for p in end1.values())
+        clock.now -= 10.0  # NTP step backwards
+        end2 = reader.latestOffset()
+        # held, not regressed — and the boundary-elapse wait carried
+        # the clock back past it (virtual sleep), so the held boundary
+        # is again in the past when returned
+        assert end2 == end1
+        assert clock.now >= b1
+        assert reader.partitions(end1, end2) == []
+        end3 = reader.latestOffset()
+        (b3,) = (float(p[len(kps.AT_TS):]) for p in end3.values())
+        assert b3 > b1
+        # restart case the clamp can't see: a logged end EARLIER than
+        # the committed start fails loudly instead of planning a
+        # regressed batch
+        fresh = kps.KinesisPartitionedStreamReader(
+            {
+                "streamname": "pysrc-ntp",
+                "endpointurl": fk.endpoint_url,
+                "accesskeyid": "t",
+                "secretaccesskey": "t",
+            }
+        )
+        with _pytest.raises(ValueError, match="clock moved backwards"):
+            fresh.partitions(
+                {"s": kps.AT_TS + "200"}, {"s": kps.AT_TS + "100"}
+            )
+
+
+def test_kinesis_pysource_partitioned_rejects_pre_v2_offsets():
+    """A bare-sequence end offset (the r9 sequence-bounds checkpoint
+    format) must fail loudly: silently skipping it would commit an
+    EMPTY batch over a pending pre-upgrade replay and lose its records
+    forever."""
+    import pytest as _pytest
+
+    from kda_flink_app_timestream_spark.streaming.kinesis_pysource import (
+        AT_TS,
+        KinesisPartitionedStreamReader,
+    )
+
+    reader = KinesisPartitionedStreamReader({"streamname": "x"})
+    with _pytest.raises(ValueError, match="fresh checkpoint"):
+        reader.partitions({"s": AT_TS + "100"}, {"s": "17"})
 
 
 def test_kinesis_pysource_partitioned_latestoffset_is_metadata_only():
