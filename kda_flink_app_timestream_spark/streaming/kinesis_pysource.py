@@ -529,13 +529,18 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
     logged offsets (arrival-time interval ``[position(T_prev),
     position(T_cur))`` resolved via AT_TIMESTAMP iterators, or an exact
     sequence bound for a closing shard), so failure replay re-reads
-    identical records. ``latestOffset`` itself is deliberately
-    STATELESS: a restart never re-resolves a LATEST anchor (ADVICE r9 —
-    the initial anchor lives only in the checkpointed start offsets,
-    which ``partitions`` receives), and records arriving or shards
-    closing during downtime are picked up by the first post-restart
-    batch from the checkpointed positions. At 1000 shards: 1000
-    parallel tasks per trigger, the driver pays one metadata call."""
+    identical records. Correctness never depends on reader-local state:
+    the authoritative positions are the checkpointed offsets that
+    ``partitions`` receives — a query's LATEST anchor lives there, is
+    never re-resolved into a batch start on restart (ADVICE r9), and
+    records arriving or shards closing during downtime are picked up by
+    the first post-restart batch from those checkpointed positions. The
+    reader-local fields (cached initial offset, monotonic boundary
+    floor, span-cap base) are advisory: losing them on restart at worst
+    costs one uncapped catch-up batch, and the clock edges they guard
+    in-process are backstopped by a loud planning error (see
+    ``partitions``). At 1000 shards: 1000 parallel tasks per trigger,
+    the driver pays one metadata call."""
 
     def __init__(self, options: dict):
         self._meta = KinesisSimpleStreamReader(options)
