@@ -1862,6 +1862,66 @@ def test_kinesis_pysource_partitioned_clock_step_back_holds_boundary():
             )
 
 
+def test_kinesis_pysource_partitioned_boundary_lag():
+    """boundaryLagSeconds holds boundaries a clock-error margin behind
+    the driver clock (closing the service-clock-behind-driver loss
+    window): with lag=L the returned boundary is at most now-L+1, and
+    latestOffset only returns once the boundary is L seconds in the
+    past — so a record stamped just before the boundary by a service
+    clock up to L behind is already ingested when executors drain."""
+    from unittest import mock
+
+    from kda_flink_app_timestream_spark.streaming import kinesis_fake
+    from kda_flink_app_timestream_spark.streaming import kinesis_pysource as kps
+
+    class _Clock:
+        def __init__(self, start):
+            self.now = start
+
+        def time(self):
+            return self.now
+
+        def sleep(self, dt):
+            self.now += dt
+
+    clock = _Clock(1_700_000_100.4)
+    with mock.patch.object(kinesis_fake, "time", clock), mock.patch.object(
+        kps, "time", clock
+    ), kinesis_fake.FakeKinesis() as fk:
+        client = _fake_client(fk)
+        client.create_stream(StreamName="pysrc-lag", ShardCount=1)
+        # records spread across the last 8 virtual seconds
+        for i in range(8):
+            client.put_record(
+                StreamName="pysrc-lag", Data=f"r{i}".encode(), PartitionKey="k"
+            )
+            clock.sleep(1.0)
+        reader = kps.KinesisPartitionedStreamReader(
+            {
+                "streamname": "pysrc-lag",
+                "endpointurl": fk.endpoint_url,
+                "accesskeyid": "t",
+                "secretaccesskey": "t",
+                "boundarylagseconds": "5",
+            }
+        )
+        offsets = reader.initialOffset()
+        t_call = clock.now
+        end = reader.latestOffset()
+        (pos,) = end.values()
+        boundary = float(pos[len(kps.AT_TS):])
+        # boundary held >= lag behind the call-time clock, and the
+        # return waited until it was lag-deep in the past
+        assert boundary <= t_call - 5 + 1, (boundary, t_call)
+        assert clock.now >= boundary + 5
+        # only the records older than the lagged boundary are in batch 1
+        rows = [r for p in reader.partitions(offsets, end) for r in reader.read(p)]
+        got = [bytes(r[0]).decode() for r in rows]
+        expect = [f"r{i}" for i in range(8) if 1_700_000_100.4 + i < boundary]
+        assert got == expect, (got, boundary)
+        assert 0 < len(got) < 8  # the lag genuinely deferred the tail
+
+
 def test_kinesis_pysource_partitioned_rejects_pre_v2_offsets():
     """A bare-sequence end offset (the r9 sequence-bounds checkpoint
     format) must fail loudly: silently skipping it would commit an
