@@ -88,7 +88,9 @@ def test_audit_covers_the_catalog():
     # (driver-r9: +1 kinesis_pysource_latest_resume and +1
     # kinesis_pysource_partitioned_consume — both real streaming runs
     # through the registered source)
-    assert len(excluded) == 22, sorted(excluded)
+    # (driver-r10: +1 kinesis_pysource_reshard_resume — the reshard
+    # lifecycle across a checkpoint boundary, a real streaming run)
+    assert len(excluded) == 23, sorted(excluded)
 
 
 if __name__ == "__main__":
