@@ -54,12 +54,18 @@ Two streaming execution modes (``reader`` option):
   to the deployment's clock-error bound (a few seconds) in
   production; the in-process test fake shares one clock, so 0 is
   exact there. Boundaries are also clamped monotonic per reader, so a
-  backwards driver-clock step (NTP) holds the last boundary (blocking
-  the trigger until the clock re-passes it — a boundary that has not
-  elapsed is never returned) instead of regressing offsets and
-  re-emitting records; a regression that survives a restart (the one
-  case the clamp cannot see) fails partition planning loudly rather
-  than committing a duplicate or empty batch.
+  backwards driver-clock step (NTP), or an explicit AT_TIMESTAMP
+  anchor ahead of the current clock, HOLDS the last boundary — cheap
+  empty batches until the clock re-passes it (safe because a held
+  boundary equals the current position: there is no batch content to
+  freeze; a CONTENT-BEARING boundary is never returned before it has
+  elapsed). A regression the in-process clamp cannot see fails
+  partition planning loudly rather than committing a duplicate or
+  empty batch — this includes the operational caveat that RAISING
+  ``boundaryLagSeconds`` on an existing checkpoint can push the first
+  post-restart boundary behind the committed position: change the lag
+  only with a fresh checkpoint (or accept cleaning the wedged pending
+  batch from the offset log).
   Closed shards (reshard parents) are detected from ListShards metadata
   (``EndingSequenceNumber``) and tombstoned with a final
   sequence-bounded batch that drains the whole remainder, so a shard
@@ -117,6 +123,7 @@ checkpoint.
 from __future__ import annotations
 
 import logging
+import math
 import time
 from dataclasses import dataclass
 from typing import Any, Iterator
@@ -566,6 +573,13 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         # deployment's clock-error bound to close the
         # service-clock-behind-driver loss window
         self._lag = int(self._options.get("boundarylagseconds", 0))
+        if self._lag < 0:
+            # a negative lag would hold boundaries in the FUTURE while
+            # satisfying the elapse wait early — reopening the exact
+            # record-loss window this option exists to close
+            raise ValueError(
+                f"kinesis_py boundaryLagSeconds must be >= 0, got {self._lag}"
+            )
         # newest boundary this reader has returned: the span cap's base
         # AND the monotonic floor (a backwards driver-clock step must
         # yield empty batches, never a regressed offset — a regressed
@@ -575,8 +589,12 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         self._last_boundary: int | None = None
 
     def _seed_boundary_floor(self, positions) -> None:
+        # ceil, not int(): a fractional explicit AT_TIMESTAMP anchor
+        # floored here would put the floor BELOW the anchor, and the
+        # clamped boundary could then precede the committed start —
+        # tripping partitions()' regression guard on a healthy clock
         anchors = [
-            int(float(pos[len(AT_TS):]))
+            math.ceil(float(pos[len(AT_TS):]))
             for pos in positions
             if pos.startswith(AT_TS)
         ]
@@ -615,27 +633,34 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         boundary = int(time.time() - self._lag) + 1
         if self._max_span and self._last_boundary is not None:
             boundary = min(boundary, self._last_boundary + self._max_span)
-        if self._last_boundary is not None:
-            # monotonic floor: a stalled or backwards-stepped driver
-            # clock must never regress the offset (a regressed offset
-            # re-emits committed records one trigger later)
-            boundary = max(boundary, self._last_boundary)
-        # freeze the interval UNCONDITIONALLY: wait until the boundary
-        # second is lag-deep in the past, so every record NOT yet
-        # ingested will carry an arrival stamp >= boundary (for any
-        # service clock at most `lag` behind the driver's) and the
-        # batch content below is a fixed set. A boundary that has not
-        # elapsed must NEVER be returned — a batch planned against a
-        # future boundary drains early and records arriving before the
-        # boundary afterwards are lost (the ADVICE r9 failure mode).
-        # Normally <1 s; zero during capped catch-up (boundary already
-        # past); after a backwards clock step this blocks until the
-        # clock re-passes the held boundary (correctness over
-        # availability — the alternative is silent duplication).
-        while time.time() < boundary + self._lag:
-            time.sleep(
-                min(0.02, max(boundary + self._lag - time.time(), 0.001))
-            )
+        if self._last_boundary is not None and boundary <= self._last_boundary:
+            # HOLD at the monotonic floor: a stalled/backwards-stepped
+            # driver clock, or a floor seeded from a future initial
+            # anchor (explicit AT_TIMESTAMP ahead of now), must never
+            # regress the offset — a regressed offset re-emits
+            # committed records one trigger later. The held boundary
+            # equals every open shard's current position, so the batch
+            # is EMPTY by construction — the only case where returning
+            # a possibly-not-yet-elapsed boundary is safe (no content
+            # to freeze), and it costs empty triggers instead of
+            # blocking the microbatch thread until the wall clock
+            # reaches the floor.
+            boundary = self._last_boundary
+        else:
+            # freeze the interval: wait until the boundary second is
+            # lag-deep in the past, so every record NOT yet ingested
+            # will carry an arrival stamp >= boundary (for any service
+            # clock at most `lag` behind the driver's) and the batch
+            # content below is a fixed set. A content-bearing boundary
+            # that has not elapsed must NEVER be returned — a batch
+            # planned against a future boundary drains early and
+            # records arriving before the boundary afterwards are lost
+            # (the ADVICE r9 failure mode). <1 s; zero during capped
+            # catch-up (boundary already past).
+            while time.time() < boundary + self._lag:
+                time.sleep(
+                    min(0.02, max(boundary + self._lag - time.time(), 0.001))
+                )
         self._last_boundary = boundary
         out: dict[str, str] = {}
         for shard in listed:

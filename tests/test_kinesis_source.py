@@ -156,6 +156,22 @@ def test_kinesis_roundtrip_against_local_endpoint(spark):
     assert {p.decode() for p in payloads} <= got
 
 
+class _VClock:
+    """Deterministic stand-in for the ``time`` module (patched into both
+    the fake endpoint and the reader): ``sleep`` advances the clock, so
+    whole-second boundary waits resolve instantly and arrival seconds
+    are test-controlled. Shared by the virtual-clock reader tests."""
+
+    def __init__(self, start):
+        self.now = start
+
+    def time(self):
+        return self.now
+
+    def sleep(self, dt):
+        self.now += dt
+
+
 def _fake_client(fk):
     boto3 = pytest.importorskip("boto3")
     return boto3.client(
@@ -1729,17 +1745,7 @@ def test_kinesis_pysource_partitioned_batch_span_cap():
     from kda_flink_app_timestream_spark.streaming import kinesis_fake
     from kda_flink_app_timestream_spark.streaming import kinesis_pysource as kps
 
-    class _Clock:
-        def __init__(self, start):
-            self.now = start
-
-        def time(self):
-            return self.now
-
-        def sleep(self, dt):
-            self.now += dt
-
-    clock = _Clock(1_700_000_000.3)
+    clock = _VClock(1_700_000_000.3)
     with mock.patch.object(kinesis_fake, "time", clock), mock.patch.object(
         kps, "time", clock
     ), kinesis_fake.FakeKinesis() as fk:
@@ -1793,13 +1799,13 @@ def test_kinesis_pysource_partitioned_batch_span_cap():
 
 def test_kinesis_pysource_partitioned_clock_step_back_holds_boundary():
     """A backwards driver-clock step (NTP) must never regress the
-    offset: latestOffset holds the last boundary (an empty batch) and
-    blocks until the clock re-passes it — a boundary that has not
-    elapsed must never be returned (a batch planned against a future
-    boundary drains early and later same-second arrivals are lost). A
-    regression that survives a restart — where the in-process clamp
-    can't see the checkpoint — fails partition planning loudly instead
-    of silently committing a batch that would re-emit records."""
+    offset: latestOffset HOLDS the last boundary — returned immediately
+    (no blocking: a held boundary equals the current position, so the
+    batch is empty and there is no content to freeze) — until the clock
+    re-passes it. A regression that survives a restart — where the
+    in-process clamp can't see the checkpoint — fails partition
+    planning loudly instead of silently committing a batch that would
+    re-emit records."""
     from unittest import mock
 
     import pytest as _pytest
@@ -1807,17 +1813,7 @@ def test_kinesis_pysource_partitioned_clock_step_back_holds_boundary():
     from kda_flink_app_timestream_spark.streaming import kinesis_fake
     from kda_flink_app_timestream_spark.streaming import kinesis_pysource as kps
 
-    class _Clock:
-        def __init__(self, start):
-            self.now = start
-
-        def time(self):
-            return self.now
-
-        def sleep(self, dt):
-            self.now += dt
-
-    clock = _Clock(1_700_000_000.2)
+    clock = _VClock(1_700_000_000.2)
     with mock.patch.object(kinesis_fake, "time", clock), mock.patch.object(
         kps, "time", clock
     ), kinesis_fake.FakeKinesis() as fk:
@@ -1835,13 +1831,14 @@ def test_kinesis_pysource_partitioned_clock_step_back_holds_boundary():
         end1 = reader.latestOffset()
         (b1,) = (float(p[len(kps.AT_TS):]) for p in end1.values())
         clock.now -= 10.0  # NTP step backwards
+        t_before = clock.now
         end2 = reader.latestOffset()
-        # held, not regressed — and the boundary-elapse wait carried
-        # the clock back past it (virtual sleep), so the held boundary
-        # is again in the past when returned
+        # held, not regressed — and returned immediately (an empty
+        # batch needs no boundary-elapse wait), not after a 10 s block
         assert end2 == end1
-        assert clock.now >= b1
+        assert clock.now - t_before < 1.0, (t_before, clock.now)
         assert reader.partitions(end1, end2) == []
+        clock.now = b1 + 2.0  # clock recovers past the held boundary
         end3 = reader.latestOffset()
         (b3,) = (float(p[len(kps.AT_TS):]) for p in end3.values())
         assert b3 > b1
@@ -1874,17 +1871,7 @@ def test_kinesis_pysource_partitioned_boundary_lag():
     from kda_flink_app_timestream_spark.streaming import kinesis_fake
     from kda_flink_app_timestream_spark.streaming import kinesis_pysource as kps
 
-    class _Clock:
-        def __init__(self, start):
-            self.now = start
-
-        def time(self):
-            return self.now
-
-        def sleep(self, dt):
-            self.now += dt
-
-    clock = _Clock(1_700_000_100.4)
+    clock = _VClock(1_700_000_100.4)
     with mock.patch.object(kinesis_fake, "time", clock), mock.patch.object(
         kps, "time", clock
     ), kinesis_fake.FakeKinesis() as fk:
@@ -1920,6 +1907,65 @@ def test_kinesis_pysource_partitioned_boundary_lag():
         expect = [f"r{i}" for i in range(8) if 1_700_000_100.4 + i < boundary]
         assert got == expect, (got, boundary)
         assert 0 < len(got) < 8  # the lag genuinely deferred the tail
+
+
+def test_kinesis_pysource_partitioned_future_anchor_holds_not_blocks():
+    """An explicit AT_TIMESTAMP anchor AHEAD of the clock (start
+    processing from a future instant) must neither erode nor block:
+    latestOffset returns the anchor itself immediately (empty batches —
+    committing anything lower would erode the anchor and re-admit the
+    excluded present; sleeping until the anchor would stall the
+    microbatch thread for the whole lead time), then advances normally
+    once the clock passes it. Fractional anchors seed the floor CEILed,
+    so the boundary never precedes the committed anchor on a healthy
+    clock."""
+    from unittest import mock
+
+    from kda_flink_app_timestream_spark.streaming import kinesis_fake
+    from kda_flink_app_timestream_spark.streaming import kinesis_pysource as kps
+
+    clock = _VClock(1_700_000_200.4)
+    with mock.patch.object(kinesis_fake, "time", clock), mock.patch.object(
+        kps, "time", clock
+    ), kinesis_fake.FakeKinesis() as fk:
+        client = _fake_client(fk)
+        client.create_stream(StreamName="pysrc-future", ShardCount=1)
+        client.put_record(
+            StreamName="pysrc-future", Data=b"now-record", PartitionKey="k"
+        )
+        anchor_ts = clock.now + 3600.5  # an hour ahead, fractional
+        reader = kps.KinesisPartitionedStreamReader(
+            {
+                "streamname": "pysrc-future",
+                "endpointurl": fk.endpoint_url,
+                "accesskeyid": "t",
+                "secretaccesskey": "t",
+                "initialposition": "AT_TIMESTAMP",
+                "initialpositiontimestamp": repr(anchor_ts),
+            }
+        )
+        start = reader.initialOffset()
+        t0 = clock.now
+        end = reader.latestOffset()
+        # immediate (no hour-long virtual sleep), held at ceil(anchor)
+        assert clock.now - t0 < 1.0, (t0, clock.now)
+        (pos,) = end.values()
+        held = float(pos[len(kps.AT_TS):])
+        assert held >= anchor_ts, (held, anchor_ts)
+        # no batch content until the clock passes the anchor; the
+        # committed position never erodes below it
+        assert reader.partitions(start, end) == [] or all(
+            not list(reader.read(p)) for p in reader.partitions(start, end)
+        )
+        assert reader.latestOffset() == end  # still held
+        clock.now = held + 2.0  # the anchor instant arrives
+        client.put_record(
+            StreamName="pysrc-future", Data=b"after-anchor", PartitionKey="k"
+        )
+        clock.now += 1.0
+        end2 = reader.latestOffset()
+        rows = [r for p in reader.partitions(end, end2) for r in reader.read(p)]
+        assert [bytes(r[0]).decode() for r in rows] == ["after-anchor"], rows
 
 
 def test_kinesis_pysource_partitioned_rejects_pre_v2_offsets():
