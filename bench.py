@@ -144,6 +144,15 @@ BENCH_QUERIES = [
     # with undrained parent records — harness-roundtrip tier, like
     # latest_resume)
     "kinesis_pysource_reshard_resume",
+    # r10 (this session): the composed billion-scale ANN index (ADC
+    # scoring from 4-byte codes — the defining property is that the
+    # quadratic stage does NO vector arithmetic), the 2-D Morton-
+    # clustered layout round trip (steady-state timing is the box-
+    # predicate READ off the z-ordered stage), and per-event-gap
+    # session windows (native dynamic-gap stateful aggregation)
+    "sim_ivfpq_adc_topk",
+    "layout_zorder_clustering",
+    "stream_session_dynamic_gap",
 ]
 
 # canary steady-state spread at/above which the three timed passes are

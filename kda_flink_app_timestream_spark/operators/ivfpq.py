@@ -1,0 +1,195 @@
+"""IVF-PQ ANN with asymmetric-distance (ADC) lookup tables.
+
+The composed index every billion-vector deployment actually runs
+(Jégou et al. 2011; the FAISS ``IVFPQ`` shape, public recipe): the IVF
+coarse quantizer prunes the corpus to ``nprobe`` inverted lists, and
+within a list candidates are scored from their 4-byte PQ codes alone —
+the query precomputes one small lookup table per subspace
+(``n_codewords`` squared distances), so scoring a candidate is
+``n_sub`` array lookups + adds instead of a ``dim``-wide float dot.
+That asymmetry (exact query vs quantized candidate) is what "ADC"
+names, and it is why the index can rank a 100 TB corpus from a few
+bytes per vector: the full embedding column is never read at query
+time, only ``(cid, code_0..code_{n_sub-1})``.
+
+Spark-first shape (composes the two green building blocks):
+
+- coarse assignment / probing reuse ``operators.similarity``'s
+  zero-shuffle literal-codebook projection (``_nearest_centroids``) —
+  the corpus NEVER shuffles for assignment;
+- PQ encoding is the same exact-integer narrow projection as
+  ``pq_codes`` (``floor(x * 2^20)`` grid → integer squared distances,
+  argmin ties to the smaller code id) — bit-identical across engines
+  because every sum is integer;
+- the per-query LUTs are built IN the query rows (``n_sub`` arrays of
+  ``n_codewords`` bigints each) so the tiny probed-query side
+  broadcasts LUTs and cids together; the candidate join is a broadcast
+  hash join on ``cid`` followed by a pure projection
+  ``lut_s[code_s]`` — no vector arithmetic on the quadratic stage at
+  all, the defining ADC property.
+
+The only shuffle in the whole plan is the final per-query top-k.
+
+Reference parity note: the reference engine has no ANN surface — this
+is part of the mandated LLM-pipeline extension (SURVEY.md §2.2), the
+similarity-search scale path beyond the LSH/IVF/PQ singles already
+registered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, norm_unrolled
+from .similarity import (
+    DIM,
+    IVF_NPROBE,
+    PQ_CODEBOOK_RANGE,
+    PQ_N_SUB,
+    PQ_SCALE,
+    _collect_centroids,
+    _nearest_centroids,
+    ivf_centroids,
+)
+
+
+def _quantized(vec_col: str) -> Column:
+    """The shared exact-integer grid: ``floor(x * 2^20)`` per component
+    (identical to ``pq_codes`` — double multiply + floor are
+    IEEE-identical across engines, so both sides quantize to the same
+    bigints)."""
+    return F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.floor(x * F.lit(float(PQ_SCALE))).cast("long"),
+    )
+
+
+def _int_sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _collect_pq_codebook(
+    corpus: DataFrame, id_col: str, vec_col: str
+) -> list[tuple[int, list[int]]]:
+    """The PQ codebook as bounded driver-side MODEL STATE (the
+    ``pq_codes``/IVF pattern): 8 quantized codeword vectors, filter
+    pushed to the raw scan, sorted by code id for deterministic LUT
+    positions (LUT slot ``i`` ⇔ the i-th smallest codeword id)."""
+    lo, hi = PQ_CODEBOOK_RANGE
+    src = corpus.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi)).select(
+        F.col(id_col).alias("__cid"), _quantized(vec_col).alias("__qv")
+    )
+    return sorted((r["__cid"], [int(x) for x in r["__qv"]]) for r in src.collect())
+
+
+def _sub_codeword_literal(
+    codebook: list[tuple[int, list[int]]], s: int, sub_dim: int
+) -> Column:
+    """Subspace ``s`` of the codebook as one literal
+    ``array<struct<c, cv>>`` in code-id order."""
+    structs = ", ".join(
+        f"named_struct('c', {int(code)}L, 'cv', array("
+        + ", ".join(f"{int(w[s * sub_dim + i])}L" for i in range(sub_dim))
+        + "))"
+        for code, w in codebook
+    )
+    return F.expr(f"array({structs})")
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = IVF_NPROBE,
+    n_sub: int = PQ_N_SUB,
+    dim: int = DIM,
+) -> DataFrame:
+    """Top-k by ADC distance (ascending — PQ distances approximate
+    squared L2, smaller is closer), ties to the smaller neighbor id.
+
+    Output: (query_id, neighbor_id, adc_dist BIGINT, rk INT). Exact by
+    construction given the index: adc_dist is an integer sum of
+    integer LUT entries, so the oracle hash-matches bit-for-bit.
+    """
+    sub_dim = dim // n_sub
+    cents = _collect_centroids(ivf_centroids(corpus, id_col, vec_col))
+    codebook = _collect_pq_codebook(corpus, id_col, vec_col)
+
+    # --- corpus side: one narrow projection → (cid, code_0..code_{n-1})
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+            _quantized(vec_col).alias("qv"),
+        )
+        .withColumn("cn", norm_unrolled("cv", dim))
+    )
+    assigned = _nearest_centroids(c, cents, "cv", "cn", 1)
+
+    def code(s: int) -> Column:
+        sub = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
+        cand = F.transform(
+            _sub_codeword_literal(codebook, s, sub_dim),
+            lambda e: F.struct(_int_sq_dist(sub, e["cv"]).alias("d"), e["c"].alias("c")),
+        )
+        return F.array_min(cand)["c"]
+
+    encoded = assigned.select(
+        "neighbor_id", "cid", *[code(s).alias(f"code_{s}") for s in range(n_sub)]
+    )
+
+    # --- query side: nprobe cids + one ADC LUT per subspace
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qdv"),
+            _quantized(vec_col).alias("qq"),
+        )
+        .withColumn("qn", norm_unrolled("qdv", dim))
+    )
+    probed = _nearest_centroids(q, cents, "qdv", "qn", nprobe)
+
+    def lut(s: int) -> Column:
+        sub = F.slice(F.col("qq"), s * sub_dim + 1, sub_dim)
+        return F.transform(
+            _sub_codeword_literal(codebook, s, sub_dim),
+            lambda e: _int_sq_dist(sub, e["cv"]),
+        )
+
+    probed = probed.select(
+        "query_id", "cid", *[lut(s).alias(f"lut_{s}") for s in range(n_sub)]
+    )
+
+    # --- ADC scoring: broadcast the (queries × nprobe) probe side; a
+    # candidate costs n_sub array lookups — LUT slot i is codeword i in
+    # code-id order, so the lookup index is the code's position among
+    # the sorted codeword ids (codes are a contiguous id range here)
+    code_base = codebook[0][0]
+    adc = None
+    for s in range(n_sub):
+        term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}").cast("int") - code_base + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        encoded.join(F.broadcast(probed), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

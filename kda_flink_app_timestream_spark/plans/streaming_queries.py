@@ -322,6 +322,77 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'click' THEN INTERVAL '10 minutes'
+                    WHEN event_type = 'view'  THEN INTERVAL '20 minutes'
+                    ELSE INTERVAL '45 minutes' END AS gap
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, ts, ts + gap AS w_end,
+               max(ts + gap) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM t
+    ),
+    islands AS (
+        SELECT user_id, ts, w_end,
+               sum(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(w_end) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session", "dynamic-gap"),
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap: the session timeout depends
+    on the event that extends it (clicks keep a session alive 10 min,
+    views 20, everything else 45) — the activity-weighted
+    sessionization a product-analytics pipeline actually wants, and a
+    shape Flink expresses with a custom ``SessionWindowTimeGapExtractor``.
+    Spark-first: ``session_window`` accepts a gap EXPRESSION, so the
+    whole thing stays a native stateful streaming aggregation — no
+    custom state. Oracle: gaps-and-islands where a session breaks when
+    the event's start reaches the running max of (ts + gap(event)) over
+    all earlier events — exactly Spark's merge-on-strict-overlap rule
+    (touching windows do NOT merge, same tie direction the static-gap
+    oracle pins); merged intervals are order-independent under ts
+    ties, so the result is deterministic."""
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("10 minutes"))
+        .when(F.col("event_type") == "view", F.lit("20 minutes"))
+        .otherwise(F.lit("45 minutes"))
+    )
+    out = session_windowed(
+        _events_stream(spark, sf_dir),
+        "ts",
+        gap=gap,
+        keys=("user_id",),
+        aggs=(F.count("*").alias("n_events"),),
+        watermark="35 days",
+    )
+    result = _run_to_memory(out, spark)
+    return result.select(
+        "user_id",
+        F.col("window.start").alias("session_start"),
+        F.col("window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
     "stream_interval_join",
     oracle="""
     WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

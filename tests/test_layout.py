@@ -249,3 +249,48 @@ def test_vacuum_skips_null_partition_by_default(tmp_path):
     )
     assert removed == 1
     assert [p.name for p in root.iterdir()] == ["day=2024-02-01"]
+
+
+def test_zorder_files_form_tight_boxes_that_skip_the_query_box(spark, sf_dir):
+    """The z-order layout contract: 8 range-clustered files on the
+    Morton key, and the catalog query's 2-D box predicate (user_id
+    16..47 × one week) is DISJOINT from the (user_id, day) min/max box
+    of at least half the files — the statistic that lets parquet
+    min/max skip whole files on BOTH dimensions at once. A ts-only
+    clustering can never buy this for a user_id predicate. (Content
+    equality is the catalog query's oracle check.)"""
+    from datetime import date
+
+    from kda_flink_app_timestream_spark.plans.layout import (
+        ZORDER_FILES,
+        staged_zordered_events,
+    )
+
+    stage = staged_zordered_events(spark, sf_dir)
+    files = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    assert len(files) == ZORDER_FILES, files
+    boxes = (
+        spark.read.parquet(stage)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("user_id").alias("u_lo"),
+            F.max("user_id").alias("u_hi"),
+            F.min("day").alias("d_lo"),
+            F.max("day").alias("d_hi"),
+        )
+        .collect()
+    )
+    assert len(boxes) == ZORDER_FILES
+    q_u_lo, q_u_hi = 16, 47
+    q_d_lo, q_d_hi = date(2024, 1, 8), date(2024, 1, 15)  # inclusive box
+    intersecting = [
+        b
+        for b in boxes
+        if b["u_lo"] <= q_u_hi
+        and b["u_hi"] >= q_u_lo
+        and b["d_lo"] <= q_d_hi
+        and b["d_hi"] >= q_d_lo
+    ]
+    assert len(intersecting) <= ZORDER_FILES // 2, [
+        (b["u_lo"], b["u_hi"], str(b["d_lo"]), str(b["d_hi"])) for b in boxes
+    ]

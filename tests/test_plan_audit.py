@@ -89,8 +89,10 @@ def test_audit_covers_the_catalog():
     # kinesis_pysource_partitioned_consume — both real streaming runs
     # through the registered source)
     # (driver-r10: +1 kinesis_pysource_reshard_resume — the reshard
-    # lifecycle across a checkpoint boundary, a real streaming run)
-    assert len(excluded) == 23, sorted(excluded)
+    # lifecycle across a checkpoint boundary, a real streaming run, and
+    # +1 stream_session_dynamic_gap — per-event-gap session windows, a
+    # real streaming run)
+    assert len(excluded) == 24, sorted(excluded)
 
 
 if __name__ == "__main__":
