@@ -43,6 +43,11 @@ def asof_join(
     equal timestamps, so an exact tie matches in either direction
     (<=/>=, not strict). Payload columns come back as ``{col}{suffix}``.
 
+    Precondition (review note): right rows should be UNIQUE per
+    ``(key, right_ts)`` — with duplicates there, which payload wins is
+    tie-order-dependent (here, DuckDB's ASOF, and pandas merge_asof all
+    leave it unspecified); dedupe or add a finer ts first if it matters.
+
     Scale: one shuffle on ``on``; window state is a single struct per
     key (the forward-/backward-fill), so skewed keys cost memory O(1)
     per row streamed, not O(group).

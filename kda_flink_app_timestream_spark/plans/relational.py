@@ -705,13 +705,20 @@ def setops_active_or_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def setops_except_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct set difference)."""
+    """EXCEPT (distinct set difference).
+
+    ``subtract`` IS SQL's EXCEPT DISTINCT. The previous
+    ``exceptAll().distinct()`` composition diverges on duplicated left
+    rows (a row appearing 3× left / 1× right survives bag-subtraction
+    with multiplicity 2 and then distincts to PRESENT, where EXCEPT
+    drops it entirely) — identical results here only because c_custkey
+    is unique; review fix keeps the operator honest for any input."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     finished = o.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return c.select("c_custkey").exceptAll(finished).distinct()
+    return c.select("c_custkey").subtract(finished)
 
 
 # ---------------------------------------------------------------------------
@@ -747,7 +754,12 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.regexp_extract("p_brand", r"[0-9]+", 0).cast("long").alias("brand_num"),
-        F.split(F.col("p_name"), " ").getItem(1).alias("name_word2"),
+        # split_part matches the oracle's missing-token contract ('' when
+        # the index exceeds the parts); the previous split().getItem(1)
+        # returned NULL there — divergent on any one-word name (review
+        # fix; TPC-H part names are always multi-word, so results here
+        # are identical)
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("name_word2"),
     )
 
 
