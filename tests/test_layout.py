@@ -294,3 +294,66 @@ def test_zorder_files_form_tight_boxes_that_skip_the_query_box(spark, sf_dir):
     assert len(intersecting) <= ZORDER_FILES // 2, [
         (b["u_lo"], b["u_hi"], str(b["d_lo"]), str(b["d_hi"])) for b in boxes
     ]
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """zorder_key's shift/mask/or expression equals the reference Morton
+    interleave bit-for-bit over random coordinates (hypothesis draws
+    both in-range values and ones beyond `bits`, which must alias, not
+    error)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kda_flink_app_timestream_spark.operators.layout import zorder_key
+
+    def py_morton(x: int, y: int, bits: int = 16) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1 << 20),
+                st.integers(min_value=0, max_value=1 << 20),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.select(
+                "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+            ).collect()
+        }
+        for x, y in pairs:
+            assert got[(x, y)] == py_morton(x, y), (x, y)
+
+    check()
+
+
+def test_zorder_key_orders_locality(spark):
+    """Neighbor coordinates map to nearby keys: the key of (x, y) and
+    (x, y+1) differ only in y-bits — monotone in each coordinate when
+    the other is fixed (the property range-clustering relies on)."""
+    from kda_flink_app_timestream_spark.operators.layout import zorder_key
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = (
+        df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z"))
+        .collect()
+    )
+    by_xy = {(r["x"], r["y"]): r["z"] for r in got}
+    for x in range(16):
+        col_keys = [by_xy[(x, y)] for y in range(16)]
+        assert col_keys == sorted(col_keys)
+    for y in range(16):
+        row_keys = [by_xy[(x, y)] for x in range(16)]
+        assert row_keys == sorted(row_keys)

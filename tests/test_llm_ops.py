@@ -982,3 +982,77 @@ def test_decode_image_via_pil_when_installed(spark):
     row = decode_image(df).collect()[0]
     assert row["decode_ok"] is True
     assert (row["width"], row["height"]) == (12, 8)
+
+
+def test_ivfpq_adc_dist_matches_python_reference(spark, sf_dir):
+    """Every (query, neighbor, adc_dist) the IVF-PQ operator returns is
+    re-derived in pure Python from the raw parquet: quantize to the 2^20
+    grid, PQ-encode the neighbor against the codebook slice (argmin ties
+    to the smaller code), sum the query's per-subspace LUT entries for
+    those codes — the integers must match exactly, and the neighbor must
+    live in one of the query's nprobe probed lists."""
+    import math
+
+    from kda_flink_app_timestream_spark.operators.ivfpq import ivfpq_adc_topk
+    from kda_flink_app_timestream_spark.operators.similarity import (
+        IVF_CENTROID_RANGE,
+        IVF_NPROBE,
+        PQ_CODEBOOK_RANGE,
+        PQ_N_SUB,
+        PQ_SCALE,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]] for r in e.collect()
+    }
+    q = {k: [math.floor(x * float(PQ_SCALE)) for x in v] for k, v in vecs.items()}
+    sub_dim = 64 // PQ_N_SUB
+
+    def cos(a, b):
+        da = sum(x * x for x in a)
+        db = sum(x * x for x in b)
+        if da == 0 or db == 0:
+            return 0.0
+        return sum(x * y for x, y in zip(a, b)) / (math.sqrt(da) * math.sqrt(db))
+
+    cents = {
+        cid: vecs[cid]
+        for cid in range(*IVF_CENTROID_RANGE)
+        if cid in vecs
+    }
+
+    def nearest_cids(v, k):
+        # cosine desc then cid asc (the operator's tie rule)
+        ranked = sorted(cents, key=lambda c: (-cos(v, cents[c]), c))
+        return ranked[:k]
+
+    codebook = sorted(
+        (cid, q[cid]) for cid in range(*PQ_CODEBOOK_RANGE) if cid in q
+    )
+
+    def codes_of(qv):
+        out = []
+        for s in range(PQ_N_SUB):
+            sub = qv[s * sub_dim : (s + 1) * sub_dim]
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(sub, w[s * sub_dim : (s + 1) * sub_dim])), c)
+                for c, w in codebook
+            )
+            out.append(best[1])
+        return out
+
+    got = ivfpq_adc_topk(
+        e, e.filter(F.col("vec_id") < 20), k=5
+    ).collect()
+    assert got, "operator returned no rows"
+    for r in got:
+        qid, nid, adc = r["query_id"], r["neighbor_id"], r["adc_dist"]
+        assert nearest_cids(vecs[nid], 1)[0] in nearest_cids(vecs[qid], IVF_NPROBE)
+        ncodes = codes_of(q[nid])
+        expect = 0
+        for s, code in enumerate(ncodes):
+            w = dict(codebook)[code][s * sub_dim : (s + 1) * sub_dim]
+            sub = q[qid][s * sub_dim : (s + 1) * sub_dim]
+            expect += sum((a - b) ** 2 for a, b in zip(sub, w))
+        assert adc == expect, (qid, nid, adc, expect)
