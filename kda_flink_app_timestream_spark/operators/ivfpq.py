@@ -102,28 +102,21 @@ def _sub_codeword_literal(
     return F.expr(f"array({structs})")
 
 
-def ivfpq_adc_topk(
+def ivfpq_encode(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
+    cents: list[tuple[int, list[float]]],
+    codebook: list[tuple[int, list[int]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nprobe: int = IVF_NPROBE,
     n_sub: int = PQ_N_SUB,
     dim: int = DIM,
 ) -> DataFrame:
-    """Top-k by ADC distance (ascending — PQ distances approximate
-    squared L2, smaller is closer), ties to the smaller neighbor id.
-
-    Output: (query_id, neighbor_id, adc_dist BIGINT, rk INT). Exact by
-    construction given the index: adc_dist is an integer sum of
-    integer LUT entries, so the oracle hash-matches bit-for-bit.
-    """
+    """The INDEX-BUILD half: one zero-shuffle narrow projection of the
+    corpus to ``(neighbor_id, cid, code_0..code_{n_sub-1})``. In a real
+    deployment this runs ONCE at write time and the result is stored
+    ``partitionBy(cid)`` — query time never touches the raw vectors
+    again (the encoded row is ~20 bytes vs 256 B of floats)."""
     sub_dim = dim // n_sub
-    cents = _collect_centroids(ivf_centroids(corpus, id_col, vec_col))
-    codebook = _collect_pq_codebook(corpus, id_col, vec_col)
-
-    # --- corpus side: one narrow projection → (cid, code_0..code_{n-1})
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -142,11 +135,27 @@ def ivfpq_adc_topk(
         )
         return F.array_min(cand)["c"]
 
-    encoded = assigned.select(
+    return assigned.select(
         "neighbor_id", "cid", *[code(s).alias(f"code_{s}") for s in range(n_sub)]
     )
 
-    # --- query side: nprobe cids + one ADC LUT per subspace
+
+def ivfpq_adc_search(
+    encoded: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    codebook: list[tuple[int, list[int]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = IVF_NPROBE,
+    n_sub: int = PQ_N_SUB,
+    dim: int = DIM,
+) -> DataFrame:
+    """The QUERY half: probe ``nprobe`` lists and score candidates from
+    their codes alone via per-query ADC LUTs — ``n_sub`` integer array
+    lookups per candidate, no vector arithmetic, no embedding reads."""
+    sub_dim = dim // n_sub
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -192,4 +201,36 @@ def ivfpq_adc_topk(
             "adc_dist",
             F.col("rk").cast("int").alias("rk"),
         )
+    )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = IVF_NPROBE,
+    n_sub: int = PQ_N_SUB,
+    dim: int = DIM,
+) -> DataFrame:
+    """Top-k by ADC distance (ascending — PQ distances approximate
+    squared L2, smaller is closer), ties to the smaller neighbor id.
+
+    Output: (query_id, neighbor_id, adc_dist BIGINT, rk INT). Exact by
+    construction given the index: adc_dist is an integer sum of
+    integer LUT entries, so the oracle hash-matches bit-for-bit.
+
+    This self-contained form composes the two halves in one plan
+    (index build + search) so the catalog query is oracle-checkable
+    without stored state. Measured honestly (SCALE.md): encoding
+    dominates at query time, so the production deployment is
+    ``ivfpq_encode`` once at write → store ``partitionBy(cid)`` →
+    ``ivfpq_adc_search`` per query batch against the stored codes.
+    """
+    cents = _collect_centroids(ivf_centroids(corpus, id_col, vec_col))
+    codebook = _collect_pq_codebook(corpus, id_col, vec_col)
+    encoded = ivfpq_encode(corpus, cents, codebook, id_col, vec_col, n_sub, dim)
+    return ivfpq_adc_search(
+        encoded, queries, cents, codebook, k, id_col, vec_col, nprobe, n_sub, dim
     )
