@@ -1056,3 +1056,35 @@ def test_ivfpq_adc_dist_matches_python_reference(spark, sf_dir):
             sub = q[qid][s * sub_dim : (s + 1) * sub_dim]
             expect += sum((a - b) ** 2 for a, b in zip(sub, w))
         assert adc == expect, (qid, nid, adc, expect)
+
+
+def test_ivfpq_split_equals_composed(spark, sf_dir):
+    """The production split (encode once → search over stored codes)
+    returns exactly the composed catalog form's rows — including through
+    a real partitionBy(cid) parquet round trip, the deployment layout."""
+    import tempfile
+
+    from kda_flink_app_timestream_spark.operators.ivfpq import (
+        _collect_pq_codebook,
+        ivfpq_adc_search,
+        ivfpq_adc_topk,
+        ivfpq_encode,
+    )
+    from kda_flink_app_timestream_spark.operators.similarity import (
+        _collect_centroids,
+        ivf_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    cents = _collect_centroids(ivf_centroids(e, "vec_id", "embedding"))
+    cb = _collect_pq_codebook(e, "vec_id", "embedding")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/ivfpq_index"
+        ivfpq_encode(e, cents, cb).write.partitionBy("cid").parquet(path)
+        stored = spark.read.parquet(path)
+        split_rows = sorted(
+            tuple(r) for r in ivfpq_adc_search(stored, q, cents, cb, k=5).collect()
+        )
+    composed_rows = sorted(tuple(r) for r in ivfpq_adc_topk(e, q, k=5).collect())
+    assert split_rows == composed_rows
