@@ -153,6 +153,10 @@ BENCH_QUERIES = [
     "sim_ivfpq_adc_topk",
     "layout_zorder_clustering",
     "stream_session_dynamic_gap",
+    # r10 (this session): greedy MMR diversity re-ranking — k−1 unrolled
+    # join steps over the cached (queries × 20) candidate table; its cost
+    # is constant stage overhead, not corpus-dependent
+    "sim_mmr_diverse_topk",
 ]
 
 # canary steady-state spread at/above which the three timed passes are

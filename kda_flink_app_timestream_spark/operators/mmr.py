@@ -1,0 +1,166 @@
+"""Maximal-marginal-relevance (MMR) diversity re-ranking.
+
+The selection step a curation pipeline runs AFTER retrieval: given a
+query and its top-N candidates (from the ANN stage), pick k items that
+are relevant AND mutually diverse — greedy argmax of
+``λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s)`` (Carbonell & Goldstein 1998,
+the public MMR recipe). Used for diverse few-shot selection, dedup-aware
+sampling, and search-result diversification.
+
+Spark-first shape: candidate generation is the same broadcast-query
+scan every top-k operator here uses; the greedy loop is UNROLLED — k is
+a small constant, so the k−1 refinement steps become k−1 joins against
+the (queries × n_cand) candidate table, which is broadcast-tiny by
+construction at any corpus size. Nothing iterative touches the corpus:
+total work is one corpus scan + O(queries · k · n_cand) on the
+candidate set. Arithmetic is integer-exact (components quantized to
+``floor(x · 2^10)`` before the dots, λ = 0.7 expressed as the integer
+pair 7/3), so both engines pick identical items with identical scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double
+from ..session import defer_release
+
+MMR_K = 5
+MMR_N_CAND = 20
+MMR_SCALE = 1 << 10       # component quantization grid
+MMR_LAMBDA_NUM = 7        # score = 7·rel − 3·penalty  (λ = 0.7, ×10)
+MMR_LAMBDA_PEN = 3
+
+
+def _quantized(vec_col: str) -> Column:
+    return F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.floor(x * F.lit(float(MMR_SCALE))).cast("long"),
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = MMR_K,
+    n_cand: int = MMR_N_CAND,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy MMR selection of ``k`` diverse items from each query's
+    top-``n_cand`` candidates (by integer dot relevance, self excluded).
+
+    Output: (query_id, pick_idx INT 1..k, neighbor_id, mmr_score
+    BIGINT) — pick 1 scores pure relevance (empty penalty set), later
+    picks subtract the max pair-similarity to anything already picked;
+    ties go to the smaller neighbor id at every step.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _quantized(vec_col).alias("qq")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), _quantized(vec_col).alias("cq")
+    )
+    rel0 = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _int_dot(F.col("qq"), F.col("cq")).alias("rel"),
+            "cq",
+        )
+    )
+    w_rel = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    # the candidate table is (queries × n_cand) rows — cached because the
+    # k−1 unrolled steps and the pair table all re-join it (deferred
+    # release per the session contract)
+    cand = (
+        rel0.withColumn("crk", F.row_number().over(w_rel))
+        .filter(F.col("crk") <= n_cand)
+        .drop("crk")
+        .cache()
+    )
+    defer_release(cand)
+    a = cand.select(
+        "query_id", F.col("cand_id").alias("a_id"), F.col("cq").alias("av")
+    )
+    b = cand.select(
+        "query_id", F.col("cand_id").alias("b_id"), F.col("cq").alias("bv")
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            _int_dot(F.col("av"), F.col("bv")).alias("psim"),
+        )
+        .cache()
+    )
+    defer_release(pairs)
+    slim = cand.select("query_id", "cand_id", "rel")
+
+    # each step's pick feeds THREE downstream consumers (the next
+    # step's penalty join, its anti-join, and the final union) — left
+    # uncached, the step chains re-evaluate ~3× per later step and the
+    # whole plan goes combinatorial (measured: 15 s → 3 s at sf0.01).
+    # Every pick is (queries × 1) rows, so caching is driver-trivial.
+    first = (
+        slim.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            F.lit(1).alias("pick_idx"),
+            (MMR_LAMBDA_NUM * F.col("rel")).alias("score"),
+        )
+        .cache()
+    )
+    defer_release(first)
+    picked = first
+    for t in range(2, k + 1):
+        pen = (
+            pairs.join(
+                picked.select("query_id", F.col("cand_id").alias("b_id")),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", F.col("a_id").alias("cand_id"))
+            .agg(F.max("psim").alias("pen"))
+        )
+        remaining = slim.join(
+            picked.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+        )
+        score = MMR_LAMBDA_NUM * F.col("rel") - MMR_LAMBDA_PEN * F.col("pen")
+        w_pick = W.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("cand_id")
+        )
+        pick = (
+            remaining.join(pen, ["query_id", "cand_id"])
+            .select("query_id", "cand_id", score.alias("score"))
+            .withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "cand_id", F.lit(t).alias("pick_idx"), "score"
+            )
+            .cache()
+        )
+        defer_release(pick)
+        picked = picked.unionByName(pick)
+    return picked.select(
+        "query_id",
+        F.col("pick_idx").cast("int").alias("pick_idx"),
+        F.col("cand_id").alias("neighbor_id"),
+        F.col("score").alias("mmr_score"),
+    )

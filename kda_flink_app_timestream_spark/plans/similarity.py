@@ -619,6 +619,123 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_adc_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOP_K)
 
 
+# --- MMR diversity re-ranking --------------------------------------------------
+
+from ..operators.mmr import (  # noqa: E402
+    MMR_K,
+    MMR_LAMBDA_NUM,
+    MMR_LAMBDA_PEN,
+    MMR_N_CAND,
+    MMR_SCALE,
+    mmr_topk,
+)
+
+
+def _mmr_oracle() -> str:
+    def int_dot(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+            f"x -> x[1] * x[2])) AS BIGINT)"
+        )
+
+    steps = []
+    for t in range(2, MMR_K + 1):
+        prev = f"selall{t - 1}"
+        steps.append(f"""
+pen{t} AS (
+    SELECT p.query_id, p.a_id AS cand_id, max(p.psim) AS pen
+    FROM pairs p JOIN {prev} s ON p.query_id = s.query_id AND p.b_id = s.cand_id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM {prev} s2
+        WHERE s2.query_id = p.query_id AND s2.cand_id = p.a_id
+    )
+    GROUP BY 1, 2
+),
+sel{t} AS (
+    SELECT query_id, cand_id, {t} AS pick_idx, score FROM (
+        SELECT c.query_id, c.cand_id,
+               {MMR_LAMBDA_NUM} * c.rel - {MMR_LAMBDA_PEN} * p.pen AS score,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {MMR_LAMBDA_NUM} * c.rel - {MMR_LAMBDA_PEN} * p.pen DESC,
+                            c.cand_id
+               ) AS rn
+        FROM cand c JOIN pen{t} p
+          ON c.query_id = p.query_id AND c.cand_id = p.cand_id
+    ) WHERE rn = 1
+),
+selall{t} AS (
+    SELECT query_id, cand_id, pick_idx, score FROM {prev}
+    UNION ALL
+    SELECT query_id, cand_id, pick_idx, score FROM sel{t}
+)""")
+    chained = ",".join(steps)
+    return f"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * {float(MMR_SCALE)}) AS BIGINT)) AS v
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+rel0 AS (
+    SELECT q.query_id, c.vec_id AS cand_id,
+           {int_dot('q.qv', 'c.v')} AS rel, c.v AS cv
+    FROM q JOIN e c ON q.query_id <> c.vec_id
+),
+cand AS (
+    SELECT query_id, cand_id, rel, cv FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, cand_id
+        ) AS crk FROM rel0
+    ) WHERE crk <= {MMR_N_CAND}
+),
+pairs AS (
+    SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+           {int_dot('a.cv', 'b.cv')} AS psim
+    FROM cand a JOIN cand b
+      ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+),
+sel1 AS (
+    SELECT query_id, cand_id, 1 AS pick_idx,
+           {MMR_LAMBDA_NUM} * rel AS score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, cand_id
+        ) AS rn FROM cand
+    ) WHERE rn = 1
+),
+selall1 AS (SELECT query_id, cand_id, pick_idx, score FROM sel1),{chained}
+SELECT query_id,
+       CAST(pick_idx AS INT) AS pick_idx,
+       cand_id AS neighbor_id,
+       CAST(score AS BIGINT) AS mmr_score
+FROM selall{MMR_K}
+"""
+
+
+@query(
+    "sim_mmr_diverse_topk",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "diversity", "rerank"),
+)
+def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection: for each of 20 queries,
+    greedily pick the 5 most relevant-AND-mutually-diverse of its
+    top-20 candidates (score = 7·rel − 3·max-sim-to-picked, λ=0.7) —
+    the post-retrieval selection step of diverse few-shot sampling and
+    dedup-aware curation, a different primitive from top-k (which
+    happily returns 5 near-copies). The greedy loop is UNROLLED: k−1
+    joins over the (queries × 20)-row candidate table; the corpus is
+    touched exactly once (candidate generation — the same broadcast-
+    query scan the brute-force path uses; in production the ANN index
+    feeds this stage instead). Integer-exact throughout (2^10 grid,
+    integer λ), so both engines pick identical items with identical
+    scores."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
+
+
 # --- intra-cluster diversity without pairs -----------------------------------
 
 DIVERSITY_SCALE = 10_000  # component quantization: floor(x * 1e4)
