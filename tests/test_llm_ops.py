@@ -1088,3 +1088,39 @@ def test_ivfpq_split_equals_composed(spark, sf_dir):
         )
     composed_rows = sorted(tuple(r) for r in ivfpq_adc_topk(e, q, k=5).collect())
     assert split_rows == composed_rows
+
+
+def test_mmr_prefers_diverse_over_near_copies(spark):
+    """The property MMR exists for: when the top of the relevance
+    ranking is a block of near-copies, plain top-k returns the block
+    while MMR's pick 2 skips the near-copy of pick 1 in favor of a
+    less-relevant but diverse candidate. Built on an orthogonal-ish
+    fixture where the scores are hand-checkable."""
+    from pyspark.sql import Row
+
+    from kda_flink_app_timestream_spark.operators.mmr import mmr_topk
+
+    dim = 4
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (dim - len(xs))
+
+    # hand-checkable dots (λ = 0.7 → score = 7·rel − 3·penalty): after
+    # pick 1 the near-copy carries penalty ≈ 9 against rel ≈ 3
+    # (7·3 − 3·9 < 0), while the orthogonal candidate keeps its full
+    # 7·2.8 — MMR must skip the copy; plain top-k would rank it second.
+    rows = [
+        Row(vec_id=0, embedding=v(1.0, 1.0)),          # the query
+        Row(vec_id=1, embedding=v(3.0, 0.0)),          # most relevant (rel 3)
+        Row(vec_id=2, embedding=v(3.0, -0.02)),        # near-copy of 1 (sim 9), rel 2.98
+        Row(vec_id=3, embedding=v(0.0, 2.8)),          # orthogonal to 1, rel 2.8
+        Row(vec_id=4, embedding=v(0.5, 0.5)),          # mild both ways
+        Row(vec_id=5, embedding=v(-3.0, 0.0)),         # anti-relevant
+    ]
+    df = spark.createDataFrame(rows)
+    got = mmr_topk(df, df.filter("vec_id = 0"), k=3, n_cand=5).collect()
+    picks = {r["pick_idx"]: r["neighbor_id"] for r in got}
+    assert picks[1] == 1                     # pure relevance
+    assert picks[2] == 3                     # orthogonal beats the near-copy
+    assert picks[3] == 4                     # copy's penalty keeps it out
+    assert len({r["neighbor_id"] for r in got}) == 3  # no repeats
