@@ -825,3 +825,36 @@ def test_publish_stage_dir_rescues_raced_complete_stage(tmp_path, monkeypatch):
     sq._publish_stage_dir(build, stage, "_SUCCESS")
     assert sorted(os.listdir(stage)) == ["_SUCCESS", "winner.parquet"]
     assert not os.path.exists(build)
+
+
+def test_dynamic_gap_session_merges_same_timestamp_ties(spark):
+    """Two events at the SAME (user, ts) with different gaps must land
+    in one session whose end is max(ts + gap(event)) — merged intervals
+    are order-independent under ties (the property the catalog query's
+    oracle relies on). Batch-mode session_window has the identical merge
+    semantics as the streaming run."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(user_id=1, ts=t0, event_type="click"),   # gap 10 min
+        Row(user_id=1, ts=t0, event_type="error"),   # gap 45 min
+    ]
+    df = spark.createDataFrame(rows)
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("10 minutes"))
+        .when(F.col("event_type") == "view", F.lit("20 minutes"))
+        .otherwise(F.lit("45 minutes"))
+    )
+    got = (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(got) == 1
+    (r,) = got
+    assert r["n"] == 2
+    assert r["w"]["start"] == t0
+    assert r["w"]["end"] == datetime(2024, 1, 1, 12, 45, 0)  # max gap wins
