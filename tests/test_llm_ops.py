@@ -1124,3 +1124,65 @@ def test_mmr_prefers_diverse_over_near_copies(spark):
     assert picks[2] == 3                     # orthogonal beats the near-copy
     assert picks[3] == 4                     # copy's penalty keeps it out
     assert len({r["neighbor_id"] for r in got}) == 3  # no repeats
+
+
+def test_mmr_matches_python_greedy_reference(spark):
+    """The unrolled DataFrame loop must equal a direct Python greedy MMR
+    over random integer fixtures — same quantization grid, same λ pair,
+    same (score DESC, id ASC) tie rule at every step."""
+    import random
+
+    from kda_flink_app_timestream_spark.operators.mmr import (
+        MMR_LAMBDA_NUM,
+        MMR_LAMBDA_PEN,
+        MMR_SCALE,
+        mmr_topk,
+    )
+
+    rng = random.Random(1234)
+    dim = 6
+    n = 15
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[rng.uniform(-1, 1) for _ in range(dim)],
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows)
+    k, n_cand = 4, 8
+    got = {
+        (r["query_id"], r["pick_idx"]): (r["neighbor_id"], r["mmr_score"])
+        for r in mmr_topk(df, df.filter("vec_id < 3"), k=k, n_cand=n_cand).collect()
+    }
+
+    import math
+
+    qv = {
+        r.vec_id: [math.floor(x * MMR_SCALE) for x in r.embedding] for r in rows
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    for query in range(3):
+        rel = sorted(
+            ((dot(qv[query], qv[c]), c) for c in qv if c != query),
+            key=lambda t: (-t[0], t[1]),
+        )[:n_cand]
+        cand = {c: r for r, c in rel}
+        picked = []
+        first = max(cand, key=lambda c: (cand[c], -c))
+        picked.append((first, MMR_LAMBDA_NUM * cand[first]))
+        while len(picked) < k:
+            chosen = None
+            for c in cand:
+                if c in [p for p, _ in picked]:
+                    continue
+                pen = max(dot(qv[c], qv[p]) for p, _ in picked)
+                score = MMR_LAMBDA_NUM * cand[c] - MMR_LAMBDA_PEN * pen
+                if chosen is None or (score, -c) > (chosen[1], -chosen[0]):
+                    chosen = (c, score)
+            picked.append(chosen)
+        for idx, (c, s) in enumerate(picked, start=1):
+            assert got[(query, idx)] == (c, s), (query, idx, got[(query, idx)], (c, s))
