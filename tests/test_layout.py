@@ -357,3 +357,18 @@ def test_zorder_key_orders_locality(spark):
     for y in range(16):
         row_keys = [by_xy[(x, y)] for x in range(16)]
         assert row_keys == sorted(row_keys)
+
+
+def test_zorder_rewrite_preserves_full_content(spark, sf_dir):
+    """The catalog query's oracle checks only the filtered box — this
+    pins the WHOLE rewrite: the z-ordered stage holds exactly the raw
+    events (count and id-sum over every row, not just the predicate's)."""
+    from kda_flink_app_timestream_spark.plans.layout import staged_zordered_events
+
+    raw = load_table(spark, sf_dir, "events")
+    zed = spark.read.parquet(staged_zordered_events(spark, sf_dir))
+    r = raw.agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("s")
+    ).first()
+    z = zed.agg(F.count("*").alias("n"), F.sum("event_id").alias("s")).first()
+    assert (r["n"], r["s"]) == (z["n"], z["s"])

@@ -858,3 +858,57 @@ def test_dynamic_gap_session_merges_same_timestamp_ties(spark):
     assert r["n"] == 2
     assert r["w"]["start"] == t0
     assert r["w"]["end"] == datetime(2024, 1, 1, 12, 45, 0)  # max gap wins
+
+
+def test_dynamic_gap_sessions_match_python_interval_merge(spark):
+    """Batch-mode session_window with a per-event gap equals a direct
+    Python merge of [ts, ts+gap(event)) intervals (merge on STRICT
+    overlap; session end = max member end) over randomized fixtures —
+    the exact semantics the catalog oracle encodes as gaps-and-islands."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    rng = random.Random(77)
+    gaps = {"click": 10, "view": 20, "error": 45}
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for user in range(4):
+        t = base
+        for _ in range(25):
+            t = t + timedelta(minutes=rng.choice([1, 5, 9, 11, 19, 21, 46, 50]))
+            rows.append(
+                Row(user_id=user, ts=t, event_type=rng.choice(list(gaps)))
+            )
+    df = spark.createDataFrame(rows)
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("10 minutes"))
+        .when(F.col("event_type") == "view", F.lit("20 minutes"))
+        .otherwise(F.lit("45 minutes"))
+    )
+    got = sorted(
+        (r["user_id"], r["w"]["start"], r["w"]["end"], r["n"])
+        for r in df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+
+    expect = []
+    for user in range(4):
+        evs = sorted(
+            (r.ts, r.ts + timedelta(minutes=gaps[r.event_type]))
+            for r in rows
+            if r.user_id == user
+        )
+        cur_start, cur_end, cur_n = None, None, 0
+        for s, e in evs:
+            if cur_start is None or s >= cur_end:
+                if cur_start is not None:
+                    expect.append((user, cur_start, cur_end, cur_n))
+                cur_start, cur_end, cur_n = s, e, 1
+            else:
+                cur_end = max(cur_end, e)
+                cur_n += 1
+        expect.append((user, cur_start, cur_end, cur_n))
+    assert got == sorted(expect)
