@@ -85,7 +85,13 @@ def _collect_pq_codebook(
     src = corpus.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi)).select(
         F.col(id_col).alias("__cid"), _quantized(vec_col).alias("__qv")
     )
-    return sorted((r["__cid"], [int(x) for x in r["__qv"]]) for r in src.collect())
+    cb = sorted((r["__cid"], [int(x) for x in r["__qv"]]) for r in src.collect())
+    if not cb:
+        raise ValueError(
+            f"PQ codebook is empty: no corpus rows with {id_col} in "
+            f"[{lo}, {hi}) — pass a corpus containing the codeword slice"
+        )
+    return cb
 
 
 def _sub_codeword_literal(
@@ -179,12 +185,22 @@ def ivfpq_adc_search(
 
     # --- ADC scoring: broadcast the (queries × nprobe) probe side; a
     # candidate costs n_sub array lookups — LUT slot i is codeword i in
-    # code-id order, so the lookup index is the code's position among
-    # the sorted codeword ids (codes are a contiguous id range here)
-    code_base = codebook[0][0]
+    # code-id order. The code→slot translation is an EXPLICIT literal
+    # map (review fix): the previous ``code − first_id + 1`` positional
+    # arithmetic silently assumed the codeword ids form a gap-free
+    # range — on a corpus missing an id inside PQ_CODEBOOK_RANGE it
+    # would look up the wrong slot (or NULL past the end) and diverge
+    # from the oracle's value-keyed join, which assumes nothing.
+    slot_of = F.create_map(
+        *[
+            lit
+            for i, (code, _w) in enumerate(codebook)
+            for lit in (F.lit(int(code)), F.lit(i + 1))
+        ]
+    )
     adc = None
     for s in range(n_sub):
-        term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}").cast("int") - code_base + 1)
+        term = F.element_at(F.col(f"lut_{s}"), slot_of[F.col(f"code_{s}")].cast("int"))
         adc = term if adc is None else adc + term
     scored = (
         encoded.join(F.broadcast(probed), "cid")

@@ -1186,3 +1186,64 @@ def test_mmr_matches_python_greedy_reference(spark):
             picked.append(chosen)
         for idx, (c, s) in enumerate(picked, start=1):
             assert got[(query, idx)] == (c, s), (query, idx, got[(query, idx)], (c, s))
+
+
+def test_ivfpq_survives_sparse_codebook_ids(spark, sf_dir):
+    """A corpus MISSING an id inside PQ_CODEBOOK_RANGE must still score
+    correctly: the ADC code→LUT-slot translation is an explicit map, so
+    a gap in the codeword id range shifts slot numbering without
+    breaking lookups (the previous positional ``code − base + 1``
+    arithmetic silently read the wrong slot here). Verified against the
+    same pure-Python re-derivation as the dense test."""
+    import math
+
+    from kda_flink_app_timestream_spark.operators.ivfpq import ivfpq_adc_topk
+    from kda_flink_app_timestream_spark.operators.similarity import (
+        IVF_CENTROID_RANGE,
+        PQ_CODEBOOK_RANGE,
+        PQ_N_SUB,
+        PQ_SCALE,
+    )
+
+    lo, _hi = PQ_CODEBOOK_RANGE
+    dropped = lo + 2  # knock a hole in the codeword id range
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") != dropped
+    )
+    got = ivfpq_adc_topk(e, e.filter(F.col("vec_id") < 10), k=3).collect()
+    assert got
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in e.collect()}
+    q = {k_: [math.floor(x * float(PQ_SCALE)) for x in v] for k_, v in vecs.items()}
+    sub_dim = 64 // PQ_N_SUB
+    codebook = sorted(
+        (cid, q[cid]) for cid in range(*PQ_CODEBOOK_RANGE) if cid in q
+    )
+    assert len(codebook) == (PQ_CODEBOOK_RANGE[1] - PQ_CODEBOOK_RANGE[0]) - 1
+
+    def codes_of(qv):
+        out = []
+        for s in range(PQ_N_SUB):
+            sub = qv[s * sub_dim : (s + 1) * sub_dim]
+            best = min(
+                (
+                    sum(
+                        (a - b) ** 2
+                        for a, b in zip(sub, w[s * sub_dim : (s + 1) * sub_dim])
+                    ),
+                    c,
+                )
+                for c, w in codebook
+            )
+            out.append(best[1])
+        return out
+
+    cb = dict(codebook)
+    for r in got:
+        qid, nid, adc = r["query_id"], r["neighbor_id"], r["adc_dist"]
+        expect = 0
+        for s, code in enumerate(codes_of(q[nid])):
+            w = cb[code][s * sub_dim : (s + 1) * sub_dim]
+            sub = q[qid][s * sub_dim : (s + 1) * sub_dim]
+            expect += sum((a - b) ** 2 for a, b in zip(sub, w))
+        assert adc == expect, (qid, nid, adc, expect)
