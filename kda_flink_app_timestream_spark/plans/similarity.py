@@ -664,7 +664,7 @@ sel{t} AS (
           ON c.query_id = p.query_id AND c.cand_id = p.cand_id
     ) WHERE rn = 1
 ),
-selall{t} AS (
+selall{t} AS MATERIALIZED (
     SELECT query_id, cand_id, pick_idx, score FROM {prev}
     UNION ALL
     SELECT query_id, cand_id, pick_idx, score FROM sel{t}
@@ -683,14 +683,14 @@ rel0 AS (
            {int_dot('q.qv', 'c.v')} AS rel, c.v AS cv
     FROM q JOIN e c ON q.query_id <> c.vec_id
 ),
-cand AS (
+cand AS MATERIALIZED (
     SELECT query_id, cand_id, rel, cv FROM (
         SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY rel DESC, cand_id
         ) AS crk FROM rel0
     ) WHERE crk <= {MMR_N_CAND}
 ),
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
            {int_dot('a.cv', 'b.cv')} AS psim
     FROM cand a JOIN cand b
@@ -705,7 +705,7 @@ sel1 AS (
         ) AS rn FROM cand
     ) WHERE rn = 1
 ),
-selall1 AS (SELECT query_id, cand_id, pick_idx, score FROM sel1),{chained}
+selall1 AS MATERIALIZED (SELECT query_id, cand_id, pick_idx, score FROM sel1),{chained}
 SELECT query_id,
        CAST(pick_idx AS INT) AS pick_idx,
        cand_id AS neighbor_id,
@@ -731,7 +731,10 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query scan the brute-force path uses; in production the ANN index
     feeds this stage instead). Integer-exact throughout (2^10 grid,
     integer λ), so both engines pick identical items with identical
-    scores."""
+    scores. Oracle CTEs are MATERIALIZED: DuckDB inlines plain CTEs
+    per reference, and the unrolled chain re-references cand/pairs/
+    selall layers — un-materialized, the 10× oracle re-evaluated the
+    candidate scan combinatorially (measured 235 s → 13 s)."""
     e = load_table(spark, sf_dir, "embeddings")
     return mmr_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
 
