@@ -294,6 +294,42 @@ _RESCORE_AFTER = {
     #   (the applyinpandas_zscore r8 precedent), so the one consumer not
     #   already keyed 10 gets a post-change row:
     "timestream_pysink_roundtrip": 10,
+    # r11 changes (this round's window is being built now — ACTIVE):
+    #   streaming/kinesis_pysource.py: latestOffset's HOLD path now
+    #   waits for a natural-next-second held boundary to ELAPSE before
+    #   returning it (the cornered r10 LATEST-restart flake — an
+    #   availableNow lifecycle inside one wall second committed an
+    #   unelapsed boundary and stranded same-second downtime arrivals);
+    #   every registered consumer of the file gets a post-change row:
+    "kinesis_pysource_consume": 11,
+    "kinesis_pysource_batch_snapshot": 11,
+    "kinesis_pysource_latest_resume": 11,
+    "kinesis_pysource_partitioned_consume": 11,
+    "kinesis_pysource_reshard_resume": 11,
+    #   operators/similarity.py: _collect_centroids empty-slice
+    #   ValueError (VERDICT r10 #5, deferred from r10). SCOPED flags,
+    #   per the r7 plans/advanced.py precedent (edit strictly local to
+    #   one function's body, no shared expression changed): the only
+    #   execution paths reaching _collect_centroids are ivf_topk and
+    #   ivfpq_adc_topk (grep-verified; sim_ann_recall evaluates
+    #   LSH-vs-brute, no centroids). The file's other registered
+    #   consumers are untouched semantically AND are r7-aged greens
+    #   already occupying this round's tier-3 slots, so they get
+    #   post-change rows this round regardless. operators/ivfpq.py's
+    #   ADC null-guard + out-of-range slot fix (ADVICE r10) rides
+    #   along on the ivfpq query:
+    "sim_ivf_topk": 11,
+    "sim_ivfpq_adc_topk": 11,
+    # r12 changes, landed in r11 AFTER the window was exactly full
+    # (43 r7-aged greens + 7 flags + the one new query = 50 — the
+    # late-r6 dormant-flag convention): operators/mmr.py's greedy
+    # refinement extracted into mmr_rerank (shared with the new
+    # composed query) and plans/similarity.py's _mmr_oracle rebuilt on
+    # the shared _mmr_tail — results verified identical at sf0.01 by
+    # rehearsal and pinned by the randomized Python-greedy reference
+    # test, but per the r2 lesson the query still gets a post-change
+    # driver row when the flag activates in r12:
+    "sim_mmr_diverse_topk": 12,
 }
 
 

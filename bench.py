@@ -157,6 +157,11 @@ BENCH_QUERIES = [
     # join steps over the cached (queries × 20) candidate table; its cost
     # is constant stage overhead, not corpus-dependent
     "sim_mmr_diverse_topk",
+    # r11: the composed retrieve-then-rerank pipeline (VERDICT r10 #4) —
+    # IVF-PQ ADC candidates (no embedding reads on the quadratic stage)
+    # into the MMR refinement; the corpus-dependent term is the index
+    # path, the full-precision scan is gone from the registered query
+    "sim_mmr_over_ivfpq",
 ]
 
 # canary steady-state spread at/above which the three timed passes are

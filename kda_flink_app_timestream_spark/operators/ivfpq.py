@@ -198,7 +198,12 @@ def ivfpq_adc_search(
     contiguous = code_ids == list(range(code_ids[0], code_ids[0] + len(code_ids)))
     if contiguous:
         def slot(code_col: Column) -> Column:
-            return (code_col - code_ids[0] + 1).cast("int")
+            # out-of-range → NULL (caught loudly below), never a raw
+            # positional index: a stale code below the base would turn
+            # NEGATIVE and element_at would silently read from the
+            # array END — a wrong answer, not even a wrong ordering
+            s = (code_col - code_ids[0] + 1).cast("int")
+            return F.when((s >= 1) & (s <= len(code_ids)), s)
     else:
         slot_of = F.create_map(
             *[
@@ -215,6 +220,24 @@ def ivfpq_adc_search(
     for s in range(n_sub):
         term = F.element_at(F.col(f"lut_{s}"), slot(F.col(f"code_{s}")))
         adc = term if adc is None else adc + term
+    # A NULL ADC distance can only mean the encoded table's codes do
+    # not match the codebook passed here (stale index, or the
+    # encode/search split called with different codebooks): every
+    # legitimate code resolves to a LUT slot. asc() is nulls-FIRST in
+    # Spark, so without this guard mismatched candidates would silently
+    # rank at the TOP of every query's top-k (ADVICE r10) — fail the
+    # query loudly instead.
+    adc = F.when(
+        adc.isNull(),
+        F.raise_error(
+            F.lit(
+                "ivfpq_adc_search: NULL ADC distance — the encoded "
+                "table's codes do not match the supplied codebook "
+                "(stale index / mismatched encode-search codebooks); "
+                "re-encode with the codebook passed to search"
+            )
+        ),
+    ).otherwise(adc)
     scored = (
         encoded.join(F.broadcast(probed), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -49,48 +49,25 @@ def _int_dot(a: Column, b: Column) -> Column:
     )
 
 
-def mmr_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = MMR_K,
-    n_cand: int = MMR_N_CAND,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Greedy MMR selection of ``k`` diverse items from each query's
-    top-``n_cand`` candidates (by integer dot relevance, self excluded).
+def mmr_rerank(cand: DataFrame, k: int = MMR_K) -> DataFrame:
+    """Greedy MMR refinement over a PREPARED candidate table
+    ``(query_id, cand_id, rel BIGINT, cq array<bigint>)`` — candidate-
+    source-agnostic: ``mmr_topk`` feeds it the brute-force top-n_cand,
+    ``mmr_over_candidates`` feeds it any retrieval stage's output (the
+    IVF-PQ ADC index in the registered composed query). The table is
+    (queries × n_cand) rows by construction, so every join below is
+    broadcast-tiny and corpus-independent.
 
     Output: (query_id, pick_idx INT 1..k, neighbor_id, mmr_score
     BIGINT) — pick 1 scores pure relevance (empty penalty set), later
     picks subtract the max pair-similarity to anything already picked;
     ties go to the smaller neighbor id at every step.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _quantized(vec_col).alias("qq")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"), _quantized(vec_col).alias("cq")
-    )
-    rel0 = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            _int_dot(F.col("qq"), F.col("cq")).alias("rel"),
-            "cq",
-        )
-    )
     w_rel = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
     # the candidate table is (queries × n_cand) rows — cached because the
     # k−1 unrolled steps and the pair table all re-join it (deferred
     # release per the session contract)
-    cand = (
-        rel0.withColumn("crk", F.row_number().over(w_rel))
-        .filter(F.col("crk") <= n_cand)
-        .drop("crk")
-        .cache()
-    )
+    cand = cand.cache()
     defer_release(cand)
     a = cand.select(
         "query_id", F.col("cand_id").alias("a_id"), F.col("cq").alias("av")
@@ -164,3 +141,92 @@ def mmr_topk(
         F.col("cand_id").alias("neighbor_id"),
         F.col("score").alias("mmr_score"),
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = MMR_K,
+    n_cand: int = MMR_N_CAND,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy MMR over each query's brute-force top-``n_cand``
+    candidates (by integer dot relevance, self excluded) — the exact
+    baseline; the composed production path is ``mmr_over_candidates``
+    fed by the ANN index."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _quantized(vec_col).alias("qq")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), _quantized(vec_col).alias("cq")
+    )
+    rel0 = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _int_dot(F.col("qq"), F.col("cq")).alias("rel"),
+            "cq",
+        )
+    )
+    w_rel = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    cand = (
+        rel0.withColumn("crk", F.row_number().over(w_rel))
+        .filter(F.col("crk") <= n_cand)
+        .drop("crk")
+    )
+    return mmr_rerank(cand, k)
+
+
+def mmr_over_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand_ids: DataFrame,
+    k: int = MMR_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy MMR over a retrieval stage's candidate ids — the
+    composed retrieve-then-rerank pipeline (VERDICT r10 #4).
+
+    ``cand_ids`` is ``(query_id, cand_id)`` from ANY candidate source —
+    in the registered query, ``ivfpq_adc_search``'s top-n_cand, so
+    candidate GENERATION reads only 4-byte PQ codes from nprobe/16 of
+    the corpus. The re-rank then needs real vectors for just
+    (queries × n_cand) ids: one broadcast point-lookup join against the
+    corpus (the corpus is scanned once, narrow projection; with the
+    encoded index stored partitionBy(cid) and the raw table id-
+    bucketed, that scan prunes to the touched buckets). Relevance is
+    recomputed EXACT on the integer MMR grid — the standard split: the
+    ANN metric chooses the candidate SET, the refinement scores must
+    not inherit its quantization error. Everything after the lookup is
+    corpus-independent (queries × n_cand rows)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _quantized(vec_col).alias("qq")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), _quantized(vec_col).alias("cq")
+    )
+    cand = (
+        c.join(F.broadcast(cand_ids.select("query_id", "cand_id")), "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            _int_dot(F.col("qq"), F.col("cq")).alias("rel"),
+            "cq",
+        )
+    )
+    # TRUNCATE LINEAGE at the candidate table: the unrolled refinement
+    # references cand/pairs combinatorially, and each reference would
+    # re-embed the whole retrieval subplan (IVF-PQ inlines its centroid
+    # codebook + per-query LUT transforms as plan literals) — the AQE
+    # explain string ALONE OOM'd a 1g driver at sf0.01. The table is
+    # (queries × n_cand) rows, so the eager local checkpoint is one
+    # trivial job and the refinement plans against a leaf — exactly the
+    # brute-force path's plan size, whatever index produced the
+    # candidates.
+    cand = cand.localCheckpoint(eager=True)
+    return mmr_rerank(cand, k)

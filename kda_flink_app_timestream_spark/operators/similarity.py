@@ -306,7 +306,21 @@ def _collect_centroids(cents: DataFrame) -> list[tuple[int, list[float]]]:
     codebook and the k-means centroids (operators/clustering.py), so
     assignment becomes a pure narrow projection and the corpus NEVER
     shuffles for it."""
-    return sorted((r["cid"], [float(x) for x in r["centroid"]]) for r in cents.collect())
+    out = sorted(
+        (r["cid"], [float(x) for x in r["centroid"]]) for r in cents.collect()
+    )
+    if not out:
+        # mirror _collect_pq_codebook's guard (VERDICT r10 #5): an empty
+        # codebook means every vector's nearest-centroid explode yields
+        # ZERO rows, so ivf/ivfpq would silently return EMPTY results —
+        # a corpus missing the centroid id-slice is caller misuse and
+        # must fail loudly, not produce a plausible empty answer
+        lo, hi = IVF_CENTROID_RANGE
+        raise ValueError(
+            f"IVF centroid codebook is empty: no corpus rows with ids in "
+            f"[{lo}, {hi}) — pass a corpus containing the centroid slice"
+        )
+    return out
 
 
 def _fold_dot(a: Column, b: Column) -> Column:

@@ -56,10 +56,14 @@ Two streaming execution modes (``reader`` option):
   exact there. Boundaries are also clamped monotonic per reader, so a
   backwards driver-clock step (NTP), or an explicit AT_TIMESTAMP
   anchor ahead of the current clock, HOLDS the last boundary — cheap
-  empty batches until the clock re-passes it (safe because a held
-  boundary equals the current position: there is no batch content to
-  freeze; a CONTENT-BEARING boundary is never returned before it has
-  elapsed). A regression the in-process clamp cannot see fails
+  empty batches until the clock re-passes it. NO boundary within one
+  second of the clock is ever returned before it has elapsed, held or
+  not: the engine commits whatever latestOffset returns, and a query
+  that terminates inside an unelapsed committed second strands every
+  record arriving in the second's remainder behind the resume
+  position (the r10 LATEST-restart flake — see latestOffset). Only a
+  FAR-future held floor returns unelapsed, where exclusion is the
+  anchor's own semantics. A regression the in-process clamp cannot see fails
   partition planning loudly rather than committing a duplicate or
   empty batch — this includes the operational caveat that RAISING
   ``boundaryLagSeconds`` on an existing checkpoint can push the first
@@ -638,14 +642,38 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
             # driver clock, or a floor seeded from a future initial
             # anchor (explicit AT_TIMESTAMP ahead of now), must never
             # regress the offset — a regressed offset re-emits
-            # committed records one trigger later. The held boundary
-            # equals every open shard's current position, so the batch
-            # is EMPTY by construction — the only case where returning
-            # a possibly-not-yet-elapsed boundary is safe (no content
-            # to freeze), and it costs empty triggers instead of
-            # blocking the microbatch thread until the wall clock
-            # reaches the floor.
+            # committed records one trigger later.
             boundary = self._last_boundary
+            if boundary <= int(time.time() - self._lag) + 1:
+                # The held floor IS the natural next second (a fresh
+                # LATEST anchor seeded moments ago, or a repeat trigger
+                # within the same second): it must ELAPSE before it is
+                # returned, exactly like the non-held path below. The
+                # pre-r11 code returned it immediately on the "empty by
+                # construction" argument — true at plan time, but the
+                # engine COMMITS the boundary, and an availableNow query
+                # whose whole lifecycle fits in one wall second then
+                # terminates inside the boundary second: every record
+                # arriving in the remainder of that second is stamped
+                # BEFORE the committed resume position and lost forever
+                # (the once-seen LATEST-restart flake, reproduced
+                # deterministically by tests/test_kinesis_source.py::
+                # ...same_second_shutdown_keeps_downtime — only
+                # TRIM-drained reshard children survived). <1 s wait,
+                # same bound as the else branch.
+                while time.time() < boundary + self._lag:
+                    time.sleep(
+                        min(0.02, max(boundary + self._lag - time.time(), 0.001))
+                    )
+            # else: a FAR-future floor (explicit AT_TIMESTAMP anchor
+            # ahead of the clock, or a backwards clock step below an
+            # already-elapsed boundary). Returned unelapsed — safe:
+            # records before an explicit future anchor are excluded by
+            # the anchor's own semantics, a backwards-stepped clock's
+            # floor already elapsed once, and blocking until an
+            # arbitrary future instant would stall the microbatch
+            # thread for the whole lead time. Costs empty triggers
+            # until the clock re-passes the floor.
         else:
             # freeze the interval: wait until the boundary second is
             # lag-deep in the past, so every record NOT yet ingested

@@ -2125,6 +2125,112 @@ def test_kinesis_pysource_partitioned_latest_restart_covers_downtime(
     ), data
 
 
+def test_kinesis_pysource_partitioned_same_second_shutdown_keeps_downtime():
+    """Deterministic reproduction of the once-seen LATEST-restart flake
+    (BACKLOG late-r10; VERDICT r10 #2). Mechanism, cornered with the
+    virtual clock: when a query's whole availableNow lifecycle fit
+    inside ONE wall second, latestOffset's HOLD path returned the
+    freshly-seeded initial-anchor boundary (int(start)+1) WITHOUT
+    waiting for that second to elapse — the batch was empty and correct
+    at plan time, but the query then COMMITTED the unelapsed boundary
+    and terminated while the clock was still inside the boundary
+    second. Every record arriving during the remainder of that second
+    (downtime arrivals stamped < the committed boundary) sat
+    permanently BEHIND the resume position: the restart's open-shard
+    ranges [position(boundary), ...) and the closed parent's
+    AT_TIMESTAMP(boundary) closing drain all started past them. Only
+    records routed to post-split CHILDREN survived (children drain from
+    TRIM) — exactly the observed ['post-0', 'post-2'] failure subset
+    (md5(k0)/md5(k2) land in shard0's range, every other key in
+    shard1's). The fix: a held boundary that IS the natural next second
+    must elapse before latestOffset returns, same as the non-held path;
+    far-future anchors (exclusion is anchor semantics) and backwards
+    clock steps (boundary already elapsed once) still return
+    immediately — pinned by the future-anchor and ntp-backstep tests."""
+    from unittest import mock
+
+    from kda_flink_app_timestream_spark.streaming import kinesis_fake
+    from kda_flink_app_timestream_spark.streaming import kinesis_pysource as kps
+
+    clock = _VClock(1_700_000_400.30)
+    with mock.patch.object(kinesis_fake, "time", clock), mock.patch.object(
+        kps, "time", clock
+    ), kinesis_fake.FakeKinesis() as fk:
+        client = _fake_client(fk)
+        client.create_stream(StreamName="pysrc-sq", ShardCount=2)
+        # wave A before the query starts: LATEST must exclude it
+        client.put_records(
+            StreamName="pysrc-sq",
+            Records=[
+                {"Data": f"pre-{i}".encode(), "PartitionKey": f"k{i}"}
+                for i in range(4)
+            ],
+        )
+        # run 1: the whole lifecycle fits in wall second 1_700_000_400
+        r1 = kps.KinesisPartitionedStreamReader(
+            {
+                "streamname": "pysrc-sq",
+                "endpointurl": fk.endpoint_url,
+                "accesskeyid": "t",
+                "secretaccesskey": "t",
+                "initialposition": "LATEST",
+            }
+        )
+        start1 = r1.initialOffset()
+        end1 = r1.latestOffset()
+        (b1,) = {float(p[len(kps.AT_TS):]) for p in end1.values()}
+        # the committed boundary must have ELAPSED before it is returned
+        # (the fix): a terminate-before-elapse window is what lost the
+        # downtime records
+        assert clock.now >= b1, (clock.now, b1)
+        assert [p for p in r1.partitions(start1, end1)] == []  # LATEST: empty
+        # query terminates; downtime begins. Pre-fix the clock was still
+        # .30 into the boundary second here, so these arrivals were
+        # stamped BEFORE the committed boundary and lost forever.
+        client.put_records(
+            StreamName="pysrc-sq",
+            Records=[
+                {"Data": f"down-{i}".encode(), "PartitionKey": f"k{i}"}
+                for i in range(6)
+            ],
+        )
+        shards = client.list_shards(StreamName="pysrc-sq")["Shards"]
+        hr = shards[0]["HashKeyRange"]
+        client.split_shard(
+            StreamName="pysrc-sq",
+            ShardToSplit=shards[0]["ShardId"],
+            NewStartingHashKey=str(
+                (int(hr["StartingHashKey"]) + int(hr["EndingHashKey"])) // 2 + 1
+            ),
+        )
+        client.put_records(
+            StreamName="pysrc-sq",
+            Records=[
+                {"Data": f"post-{i}".encode(), "PartitionKey": f"k{i}"}
+                for i in range(5)
+            ],
+        )
+        clock.now += 5.0  # restart some seconds later
+        # run 2: fresh reader (restart), resume point = the CHECKPOINTED
+        # end1 — must pick up every downtime arrival, including in the
+        # closed parent and the TRIM-drained children
+        r2 = kps.KinesisPartitionedStreamReader(
+            {
+                "streamname": "pysrc-sq",
+                "endpointurl": fk.endpoint_url,
+                "accesskeyid": "t",
+                "secretaccesskey": "t",
+                "initialposition": "LATEST",
+            }
+        )
+        end2 = r2.latestOffset()
+        rows = [r for p in r2.partitions(end1, end2) for r in r2.read(p)]
+        got = sorted(bytes(r[0]).decode() for r in rows)
+        assert got == sorted(
+            [f"down-{i}" for i in range(6)] + [f"post-{i}" for i in range(5)]
+        ), got
+
+
 def test_kinesis_pysource_partitioned_multi_trigger_advance(spark, tmp_path):
     """The availableNow tests drive exactly ONE batch through the
     partitioned reader; this pins the CONTINUOUS contract — across real

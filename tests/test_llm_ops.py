@@ -1090,6 +1090,57 @@ def test_ivfpq_split_equals_composed(spark, sf_dir):
     assert split_rows == composed_rows
 
 
+def test_empty_centroid_slice_fails_loudly(spark, sf_dir):
+    """VERDICT r10 #5 (deferred from r10): a corpus MISSING the whole
+    IVF centroid id-slice used to yield an empty literal codebook and
+    silently EMPTY ivf/ivfpq results (every vector's nearest-centroid
+    explode produces zero rows) — a plausible-looking wrong answer.
+    _collect_centroids now raises, mirroring _collect_pq_codebook."""
+    from kda_flink_app_timestream_spark.operators.similarity import (
+        IVF_CENTROID_RANGE,
+        _collect_centroids,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    lo, hi = IVF_CENTROID_RANGE
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        (F.col("vec_id") < lo) | (F.col("vec_id") >= hi)
+    )
+    with pytest.raises(ValueError, match="centroid codebook is empty"):
+        _collect_centroids(ivf_centroids(e, "vec_id", "embedding"))
+    with pytest.raises(ValueError, match="centroid codebook is empty"):
+        ivf_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+def test_ivfpq_mismatched_codebook_fails_loudly(spark, sf_dir):
+    """ADVICE r10: Spark's asc() ranks NULLs FIRST, so an encoded table
+    whose codes don't resolve against the codebook passed to
+    ivfpq_adc_search (stale index / split-API misuse) used to rank the
+    mismatched candidates at the TOP of every query's top-k. The ADC
+    projection must instead fail the query loudly."""
+    from kda_flink_app_timestream_spark.operators.ivfpq import (
+        _collect_pq_codebook,
+        ivfpq_adc_search,
+        ivfpq_encode,
+    )
+    from kda_flink_app_timestream_spark.operators.similarity import (
+        _collect_centroids,
+        ivf_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    cents = _collect_centroids(ivf_centroids(e, "vec_id", "embedding"))
+    cb = _collect_pq_codebook(e, "vec_id", "embedding")
+    encoded = ivfpq_encode(e, cents, cb)
+    # a codebook from a DIFFERENT id slice: none of the stored codes
+    # resolve to one of its LUT slots
+    stale = [(code + 1000, w) for code, w in cb]
+    with pytest.raises(Exception, match="do not match the supplied codebook"):
+        ivfpq_adc_search(encoded, q, cents, stale, k=3).collect()
+
+
 def test_mmr_prefers_diverse_over_near_copies(spark):
     """The property MMR exists for: when the top of the relevance
     ranking is a block of near-copies, plain top-k returns the block
