@@ -186,6 +186,14 @@ def zorder_key(x, y, bits: int = 16):
     the results). Callers clamp negatives/nulls before interleaving."""
     from pyspark.sql import functions as F
 
+    # r11 review note: pass LongType columns (both in-repo callers do;
+    # python-int literals/createDataFrame default to LongType). An
+    # int32 input would wrap at bit position 31 (shiftleft keeps the
+    # input type), landing y's top bit in the sign bit — still a
+    # consistent total order (correctness unaffected: the key orders
+    # the rewrite only), but the min/max boxes straddle the sign flip
+    # and clustering quality drops. Cast to long at the call site if
+    # the source column is int.
     z = None
     for i in range(bits):
         for col, off in ((x, 0), (y, 1)):
