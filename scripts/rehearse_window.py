@@ -9,7 +9,8 @@ non-zero on any mismatch so it can gate a commit.
 
 Usage: python scripts/rehearse_window.py [N] [SF_DIR]
        # defaults: N=50, SF_DIR=/root/testdata/sf0.01
-       # N=158 (or more) sweeps the whole catalog
+       # N >= len(REGISTRY) sweeps the whole catalog (derive it live —
+       # hardcoded counts here went stale twice, ADVICE r10)
        # N may also be a comma-separated name list (e.g. the
        # _RESCORE_AFTER set for a changed-query sweep at 10x)
 """
