@@ -204,3 +204,99 @@ def weighted_mix(
         )
         .drop("n_copies")
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.5,
+    num_hashes: int | None = None,
+    num_bands: int | None = None,
+) -> DataFrame:
+    """The end-to-end curation pipeline a pretraining corpus actually
+    runs, composed from the already-verified stages (the text-side twin
+    of the retrieval composition ``mmr_over_candidates``):
+
+    1. **language gate** — keep docs whose ``language_id`` equals
+       ``lang`` (functions/text.py marker-argmax);
+    2. **quality gate** — keep docs with composite ``quality_score`` >=
+       ``min_quality`` (length/stopword/punctuation mix);
+    3. **exact dedup** — one doc per identical text, smallest id wins
+       (hash-partitioned window over the text, the
+       ``dedup_exact_summary`` collapse rule);
+    4. **near-dup prune** — MinHash+LSH candidate pairs at
+       ``near_dup_threshold`` → connected components (large-star/
+       small-star) → only each cluster's representative (min id)
+       survives;
+    5. **emit** — survivors with ``(lang, n_tokens, bpe_tokens,
+       quality_score)`` for downstream mixing/packing.
+
+    Scale shape: gates are per-row expressions on the one corpus scan;
+    the exact collapse is one hash shuffle of (text-hash-sized) keys;
+    the near-dup stage is banded/bucketed (never all-pairs) over only
+    the gate+collapse SURVIVORS; components iterate O(log n) rounds on
+    the candidate-pair edge list, which is duplicate-sized, not
+    corpus-sized. Nothing here widens with corpus size except the
+    streams each verified stage already handles.
+    """
+    from ..functions.text import bpe_ish_token_count, language_id, quality_features
+    from ..session import defer_release
+    from .dedup import (
+        NUM_BANDS,
+        NUM_MINHASHES,
+        connected_components,
+        minhash_near_dup_pairs,
+    )
+
+    if num_hashes is None:
+        num_hashes = NUM_MINHASHES
+    if num_bands is None:
+        num_bands = NUM_BANDS
+
+    from pyspark.sql import Window as W
+
+    feats = quality_features(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        language_id(F.col(text_col)).alias("lang"),
+        feats["n_tokens"].alias("n_tokens"),
+        bpe_ish_token_count(F.col(text_col)).alias("bpe_tokens"),
+        feats["quality_score"].alias("quality_score"),
+    )
+    gated = scored.filter(
+        (F.col("lang") == lang) & (F.col("quality_score") >= min_quality)
+    )
+    # exact collapse: smallest id per identical text. Window over the
+    # raw text is the test-scale shape (hash-partitioned by text); the
+    # 100 TB variant windows over the rolling fingerprint instead —
+    # same rule, 8-byte keys (dedup_exact_summary's documented split).
+    w_exact = W.partitionBy(text_col).orderBy(F.col(id_col).asc())
+    exact = (
+        gated.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .cache()
+    )
+    defer_release(exact)  # feeds the near-dup stage AND the anti-join
+    pairs = minhash_near_dup_pairs(
+        exact.select(F.col(id_col), F.col(text_col)),
+        id_col=id_col,
+        text_col=text_col,
+        threshold=near_dup_threshold,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    losers = comp.filter(F.col("node") != F.col("cluster_rep")).select(
+        F.col("node").alias(id_col)
+    )
+    # no broadcast hint: the loser set is DUPLICATE-sized, not bounded
+    # like a query batch — AQE broadcasts it at runtime when small and
+    # falls back to a shuffled anti-join on a dup-heavy corpus
+    return exact.join(losers, id_col, "left_anti").select(
+        id_col, "lang", "n_tokens", "bpe_tokens", "quality_score"
+    )

@@ -1358,3 +1358,86 @@ def test_ivfpq_survives_sparse_codebook_ids(spark, sf_dir):
             sub = q[qid][s * sub_dim : (s + 1) * sub_dim]
             expect += sum((a - b) ** 2 for a, b in zip(sub, w))
         assert adc == expect, (qid, nid, adc, expect)
+
+
+def test_curate_corpus_composition_matches_stagewise_set_algebra(spark, sf_dir):
+    """The end-to-end curation pipeline (r11, the text-side twin of the
+    retrieval composition) must equal the SET ALGEBRA of its
+    individually-verified stages computed stage by stage in the test:
+    survivors = (language+quality gate) ∘ (exact collapse, min id per
+    text) − (near-dup cluster non-representatives). Sub-operator
+    internals are already oracle-green (dedup_exact_summary,
+    dedup_minhash_pairs, dedup_cluster_representatives, text quality
+    queries) — this pins the composition wiring: filter order, the
+    keep-min rules, and the anti-join."""
+    from kda_flink_app_timestream_spark.functions.text import (
+        language_id,
+        quality_features,
+    )
+    from kda_flink_app_timestream_spark.operators.curation import curate_corpus
+    from kda_flink_app_timestream_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["bpe_tokens"], r["quality_score"])
+        for r in curate_corpus(docs, min_quality=0.5, near_dup_threshold=0.5).collect()
+    }
+
+    feats = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        language_id(F.col("text")).alias("lang"),
+        feats["quality_score"].alias("q"),
+    )
+    gated = scored.filter((F.col("lang") == "en") & (F.col("q") >= 0.5))
+    by_text: dict[str, int] = {}
+    for r in gated.select("doc_id", "text").collect():
+        if r["text"] not in by_text or r["doc_id"] < by_text[r["text"]]:
+            by_text[r["text"]] = r["doc_id"]
+    exact_ids = set(by_text.values())
+    exact_df = gated.filter(F.col("doc_id").isin(sorted(exact_ids)))
+    pairs = minhash_near_dup_pairs(
+        exact_df.select("doc_id", "text"), threshold=0.5
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    losers = {
+        r["node"] for r in comp.collect() if r["node"] != r["cluster_rep"]
+    }
+    expected_ids = exact_ids - losers
+    assert set(got) == expected_ids
+    assert expected_ids, "fixture must keep at least one document"
+    assert len(expected_ids) < docs.count(), "pipeline must drop something"
+    # emitted stats match the verified feature expressions for survivors
+    stats = {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["q"])
+        for r in scored.select(
+            "doc_id", "lang", feats["n_tokens"].alias("n_tokens"), "q"
+        ).collect()
+    }
+    for did, (lang, n_tokens, _bpe, q) in got.items():
+        assert (lang, n_tokens, q) == stats[did]
+
+
+def test_curate_corpus_degenerate_inputs(spark):
+    """Empty corpus → empty survivors (schema intact); an all-duplicate
+    corpus keeps exactly the smallest id."""
+    from kda_flink_app_timestream_spark.operators.curation import curate_corpus
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = curate_corpus(empty)
+    assert out.columns == ["doc_id", "lang", "n_tokens", "bpe_tokens", "quality_score"]
+    assert out.count() == 0
+
+    text = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps while the fox runs far away to find some food for all"
+    )
+    dup = spark.createDataFrame(
+        [(i, text) for i in (7, 3, 9)], "doc_id long, text string"
+    )
+    rows = curate_corpus(dup).collect()
+    assert [r["doc_id"] for r in rows] == [3]
