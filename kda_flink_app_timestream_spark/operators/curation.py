@@ -282,8 +282,18 @@ def curate_corpus(
         .cache()
     )
     defer_release(exact)  # feeds the near-dup stage AND the anti-join
+    # docs under one shingle (< 3 tokens) have nothing to MinHash: they
+    # pass through un-pruned, EXPLICITLY excluded from the signature
+    # stage — the same >= 3-token precondition every registered minhash
+    # query applies — rather than relying on null band keys never
+    # joining (they can pass a stopword-heavy quality gate, so the
+    # gate alone does not exclude them)
+    from ..functions.text import tokens as _tokens
+
     pairs = minhash_near_dup_pairs(
-        exact.select(F.col(id_col), F.col(text_col)),
+        exact.select(F.col(id_col), F.col(text_col)).filter(
+            F.size(_tokens(F.col(text_col))) >= 3
+        ),
         id_col=id_col,
         text_col=text_col,
         threshold=near_dup_threshold,
