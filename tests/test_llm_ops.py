@@ -1400,8 +1400,14 @@ def test_curate_corpus_composition_matches_stagewise_set_algebra(spark, sf_dir):
             by_text[r["text"]] = r["doc_id"]
     exact_ids = set(by_text.values())
     exact_df = gated.filter(F.col("doc_id").isin(sorted(exact_ids)))
+    # same >= 3-token minhash precondition the operator (and every
+    # registered minhash query) applies — sub-shingle docs bypass the
+    # near-dup stage un-pruned
     pairs = minhash_near_dup_pairs(
-        exact_df.select("doc_id", "text"), threshold=0.5
+        exact_df.select("doc_id", "text").filter(
+            F.size(F.split(F.col("text"), " ")) >= 3
+        ),
+        threshold=0.5,
     )
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     losers = {
