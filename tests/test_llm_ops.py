@@ -1558,3 +1558,59 @@ def test_curate_corpus_matches_draft_oracle(spark, sf_dir):
     con = duckdb_connection(sf_dir)
     problems = compare_query(df, con, _curation_oracle_draft(), "curation_draft")
     assert not problems, problems[:3]
+
+
+def test_ivfpq_recall_draft_matches_oracle(spark, sf_dir):
+    """DRAFT of `sim_ivfpq_recall` staged for r12 (window full in r11):
+    recall@k of the IVF-PQ ADC index against exact brute-force ground
+    truth, per query — the metric that sizes nprobe/codebooks before a
+    corpus commits to the compressed index (the ADC twin of
+    `sim_ann_recall`, which evaluates the LSH index). Spark side
+    composes the two registered queries; the oracle composes their two
+    verified CTE chains. Driver-style compare, hash-exact."""
+    from kda_flink_app_timestream_spark.plans import REGISTRY, load_all_plans
+    from kda_flink_app_timestream_spark.plans.similarity import (
+        _BRUTEFORCE_ORACLE,
+        _ivfpq_oracle,
+        TOP_K,
+    )
+
+    from .oracle_utils import compare_query, duckdb_connection
+
+    load_all_plans()
+    truth = (
+        REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    approx = (
+        REGISTRY["sim_ivfpq_adc_topk"].fn(spark, sf_dir)
+        .select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("neighbor_id").alias("a_neighbor_id"),
+        )
+    )
+    joined = truth.join(
+        approx,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    )
+    hits = F.count("a_neighbor_id")
+    df = joined.groupBy("query_id").agg(
+        hits.alias("n_hits"),
+        (hits * (1000 // TOP_K)).alias("recall_permille"),
+    )
+    oracle = f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({_BRUTEFORCE_ORACLE}) t0),
+approx AS (SELECT query_id, neighbor_id FROM ({_ivfpq_oracle()}) a0)
+SELECT t.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) * {1000 // TOP_K} AS BIGINT) AS recall_permille
+FROM truth t
+LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY t.query_id
+"""
+    con = duckdb_connection(sf_dir)
+    problems = compare_query(df, con, oracle, "ivfpq_recall_draft")
+    assert not problems, problems[:3]
