@@ -330,6 +330,16 @@ _RESCORE_AFTER = {
     # test, but per the r2 lesson the query still gets a post-change
     # driver row when the flag activates in r12:
     "sim_mmr_diverse_topk": 12,
+    # r12 changes (this round's window is being built now — ACTIVE):
+    #   operators/curation.py: curate_corpus's exact collapse rewritten
+    #   from a row_number window to a map-side-combinable groupBy +
+    #   id-keyed semi join (ADVICE r11 skew/width). SCOPED per the r7
+    #   precedent — the edit is strictly local to curate_corpus's body,
+    #   and that function's ONLY registered consumer is the new
+    #   tier-0 `curate_corpus` query (scored this round by
+    #   definition); the file's other five registered consumers
+    #   (text_decontaminate_overlap / duplicate_spans / rarity /
+    #   pii / mixing) import untouched functions and are NOT flagged.
 }
 
 

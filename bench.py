@@ -162,6 +162,11 @@ BENCH_QUERIES = [
     # into the MMR refinement; the corpus-dependent term is the index
     # path, the full-precision scan is gone from the registered query
     "sim_mmr_over_ivfpq",
+    # r12: the end-to-end curation pipeline (VERDICT r11 #2) — gate →
+    # exact collapse (map-side-combinable groupBy) → minhash near-dup
+    # prune → survivor stats; the corpus-dependent terms are the one
+    # gate scan and the duplicate-sized band/component stages
+    "curate_corpus",
 ]
 
 # canary steady-state spread at/above which the three timed passes are

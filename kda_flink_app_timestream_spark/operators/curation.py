@@ -256,8 +256,6 @@ def curate_corpus(
     if num_bands is None:
         num_bands = NUM_BANDS
 
-    from pyspark.sql import Window as W
-
     feats = quality_features(F.col(text_col))
     scored = docs.select(
         F.col(id_col),
@@ -270,17 +268,24 @@ def curate_corpus(
     gated = scored.filter(
         (F.col("lang") == lang) & (F.col("quality_score") >= min_quality)
     )
-    # exact collapse: smallest id per identical text. Window over the
-    # raw text is the test-scale shape (hash-partitioned by text); the
-    # 100 TB variant windows over the rolling fingerprint instead —
-    # same rule, 8-byte keys (dedup_exact_summary's documented split).
-    w_exact = W.partitionBy(text_col).orderBy(F.col(id_col).asc())
-    exact = (
-        gated.withColumn("__rn", F.row_number().over(w_exact))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .cache()
+    # exact collapse: smallest id per identical text, as a groupBy (NOT
+    # a row_number window — ADVICE r11): partial map-side aggregation
+    # collapses a heavily duplicated text to one (fingerprint, text,
+    # min_id) row PER MAP TASK before the shuffle, so a million-copy
+    # doc never routes a million full-text rows through one reducer.
+    # The 8-byte xxhash64 fingerprint leads the grouping key
+    # (dedup_exact_summary's documented split); grouping ALSO by the
+    # text keeps equality exact under hash collisions. The winner set
+    # then prunes via an id-keyed semi join (AQE broadcasts it when
+    # small) instead of shuffling full survivor rows.
+    winner_ids = (
+        gated.groupBy(
+            F.xxhash64(F.col(text_col)).alias("__fp"), F.col(text_col)
+        )
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
+    exact = gated.join(winner_ids, id_col, "left_semi").cache()
     defer_release(exact)  # feeds the near-dup stage AND the anti-join
     # docs under one shingle (< 3 tokens) have nothing to MinHash: they
     # pass through un-pruned, EXPLICITLY excluded from the signature

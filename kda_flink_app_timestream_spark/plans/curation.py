@@ -19,6 +19,7 @@ from ..operators.curation import (
     PHONE_PATTERN,
     PHONE_TOKEN,
     RARE_MAX_CORPUS_COUNT,
+    curate_corpus,
     decontaminate_overlap,
     duplicated_span_stats,
     rarity_scores,
@@ -200,3 +201,135 @@ def text_dataset_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mixed = weighted_mix(d, F.col("weight_centi"), id_col="doc_id")
     return mixed.select("doc_id", "source", "weight_centi", "copy_idx")
+
+
+# -- end-to-end curation (registered r12; oracle verified as a staged
+#    draft in r11 — tests/test_llm_ops.py kept the same builder pinned) --
+
+CURATE_MIN_QUALITY = 0.5
+CURATE_NEAR_DUP_THRESHOLD = 0.5
+
+
+def curate_oracle(num_hashes: int | None = None, num_bands: int | None = None) -> str:
+    """DuckDB oracle for ``curate_corpus`` — composes the existing
+    verified twins: the langid CASE + quality formula (plans/text.py
+    constants), the minhash sig CTE chain (plans/dedup.py, re-rooted
+    from ``documents`` onto the gated exact survivors), and the
+    recursive-CTE component closure (plans/dedup.py)."""
+    from ..functions.text import (
+        ENGLISH_STOPWORDS,
+        LANG_MARKERS,
+        LANG_ORDER,
+        TOKEN_REGEX,
+    )
+    from ..operators.dedup import NUM_BANDS, NUM_MINHASHES
+    from .dedup import minhash_sig_ctes
+
+    if num_hashes is None:
+        num_hashes = NUM_MINHASHES
+    if num_bands is None:
+        num_bands = NUM_BANDS
+
+    def hits_sql(markers):
+        arr = ", ".join(f"'{m}'" for m in markers)
+        return (
+            "len(list_filter(str_split(text, ' '), "
+            f"t -> list_contains([{arr}], t)))"
+        )
+
+    hits = ",\n           ".join(
+        f"{hits_sql(LANG_MARKERS[lang])} AS h_{lang}" for lang in LANG_ORDER
+    )
+    gmax = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_ORDER) + ")"
+    first = " ".join(f"WHEN h_{lang} = {gmax} THEN '{lang}'" for lang in LANG_ORDER)
+    stop_arr = ", ".join(f"'{m}'" for m in ENGLISH_STOPWORDS)
+
+    sig = minhash_sig_ctes(num_hashes, num_bands).replace(
+        "FROM documents", "FROM survivors0", 1
+    )
+    assert "FROM documents" not in sig, "sig chain must read the survivors"
+    matches = " + ".join(
+        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH RECURSIVE scored AS (
+    SELECT doc_id, text,
+           {hits},
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           len(list_filter(str_split(text, ' '), t -> list_contains([{stop_arr}], t))) AS stop_hits,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS bpe_tokens
+    FROM documents
+),
+scored2 AS (
+    SELECT doc_id, text, n_tokens, bpe_tokens,
+           CASE WHEN {gmax} <= 0 THEN 'und' {first} END AS lang,
+           round(least(n_tokens / 100.0, 1.0) * 0.4
+                 + least(stop_hits / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.4
+                 + (1.0 - least(n_punct / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.2,
+                 4) AS quality_score
+    FROM scored
+),
+gated AS (SELECT * FROM scored2 WHERE lang = 'en' AND quality_score >= {CURATE_MIN_QUALITY}),
+survivors0 AS (
+    SELECT doc_id, text, lang, n_tokens, bpe_tokens, quality_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1
+),
+{sig},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b2 ON a.band_idx = b2.band_idx
+                 AND a.band_key = b2.band_key
+                 AND a.doc_id < b2.doc_id
+),
+prs AS (
+    SELECT doc_a, doc_b FROM cand
+    JOIN sig sa ON cand.doc_a = sa.doc_id
+    JOIN sig sb ON cand.doc_b = sb.doc_id
+    WHERE round(({matches}) / {float(num_hashes)}, 4) >= {CURATE_NEAR_DUP_THRESHOLD}
+),
+und(a, b) AS (SELECT doc_a, doc_b FROM prs UNION SELECT doc_b, doc_a FROM prs),
+reach(a, b) AS (
+    SELECT a, b FROM und
+  UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+losers AS (
+    SELECT a AS doc_id FROM (
+        SELECT a, least(a, min(b)) AS rep FROM reach GROUP BY a
+    ) WHERE a > rep
+)
+SELECT doc_id, lang, n_tokens, bpe_tokens, quality_score
+FROM survivors0
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+@query(
+    "curate_corpus",
+    oracle=curate_oracle(),
+    tags=("text", "curation", "pipeline", "dedup"),
+)
+def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline a pretraining corpus actually
+    runs (the text-side twin of the composed retrieval query): language
+    gate → quality gate → exact collapse (min id per text, map-side-
+    combinable groupBy) → MinHash+LSH near-dup prune (connected-
+    components cluster representative survives) → survivors with
+    (lang, n_tokens, bpe_tokens, quality_score). Every stage is a
+    verified catalog citizen; this query pins the composition wiring.
+    Scale shape in operators/curation.py:curate_corpus — gates are
+    per-row on one corpus scan, the collapse shuffles partial-
+    aggregated (fingerprint, text, min_id) rows, the near-dup stage is
+    banded/bucketed over survivors only, components iterate O(log n)
+    rounds on the duplicate-sized edge list."""
+    d = load_table(spark, sf_dir, "documents")
+    return curate_corpus(
+        d,
+        min_quality=CURATE_MIN_QUALITY,
+        near_dup_threshold=CURATE_NEAR_DUP_THRESHOLD,
+    )

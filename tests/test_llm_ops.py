@@ -1449,114 +1449,41 @@ def test_curate_corpus_degenerate_inputs(spark):
     assert [r["doc_id"] for r in rows] == [3]
 
 
-def _curation_oracle_draft(num_hashes: int = 8, num_bands: int = 4) -> str:
-    """DRAFT of the DuckDB oracle for curate_corpus — staged here for
-    r12's registration (the window had no slot this round). Composes
-    the existing verified twins: the langid CASE (plans/text.py),
-    the quality formula (plans/text.py), the minhash sig CTE chain
-    (plans/dedup.py, re-rooted from documents onto the gated exact
-    survivors), and the recursive-CTE component closure
-    (plans/dedup.py)."""
-    from kda_flink_app_timestream_spark.functions.text import (
-        ENGLISH_STOPWORDS,
-        LANG_MARKERS,
-        LANG_ORDER,
-        TOKEN_REGEX,
-    )
-    from kda_flink_app_timestream_spark.plans.dedup import minhash_sig_ctes
-
-    def hits_sql(markers):
-        arr = ", ".join(f"'{m}'" for m in markers)
-        return (
-            "len(list_filter(str_split(text, ' '), "
-            f"t -> list_contains([{arr}], t)))"
-        )
-
-    hits = ",\n           ".join(
-        f"{hits_sql(LANG_MARKERS[lang])} AS h_{lang}" for lang in LANG_ORDER
-    )
-    gmax = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_ORDER) + ")"
-    first = " ".join(f"WHEN h_{lang} = {gmax} THEN '{lang}'" for lang in LANG_ORDER)
-    stop_arr = ", ".join(f"'{m}'" for m in ENGLISH_STOPWORDS)
-
-    sig = minhash_sig_ctes(num_hashes, num_bands).replace(
-        "FROM documents", "FROM survivors0", 1
-    )
-    assert "FROM documents" not in sig, "sig chain must read the survivors"
-    matches = " + ".join(
-        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
-        for i in range(num_hashes)
-    )
-    return f"""
-WITH RECURSIVE scored AS (
-    SELECT doc_id, text,
-           {hits},
-           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-           len(list_filter(str_split(text, ' '), t -> list_contains([{stop_arr}], t))) AS stop_hits,
-           CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS bpe_tokens
-    FROM documents
-),
-scored2 AS (
-    SELECT doc_id, text, n_tokens, bpe_tokens,
-           CASE WHEN {gmax} <= 0 THEN 'und' {first} END AS lang,
-           round(least(n_tokens / 100.0, 1.0) * 0.4
-                 + least(stop_hits / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.4
-                 + (1.0 - least(n_punct / CAST(n_chars AS DOUBLE) * 10.0, 1.0)) * 0.2,
-                 4) AS quality_score
-    FROM scored
-),
-gated AS (SELECT * FROM scored2 WHERE lang = 'en' AND quality_score >= 0.5),
-survivors0 AS (
-    SELECT doc_id, text, lang, n_tokens, bpe_tokens, quality_score FROM (
-        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-        FROM gated) WHERE rn = 1
-),
-{sig},
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b2 ON a.band_idx = b2.band_idx
-                 AND a.band_key = b2.band_key
-                 AND a.doc_id < b2.doc_id
-),
-prs AS (
-    SELECT doc_a, doc_b FROM cand
-    JOIN sig sa ON cand.doc_a = sa.doc_id
-    JOIN sig sb ON cand.doc_b = sb.doc_id
-    WHERE round(({matches}) / {float(num_hashes)}, 4) >= 0.5
-),
-und(a, b) AS (SELECT doc_a, doc_b FROM prs UNION SELECT doc_b, doc_a FROM prs),
-reach(a, b) AS (
-    SELECT a, b FROM und
-  UNION
-    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-),
-losers AS (
-    SELECT a AS doc_id FROM (
-        SELECT a, least(a, min(b)) AS rep FROM reach GROUP BY a
-    ) WHERE a > rep
-)
-SELECT doc_id, lang, n_tokens, bpe_tokens, quality_score
-FROM survivors0
-WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-"""
-
-
-def test_curate_corpus_matches_draft_oracle(spark, sf_dir):
-    """Driver-style compare (rows + schema + exact values) of the
-    composed curation pipeline against its composed DuckDB oracle draft
-    — the exact verification r12's registration will run, executed
-    early so registering is a wiring change, not new proof work."""
+def test_curate_corpus_duplicate_inflation_invariance(spark, sf_dir):
+    """The defining property of a dedup-centred curation pipeline: a
+    corpus with every document duplicated under fresh (larger) ids
+    curates to the BYTE-IDENTICAL survivor set of the original corpus —
+    exact collapse keeps the min id, so every injected copy loses
+    (the 10x scale run in SCALE.md pins the cost side; this pins the
+    semantics at test scale)."""
     from kda_flink_app_timestream_spark.operators.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    inflated = docs.unionByName(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    base = {tuple(r) for r in curate_corpus(docs).collect()}
+    infl = {tuple(r) for r in curate_corpus(inflated).collect()}
+    assert base == infl
+    assert base, "fixture must keep at least one survivor"
+
+
+def test_curate_corpus_matches_registered_oracle(spark, sf_dir):
+    """Driver-style compare (rows + schema + exact values) of the
+    composed curation pipeline against its composed DuckDB oracle —
+    drafted and verified in r11, REGISTERED as `curate_corpus` in r12
+    (plans/curation.py:curate_oracle); this pin runs the registered
+    pair directly so the in-repo check stays byte-identical to what
+    the driver scores."""
+    from kda_flink_app_timestream_spark.plans import REGISTRY, load_all_plans
 
     from .oracle_utils import compare_query, duckdb_connection
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    df = curate_corpus(docs, min_quality=0.5, near_dup_threshold=0.5)
+    load_all_plans()
+    q = REGISTRY["curate_corpus"]
+    df = q.fn(spark, sf_dir)
     con = duckdb_connection(sf_dir)
-    problems = compare_query(df, con, _curation_oracle_draft(), "curation_draft")
+    problems = compare_query(df, con, q.oracle, "curate_corpus")
     assert not problems, problems[:3]
 
 
