@@ -162,6 +162,13 @@ BENCH_QUERIES = [
     # into the MMR refinement; the corpus-dependent term is the index
     # path, the full-precision scan is gone from the registered query
     "sim_mmr_over_ivfpq",
+    # r12: the trained/refined IVF-PQ fix path and BOTH index-quality
+    # evals (VERDICT r11 #3) — the recall numbers are the point, and
+    # the refined pipeline's training + shortlist refine is the new
+    # corpus-dependent cost to watch per round
+    "sim_ivfpq_recall",
+    "sim_ivfpq_refined_topk",
+    "sim_ivfpq_refined_recall",
     # r12: the end-to-end curation pipeline (VERDICT r11 #2) — gate →
     # exact collapse (map-side-combinable groupBy) → minhash near-dup
     # prune → survivor stats; the corpus-dependent terms are the one
@@ -410,6 +417,12 @@ def main() -> None:
     )
     with open(local_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
+    # teardown hygiene (VERDICT r11 #6): the RocksDB/HDFS StateStore
+    # maintenance thread can race session shutdown and dump a benign
+    # stack trace AFTER the JSON line (rc stays 0, bench complete) —
+    # the driver keeps only a stdout tail, so the artifact's last bytes
+    # must be the JSON, not a scare. Silence JVM logging for the stop.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
 
 

@@ -256,6 +256,272 @@ def ivfpq_adc_search(
     )
 
 
+# --- trained-codebook IVF-PQ with exact refine (the recall fix path) --------
+#
+# The registered `sim_ivfpq_adc_topk` config retrieves poorly by design
+# honesty (VERDICT r11: recall@5 ≈ 4% — untrained 8-codeword corpus-
+# slice codebook, nprobe 2/16, ADC top-k emitted raw). Measured r12
+# findings that shaped this variant (numbers at sf0.01, 500 vectors,
+# truth = exact cosine top-5):
+#   - the corpus embeddings are UNIT-NORM already, so the r11 "L2-vs-
+#     cosine metric mismatch" hypothesis is moot here: L2-normalizing
+#     before encode changes nothing (recall 4% → 4%);
+#   - the binding constraint is the COARSE quantizer: true neighbors
+#     land in the probed lists only 23% of the time at nprobe=2, 38%
+#     at 4, 73% at 8 (random data clusters weakly around a corpus-
+#     slice codebook);
+#   - within the probed lists, a per-subspace Lloyd-TRAINED codebook
+#     (8 subspaces × 16 codewords, one update round) plus an ADC
+#     shortlist re-ranked EXACTLY (the FAISS refine step — reads ≤
+#     shortlist embeddings per query, still never scans the corpus)
+#     recovers most of the cap: recall@5 = 60% at nprobe=8/shortlist
+#     50 vs 4% for the registered base config.
+PQT_N_SUB = 8        # 64 dims → 8 subspaces of 8
+PQT_N_CODES = 16     # 16 TRAINED codewords per subspace (seeds: id < 16)
+PQT_ITERS = 2        # Lloyd assignment rounds (1 centroid update) —
+#                      matches the oracle's unrolled CTE chain
+PQT_NPROBE = 8       # the measured coarse-recall knee (73% cap)
+PQT_SHORTLIST = 50   # ADC candidates exact-refined per query
+
+
+def _sub_cb_literal(cb_s: list[tuple[int, list[int]]]) -> Column:
+    """One subspace codebook as a literal ``array<struct<c, cv>>``
+    (code-id order) — the per-subspace twin of
+    ``_sub_codeword_literal``, for codebooks whose codewords differ by
+    subspace (trained PQ) instead of slicing shared full-dim vectors."""
+    structs = ", ".join(
+        f"named_struct('c', {int(code)}L, 'cv', array("
+        + ", ".join(f"{int(x)}L" for x in w)
+        + "))"
+        for code, w in cb_s
+    )
+    return F.expr(f"array({structs})")
+
+
+def _sub_code(cb_s: list[tuple[int, list[int]]], s: int, sub_dim: int) -> Column:
+    """Nearest codeword id for subspace ``s`` of a quantized row ``qv``
+    (exact integer distances, ties to the smaller code id)."""
+    sub = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
+    cand = F.transform(
+        _sub_cb_literal(cb_s),
+        lambda e: F.struct(_int_sq_dist(sub, e["cv"]).alias("d"), e["c"].alias("c")),
+    )
+    return F.array_min(cand)["c"]
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = PQT_N_SUB,
+    n_codes: int = PQT_N_CODES,
+    iters: int = PQT_ITERS,
+    dim: int = DIM,
+) -> list[list[tuple[int, list[int]]]]:
+    """Per-subspace Lloyd-trained PQ codebooks on the exact-integer
+    grid — the ``operators/clustering.py`` recipe (deterministic
+    ``id < n_codes`` seeding, integer ``sum div count`` centroid means,
+    ties to the smaller code id) run once per subspace, so the whole
+    training is oracle-expressible as unrolled CTE rounds.
+
+    Distributed shape: every assignment round is ONE zero-shuffle
+    narrow projection (all subspaces' codes computed against inlined
+    literal codebooks); the update tree-aggregates to
+    ``n_sub × n_codes × sub_dim`` integer cells (map-side combine —
+    1024 cells at the defaults, independent of corpus size) and the
+    new codebooks come back as bounded driver-side model state. An
+    emptied codeword simply disappears, deterministically on both
+    engines."""
+    sub_dim = dim // n_sub
+    pts = corpus.select(
+        F.col(id_col).alias("pid"), _quantized(vec_col).alias("qv")
+    ).cache()
+    from ..session import defer_release
+
+    defer_release(pts)  # each update round re-scans the quantized corpus
+    seeds = sorted(
+        (r["pid"], [int(x) for x in r["qv"]])
+        for r in pts.filter(F.col("pid") < n_codes).collect()
+    )
+    if len(seeds) < n_codes:
+        raise ValueError(
+            f"PQ training found {len(seeds)} of {n_codes} seed vectors "
+            f"with {id_col} < {n_codes}: the id<n_codes seed contract "
+            "(shared with the SQL oracle) requires a dense 0-based id space"
+        )
+    cbs = [
+        [(pid, qv[s * sub_dim : (s + 1) * sub_dim]) for pid, qv in seeds]
+        for s in range(n_sub)
+    ]
+    for _ in range(iters - 1):
+        assigned = pts.select(
+            "qv", *[_sub_code(cbs[s], s, sub_dim).alias(f"c_{s}") for s in range(n_sub)]
+        )
+        cells = assigned.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sub"),
+                            F.col(f"c_{s}").alias("code"),
+                            F.slice(F.col("qv"), s * sub_dim + 1, sub_dim).alias("sv"),
+                        )
+                        for s in range(n_sub)
+                    ]
+                )
+            ).alias("cell")
+        )
+        per_el = (
+            cells.select("cell.sub", "cell.code", F.posexplode("cell.sv").alias("spos", "v"))
+            .groupBy("sub", "code", "spos")
+            .agg(F.expr("sum(v) div count(*)").alias("w"))
+            .collect()
+        )
+        by: dict[tuple[int, int], dict[int, int]] = {}
+        for r in per_el:
+            by.setdefault((r["sub"], r["code"]), {})[r["spos"]] = r["w"]
+        cbs = [
+            sorted(
+                (code, [dims[p] for p in sorted(dims)])
+                for (sub, code), dims in by.items()
+                if sub == s
+            )
+            for s in range(n_sub)
+        ]
+    return cbs
+
+
+def ivfpq_refined_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = PQT_NPROBE,
+    n_sub: int = PQT_N_SUB,
+    n_codes: int = PQT_N_CODES,
+    iters: int = PQT_ITERS,
+    shortlist: int = PQT_SHORTLIST,
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF + TRAINED PQ + exact refine — the production retrieval
+    pipeline (FAISS ``IVFPQ,Refine``-shaped): probe ``nprobe`` lists,
+    shortlist ``shortlist`` candidates per query by ADC (codes only, no
+    embedding reads), then re-rank ONLY the shortlist by exact cosine.
+
+    Scale shape: training is bounded model state (see
+    ``train_pq_codebooks``); encode/probe are the same zero-shuffle
+    projections as ``ivfpq_adc_topk``; the refine joins the ≤
+    queries×shortlist id set back to the corpus as a BROADCAST hash
+    join (the corpus scans once, never shuffles, and only shortlisted
+    rows' embeddings are ever materialized).
+
+    Output: (query_id, neighbor_id, cosine_sim, rk) — same contract as
+    every cosine top-k in the family. Measured recall@5 at sf0.01:
+    0.60 vs 0.04 for the untrained no-refine base config (see the
+    module constants' derivation notes)."""
+    from .similarity import _rank_topk, _safe_cosine
+    from ..functions.vectors import dot_unrolled
+
+    sub_dim = dim // n_sub
+    cents = _collect_centroids(ivf_centroids(corpus, id_col, vec_col))
+    cbs = train_pq_codebooks(corpus, id_col, vec_col, n_sub, n_codes, iters, dim)
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+            _quantized(vec_col).alias("qv"),
+        )
+        .withColumn("cn", norm_unrolled("cv", dim))
+    )
+    assigned = _nearest_centroids(c, cents, "cv", "cn", 1)
+    encoded = assigned.select(
+        "neighbor_id", "cid", *[_sub_code(cbs[s], s, sub_dim).alias(f"code_{s}") for s in range(n_sub)]
+    )
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qdv"),
+            _quantized(vec_col).alias("qv"),
+        )
+        .withColumn("qn", norm_unrolled("qdv", dim))
+    )
+    probed = _nearest_centroids(q, cents, "qdv", "qn", nprobe)
+
+    def lut(s: int) -> Column:
+        sub = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
+        return F.transform(_sub_cb_literal(cbs[s]), lambda e: _int_sq_dist(sub, e["cv"]))
+
+    probed = probed.select(
+        "query_id", "cid", *[lut(s).alias(f"lut_{s}") for s in range(n_sub)]
+    )
+
+    # per-subspace code→LUT-slot translation, same contiguity rule +
+    # loud NULL guard as ivfpq_adc_search (an emptied trained codeword
+    # leaves a gap, which switches that subspace to the literal map)
+    adc = None
+    for s in range(n_sub):
+        code_ids = [int(code) for code, _w in cbs[s]]
+        if code_ids == list(range(code_ids[0], code_ids[0] + len(code_ids))):
+            sl = (F.col(f"code_{s}") - code_ids[0] + 1).cast("int")
+            slot = F.when((sl >= 1) & (sl <= len(code_ids)), sl)
+        else:
+            slot_of = F.create_map(
+                *[
+                    lit
+                    for i, code in enumerate(code_ids)
+                    for lit in (F.lit(code), F.lit(i + 1))
+                ]
+            )
+            slot = slot_of[F.col(f"code_{s}")].cast("int")
+        term = F.element_at(F.col(f"lut_{s}"), slot)
+        adc = term if adc is None else adc + term
+    adc = F.when(
+        adc.isNull(),
+        F.raise_error(
+            F.lit(
+                "ivfpq_refined_topk: NULL ADC distance — encoded codes do "
+                "not match the trained codebooks (stale index); re-encode"
+            )
+        ),
+    ).otherwise(adc)
+
+    scored = (
+        encoded.join(F.broadcast(probed), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    )
+    wsl = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("rn", F.row_number().over(wsl))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    qv_side = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qdv")
+        )
+        .withColumn("qn", norm_unrolled("qdv", dim))
+    )
+    cand = c.select("neighbor_id", "cv", "cn")
+    refined = (
+        cand.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv_side), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _safe_cosine(dot_unrolled("qdv", "cv", dim), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    return _rank_topk(refined, k)
+
+
 def ivfpq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1487,57 +1487,29 @@ def test_curate_corpus_matches_registered_oracle(spark, sf_dir):
     assert not problems, problems[:3]
 
 
-def test_ivfpq_recall_draft_matches_oracle(spark, sf_dir):
-    """DRAFT of `sim_ivfpq_recall` staged for r12 (window full in r11):
-    recall@k of the IVF-PQ ADC index against exact brute-force ground
-    truth, per query — the metric that sizes nprobe/codebooks before a
-    corpus commits to the compressed index (the ADC twin of
-    `sim_ann_recall`, which evaluates the LSH index). Spark side
-    composes the two registered queries; the oracle composes their two
-    verified CTE chains. Driver-style compare, hash-exact."""
+def test_ivfpq_recall_queries_match_registered_oracles(spark, sf_dir):
+    """The two registered index-quality evals (`sim_ivfpq_recall` for
+    the base ADC config, `sim_ivfpq_refined_recall` for the trained/
+    refined fix path — both REGISTERED in r12 from the r11 staged
+    draft) run driver-style against their composed oracles, and the
+    measured quality gap is pinned: the refined pipeline must beat the
+    base config by a wide margin (sf0.01 measurement: mean recall@5
+    0.60 vs 0.04; this asserts the ORDERING with slack, not the exact
+    means, so a testdata regeneration shifts numbers without lying
+    about the claim)."""
     from kda_flink_app_timestream_spark.plans import REGISTRY, load_all_plans
-    from kda_flink_app_timestream_spark.plans.similarity import (
-        _BRUTEFORCE_ORACLE,
-        _ivfpq_oracle,
-        TOP_K,
-    )
 
     from .oracle_utils import compare_query, duckdb_connection
 
     load_all_plans()
-    truth = (
-        REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-    )
-    approx = (
-        REGISTRY["sim_ivfpq_adc_topk"].fn(spark, sf_dir)
-        .select(
-            F.col("query_id").alias("a_query_id"),
-            F.col("neighbor_id").alias("a_neighbor_id"),
-        )
-    )
-    joined = truth.join(
-        approx,
-        (F.col("query_id") == F.col("a_query_id"))
-        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
-        "left",
-    )
-    hits = F.count("a_neighbor_id")
-    df = joined.groupBy("query_id").agg(
-        hits.alias("n_hits"),
-        (hits * (1000 // TOP_K)).alias("recall_permille"),
-    )
-    oracle = f"""
-WITH truth AS (SELECT query_id, neighbor_id FROM ({_BRUTEFORCE_ORACLE}) t0),
-approx AS (SELECT query_id, neighbor_id FROM ({_ivfpq_oracle()}) a0)
-SELECT t.query_id,
-       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
-       CAST(count(a.neighbor_id) * {1000 // TOP_K} AS BIGINT) AS recall_permille
-FROM truth t
-LEFT JOIN approx a
-  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
-GROUP BY t.query_id
-"""
     con = duckdb_connection(sf_dir)
-    problems = compare_query(df, con, oracle, "ivfpq_recall_draft")
-    assert not problems, problems[:3]
+    means = {}
+    for name in ("sim_ivfpq_recall", "sim_ivfpq_refined_recall"):
+        q = REGISTRY[name]
+        df = q.fn(spark, sf_dir)
+        problems = compare_query(df, con, q.oracle, name)
+        assert not problems, (name, problems[:3])
+        rows = q.fn(spark, sf_dir).collect()
+        means[name] = sum(r["recall_permille"] for r in rows) / len(rows)
+    assert means["sim_ivfpq_refined_recall"] >= 3 * means["sim_ivfpq_recall"], means
+    assert means["sim_ivfpq_refined_recall"] >= 300, means  # ≥ 30% mean recall@5
