@@ -331,6 +331,13 @@ _RESCORE_AFTER = {
     # driver row when the flag activates in r12:
     "sim_mmr_diverse_topk": 12,
     # r12 changes (this round's window is being built now — ACTIVE):
+    #   operators/mmr.py (ADVICE r11 ×3): mmr_over_candidates now drops
+    #   self-pairs, caps the In-pushdown id collect (broadcast semi-join
+    #   fallback), and passes pin=False so mmr_rerank skips the double
+    #   pin of the checkpointed candidate frame; mmr_rerank gained the
+    #   pin parameter. Both registered consumers of the file rescore
+    #   (sim_mmr_diverse_topk is already keyed 12 above):
+    "sim_mmr_over_ivfpq": 12,
     #   operators/curation.py: curate_corpus's exact collapse rewritten
     #   from a row_number window to a map-side-combinable groupBy +
     #   id-keyed semi join (ADVICE r11 skew/width). SCOPED per the r7

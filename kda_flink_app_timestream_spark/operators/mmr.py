@@ -32,6 +32,11 @@ MMR_N_CAND = 20
 MMR_SCALE = 1 << 10       # component quantization grid
 MMR_LAMBDA_NUM = 7        # score = 7·rel − 3·penalty  (λ = 0.7, ×10)
 MMR_LAMBDA_PEN = 3
+# candidate-id sets up to this size are collected and inlined as a
+# pushed-down In filter (scan-pruning point lookup); larger sets fall
+# back to a broadcast semi-join so the plan never carries tens of
+# thousands of literals nor unbounded driver lists (ADVICE r11)
+MMR_PUSHDOWN_MAX_IDS = 4096
 
 
 def _quantized(vec_col: str) -> Column:
@@ -49,7 +54,7 @@ def _int_dot(a: Column, b: Column) -> Column:
     )
 
 
-def mmr_rerank(cand: DataFrame, k: int = MMR_K) -> DataFrame:
+def mmr_rerank(cand: DataFrame, k: int = MMR_K, pin: bool = True) -> DataFrame:
     """Greedy MMR refinement over a PREPARED candidate table
     ``(query_id, cand_id, rel BIGINT, cq array<bigint>)`` — candidate-
     source-agnostic: ``mmr_topk`` feeds it the brute-force top-n_cand,
@@ -62,13 +67,20 @@ def mmr_rerank(cand: DataFrame, k: int = MMR_K) -> DataFrame:
     BIGINT) — pick 1 scores pure relevance (empty penalty set), later
     picks subtract the max pair-similarity to anything already picked;
     ties go to the smaller neighbor id at every step.
+
+    ``pin=False`` skips the internal cache for a caller that already
+    materialized the frame (``mmr_over_candidates`` hands in an eagerly
+    localCheckpoint'ed table — a second ``.cache()`` would pin the same
+    small data twice in executor storage until the deferred release,
+    ADVICE r11).
     """
     w_rel = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
-    # the candidate table is (queries × n_cand) rows — cached because the
-    # k−1 unrolled steps and the pair table all re-join it (deferred
-    # release per the session contract)
-    cand = cand.cache()
-    defer_release(cand)
+    if pin:
+        # the candidate table is (queries × n_cand) rows — cached because
+        # the k−1 unrolled steps and the pair table all re-join it
+        # (deferred release per the session contract)
+        cand = cand.cache()
+        defer_release(cand)
     a = cand.select(
         "query_id", F.col("cand_id").alias("a_id"), F.col("cq").alias("av")
     )
@@ -213,20 +225,41 @@ def mmr_over_candidates(
     # combinatorial cand/pairs references blew the plan up until the
     # AQE explain string ALONE OOM'd a 1g driver at sf0.01 (caching
     # dedups execution, NOT the logical plan text). (queries × n_cand)
-    # rows, so the eager checkpoint is one trivial job.
-    cand_ids = cand_ids.select("query_id", "cand_id").localCheckpoint(eager=True)
-    # The candidate id SET is bounded driver-side state (queries ×
-    # n_cand ids — the codebook pattern), so inline it as a pushed-down
-    # IN filter: the point-lookup then PRUNES the corpus scan (parquet
-    # row-group stats / file skipping on an id-clustered layout) and
-    # quantizes only the matched rows, instead of projecting the whole
-    # corpus just for a broadcast join to drop it. Measured at 200 k
-    # vectors: 11.2 s → ~4 s for the search+rerank half (the brute
-    # scan it replaces is 11.1 s).
-    ids = sorted(r["cand_id"] for r in cand_ids.select("cand_id").distinct().collect())
-    c = corpus.filter(F.col(id_col).isin(ids)).select(
-        F.col(id_col).alias("cand_id"), _quantized(vec_col).alias("cq")
+    # rows, so the eager checkpoint is one trivial job. A source that
+    # includes the query itself would make pick 1 select the query
+    # (maximal self-relevance), silently diverging from mmr_topk's
+    # self-excluded semantics — drop self-pairs here so the contract
+    # holds for ANY candidate source (ADVICE r11).
+    cand_ids = (
+        cand_ids.select("query_id", "cand_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .localCheckpoint(eager=True)
     )
+    # The candidate id SET is normally bounded driver-side state
+    # (queries × n_cand ids — the codebook pattern), so inline it as a
+    # pushed-down IN filter: the point-lookup then PRUNES the corpus
+    # scan (parquet row-group stats / file skipping on an id-clustered
+    # layout) and quantizes only the matched rows, instead of
+    # projecting the whole corpus just for a broadcast join to drop
+    # it. Measured at 200 k vectors: 11.2 s → ~4 s for the
+    # search+rerank half (the brute scan it replaces is 11.1 s).
+    # The function accepts ANY candidate source, so the collect is
+    # CAPPED (ADVICE r11): take(cap+1) probes the size without a full
+    # count, and an oversized set falls back to a broadcast semi-join —
+    # same pruning effect at runtime via AQE, no literal bloat, no
+    # unbounded driver list.
+    distinct_ids = cand_ids.select("cand_id").distinct()
+    probe = distinct_ids.take(MMR_PUSHDOWN_MAX_IDS + 1)
+    if len(probe) <= MMR_PUSHDOWN_MAX_IDS:
+        ids = sorted(r["cand_id"] for r in probe)
+        c = corpus.filter(F.col(id_col).isin(ids))
+    else:
+        c = corpus.join(
+            F.broadcast(distinct_ids),
+            corpus[id_col] == distinct_ids["cand_id"],
+            "left_semi",
+        )
+    c = c.select(F.col(id_col).alias("cand_id"), _quantized(vec_col).alias("cq"))
     cand = (
         c.join(F.broadcast(cand_ids), "cand_id")
         .join(F.broadcast(q), "query_id")
@@ -238,5 +271,6 @@ def mmr_over_candidates(
         )
     )
     # and a leaf for the refinement: brute-force-sized plans from here
+    # (already materialized — mmr_rerank must not re-pin it, ADVICE r11)
     cand = cand.localCheckpoint(eager=True)
-    return mmr_rerank(cand, k)
+    return mmr_rerank(cand, k, pin=False)
