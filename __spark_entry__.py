@@ -338,6 +338,13 @@ _RESCORE_AFTER = {
     #   pin parameter. Both registered consumers of the file rescore
     #   (sim_mmr_diverse_topk is already keyed 12 above):
     "sim_mmr_over_ivfpq": 12,
+    #   plans/timeseries.py: map_dimensions_long_form's explode changed
+    #   to explode_outer + post-generate null filter (the VERDICT r11
+    #   sweep-drift diagnosis: InferFiltersFromGenerate was duplicating
+    #   the whole parse tree below scatter's exchange — 5.3 s → 0.9 s
+    #   steady at sf0.1, results proven identical). Local to the one
+    #   query body, so only it rescores:
+    "map_dimensions_long_form": 12,
     #   operators/curation.py: curate_corpus's exact collapse rewritten
     #   from a row_number window to a map-side-combinable groupBy +
     #   id-keyed semi join (ADVICE r11 skew/width). SCOPED per the r7

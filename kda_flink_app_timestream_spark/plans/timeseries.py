@@ -130,7 +130,21 @@ def map_dimensions_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-dimension map processing (the TimestreamPoint ``dimensions``
     MapType, TimestreamPoint.java:15): parse points, ``explode`` the map
     to long-form (key, value) rows, count value frequencies — the
-    map_keys/element_at/explode family over real parsed data."""
+    map_keys/element_at/explode family over real parsed data.
+
+    explode_outer + a post-generate null filter, NOT plain explode
+    (r12, the VERDICT r11 sweep-drift diagnosis): from a plain
+    ``explode(dimensions)`` Catalyst's InferFiltersFromGenerate infers
+    ``size(dimensions) > 0`` and filter-pushdown drags it below
+    scatter's round-robin exchange — since ``dimensions`` is a DERIVED
+    expression, that duplicates the ENTIRE build-text+parse tree into
+    a pre-exchange Filter that runs on the unsplit scan side
+    (single-threaded) and again post-exchange. Measured at sf0.1:
+    5.3 s steady / 12.6 s first-touch with the inferred filter, 0.9 s
+    steady / 5.2 s first-touch without; results identical (the null
+    row an outer explode would add cannot occur — the parse always
+    keeps the literal callerservice key — and the explicit dim_key
+    filter pins the semantics anyway)."""
     e = scatter(load_table(spark, sf_dir, "events"))
     raw = e.select(
         build_service_log_text(
@@ -143,8 +157,8 @@ def map_dimensions_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     points = parse_service_logs(raw)
     exploded = points.select(
-        F.explode(F.col("dimensions")).alias("dim_key", "dim_value")
-    )
+        F.explode_outer(F.col("dimensions")).alias("dim_key", "dim_value")
+    ).filter(F.col("dim_key").isNotNull())
     return exploded.groupBy("dim_key", "dim_value").agg(F.count("*").alias("n"))
 
 
