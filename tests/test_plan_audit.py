@@ -45,6 +45,23 @@ def _batch_queries():
     )
 
 
+# Filter conditions longer than this many chars smell like a DERIVED
+# expression tree duplicated into a pushed-down predicate — the
+# InferFiltersFromGenerate class the r12 map_dimensions_long_form fix
+# removed (the whole build-text+parse tree ran twice, once
+# single-threaded below scatter's exchange). Queries whose oversized
+# condition is evaluated once on the scan side BY DESIGN are listed
+# with the reason (see PLANS.md "map_dimensions_long_form (r12 fix)").
+OVERSIZED_FILTER_CHARS = 3000
+OVERSIZED_FILTER_ALLOWED = {
+    # language/quality gate collapsed into the single corpus scan's
+    # Filter: evaluated once per row pre-shuffle (survivors re-evaluate
+    # the gate terms in the projection — bounded ×2 on gate terms only,
+    # never exchange-duplicated)
+    "curate_corpus",
+}
+
+
 def test_no_scale_killers_in_any_batch_plan(spark, sf_dir):
     reg = load_all_plans()
     violations: list[str] = []
@@ -57,6 +74,16 @@ def test_no_scale_killers_in_any_batch_plan(spark, sf_dir):
         for label, pat in FORBIDDEN:
             if pat.search(plan):
                 violations.append(f"{name}: {label}")
+        if name not in OVERSIZED_FILTER_ALLOWED:
+            opt = df._jdf.queryExecution().optimizedPlan().toString()
+            for m in re.finditer(r"Filter \((.*)\)\n", opt):
+                if len(m.group(1)) > OVERSIZED_FILTER_CHARS:
+                    violations.append(
+                        f"{name}: oversized Filter condition "
+                        f"({len(m.group(1))} chars — duplicated derived "
+                        "expression tree? see PLANS.md r12)"
+                    )
+                    break
         spark.catalog.clearCache()
     assert not violations, (
         "scale-killer patterns in physical plans:\n  " + "\n  ".join(violations)
