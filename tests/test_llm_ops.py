@@ -1360,6 +1360,81 @@ def test_ivfpq_survives_sparse_codebook_ids(spark, sf_dir):
         assert adc == expect, (qid, nid, adc, expect)
 
 
+def test_ivfpq_refined_survives_emptied_trained_codeword(spark):
+    """An EMPTIED trained codeword (two identical seeds → the tie goes
+    to the smaller code, the other keeps zero members and vanishes at
+    the update) leaves a per-subspace codebook with a gap — the slot
+    translation must switch to the literal code→slot map and the
+    pipeline must neither raise the NULL-ADC guard nor mis-rank.
+    Pinned end-to-end: a planted exact copy of the query must come
+    back as pick 1 with cosine 1.0 through the refine."""
+    import random
+
+    from kda_flink_app_timestream_spark.operators.ivfpq import (
+        PQT_N_CODES,
+        PQT_N_SUB,
+        ivfpq_refined_topk,
+        train_pq_codebooks,
+    )
+
+    rng = random.Random(12)
+
+    def vec():
+        return [rng.uniform(-1.0, 1.0) for _ in range(64)]
+
+    rows = []
+    v0 = vec()
+    for i in range(16):
+        # seeds 0 and 1 identical → trained code 1 empties everywhere
+        rows.append((i, v0 if i <= 1 else vec()))
+    for i in range(16, 50):
+        rows.append((i, vec()))
+    rows.append((50, list(rows[0][1])))  # exact copy of query 0
+    for i in range(100, 116):
+        rows.append((i, vec()))  # the coarse centroid slice
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cbs = train_pq_codebooks(e)
+    for s in range(PQT_N_SUB):
+        codes = [c for c, _ in cbs[s]]
+        assert 1 not in codes, f"sub {s}: code 1 should have emptied"
+        assert len(codes) == PQT_N_CODES - 1
+        assert codes != list(range(codes[0], codes[0] + len(codes)))
+
+    got = ivfpq_refined_topk(e, e.filter(F.col("vec_id") == 0), k=5).collect()
+    assert len(got) == 5
+    # BOTH exact copies of the query (vec 1 — the duplicated seed — and
+    # the planted vec 50) must lead, cosine 1.0, id tie-break
+    by_rk = {r["rk"]: (r["neighbor_id"], r["cosine_sim"]) for r in got}
+    assert by_rk[1] == (1, 1.0)
+    assert by_rk[2] == (50, 1.0)
+
+
+def test_mmr_semi_join_fallback_matches_pushdown(spark, sf_dir, monkeypatch):
+    """Above MMR_PUSHDOWN_MAX_IDS the candidate lookup falls back to a
+    broadcast semi-join instead of an inlined In filter (ADVICE r11);
+    both paths must produce byte-identical MMR picks."""
+    import kda_flink_app_timestream_spark.operators.mmr as mmr_mod
+    from kda_flink_app_timestream_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    ann = brute_force_topk(e, q, k=8).select(
+        "query_id", F.col("neighbor_id").alias("cand_id")
+    )
+    via_pushdown = {
+        tuple(r) for r in mmr_mod.mmr_over_candidates(e, q, ann).collect()
+    }
+    monkeypatch.setattr(mmr_mod, "MMR_PUSHDOWN_MAX_IDS", 5)
+    via_semi_join = {
+        tuple(r) for r in mmr_mod.mmr_over_candidates(e, q, ann).collect()
+    }
+    assert via_pushdown == via_semi_join
+    assert len(via_pushdown) == 3 * mmr_mod.MMR_K
+
+
 def test_curate_corpus_composition_matches_stagewise_set_algebra(spark, sf_dir):
     """The end-to-end curation pipeline (r11, the text-side twin of the
     retrieval composition) must equal the SET ALGEBRA of its
