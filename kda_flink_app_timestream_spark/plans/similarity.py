@@ -629,6 +629,7 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF-PQ retrieval-quality evaluation + the trained/refined fix path ------
 
 from ..operators.ivfpq import (  # noqa: E402
+    PQT_COARSE_LISTS,
     PQT_ITERS,
     PQT_N_CODES,
     PQT_N_SUB,
@@ -693,43 +694,19 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_refined_ctes() -> str:
-    """The trained-codebook IVF-PQ + exact-refine pipeline as a CTE
+    """The trained IVF + trained PQ + exact-refine pipeline as a CTE
     chain ending in ``refined`` (query_id, neighbor_id, cosine_sim) —
-    the SQL twin of operators/ivfpq.py:ivfpq_refined_topk. The coarse
-    CTEs repeat `_ivfpq_ctes`'s verified shape (kept additive rather
-    than parameterizing the shared builder); PQ training is the
-    `_kmeans_ctes` recipe per SUBSPACE: seeds are the id<n_codes
-    sub-vectors, one integer-mean update round, ties to the smaller
-    code id, an emptied codeword disappears on both engines."""
-    lo_c, hi_c = IVF_CENTROID_RANGE
+    the SQL twin of operators/ivfpq.py:ivfpq_refined_topk. BOTH
+    quantizers train with the `_kmeans_ctes` recipe (seeds are the
+    id<k (sub-)vectors, one integer-mean update round, ties to the
+    smaller code id, an emptied codeword disappears on both engines):
+    the coarse chain (g0→gd1→ga1→gc1→gd2) is full-vector k-means into
+    {PQT_COARSE_LISTS} inverted lists with integer-L2 assignment and
+    probing; the PQ chain (cb0→d1→a1→cb1→d2) is the same recipe per
+    SUBSPACE."""
     sub_dim = 64 // PQT_N_SUB
     assert PQT_ITERS == 2, "oracle CTE chain is unrolled for 2 rounds"
     return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (
-    SELECT vec_id AS cid, v AS centroid FROM e
-    WHERE vec_id >= {lo_c} AND vec_id < {hi_c}
-),
-assigned AS (
-    SELECT vec_id AS neighbor_id, cid FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY {sql_safe_cosine('e.v', 'c.centroid')} DESC, c.cid
-               ) AS rn
-        FROM e CROSS JOIN cents c
-    ) WHERE rn = 1
-),
-probed AS (
-    SELECT vec_id AS query_id, cid FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY {sql_safe_cosine('e.v', 'c.centroid')} DESC, c.cid
-               ) AS rn
-        FROM e CROSS JOIN cents c
-        WHERE e.vec_id < {N_QUERIES}
-    ) WHERE rn <= {PQT_NPROBE}
-),
 pts AS (
     SELECT vec_id,
            list_transform(embedding::DOUBLE[],
@@ -742,6 +719,46 @@ us AS (
            p.pos - ((p.pos - 1) // {sub_dim}) * {sub_dim} AS spos,
            qv[p.pos] AS v
     FROM pts, (SELECT unnest(range(1, 65)) AS pos) p
+),
+u0 AS (
+    SELECT vec_id, p.pos AS pos, qv[p.pos] AS v
+    FROM pts, (SELECT unnest(range(1, 65)) AS pos) p
+),
+g0 AS (SELECT vec_id AS code, pos, v AS w FROM u0 WHERE vec_id < {PQT_COARSE_LISTS}),
+gd1 AS (
+    SELECT u0.vec_id, g.code,
+           CAST(sum((u0.v - g.w) * (u0.v - g.w)) AS BIGINT) AS dist
+    FROM u0 JOIN g0 g ON u0.pos = g.pos
+    GROUP BY u0.vec_id, g.code
+),
+ga1 AS (
+    SELECT vec_id, code FROM (
+        SELECT vec_id, code,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) AS rn
+        FROM gd1) WHERE rn = 1
+),
+gc1 AS (
+    SELECT a.code, u0.pos, CAST(sum(u0.v) // count(*) AS BIGINT) AS w
+    FROM ga1 a JOIN u0 ON a.vec_id = u0.vec_id
+    GROUP BY a.code, u0.pos
+),
+gd2 AS (
+    SELECT u0.vec_id, g.code,
+           CAST(sum((u0.v - g.w) * (u0.v - g.w)) AS BIGINT) AS dist
+    FROM u0 JOIN gc1 g ON u0.pos = g.pos
+    GROUP BY u0.vec_id, g.code
+),
+assigned AS (
+    SELECT vec_id AS neighbor_id, code AS cid FROM (
+        SELECT vec_id, code,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) AS rn
+        FROM gd2) WHERE rn = 1
+),
+probed AS (
+    SELECT vec_id AS query_id, code AS cid FROM (
+        SELECT vec_id, code,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) AS rn
+        FROM gd2 WHERE vec_id < {N_QUERIES}) WHERE rn <= {PQT_NPROBE}
 ),
 cb0 AS (SELECT sub, vec_id AS code, spos, v AS w FROM us WHERE vec_id < {PQT_N_CODES}),
 d1 AS (
@@ -820,17 +837,20 @@ WHERE rk <= {TOP_K}
     tags=("similarity", "ann", "ivf", "pq", "compression", "rerank"),
 )
 def sim_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + TRAINED PQ + exact refine — the retrieval-quality fix path
-    for the base ADC index (VERDICT r11 #3), FAISS `IVFPQ,Refine`-
-    shaped: per-subspace Lloyd-trained codebooks (8×16, exact-integer
-    k-means — bounded driver-side model state), nprobe=8, ADC
-    shortlist of 50 per query, exact cosine re-rank of ONLY the
-    shortlist. Embeddings are read for ≤ queries×50 rows via a
-    broadcast hash join — the corpus still never shuffles and the
-    quadratic stage still does no vector arithmetic. Measured recall@5
-    at sf0.01: 0.60 vs 0.04 for the untrained no-refine base config
-    (`sim_ivfpq_recall` / `sim_ivfpq_refined_recall` keep both
-    numbers as registered evals)."""
+    """TRAINED IVF + TRAINED PQ + exact refine — the retrieval-quality
+    fix path for the base ADC index (VERDICT r11 #3), FAISS
+    `IVFPQ,Refine`-shaped: a Lloyd-trained coarse quantizer (16 lists,
+    full-vector exact-integer k-means — lifting the probe cap from
+    23/38/73% to 76/86/94% at nprobe 2/4/8 vs the corpus-slice
+    codebook), per-subspace Lloyd-trained PQ codebooks (8×16),
+    nprobe=4, ADC shortlist of 50 per query, exact cosine re-rank of
+    ONLY the shortlist. Embeddings are read for ≤ queries×50 rows via
+    a broadcast hash join — the corpus never shuffles and the
+    quadratic stage does no vector arithmetic. Measured recall@5 at
+    sf0.01: **0.79 probing 4/16 of the corpus** vs 0.04 for the
+    untrained no-refine base config (`sim_ivfpq_recall` /
+    `sim_ivfpq_refined_recall` keep both numbers as registered
+    evals)."""
     e = load_table(spark, sf_dir, "embeddings")
     return ivfpq_refined_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOP_K)
 
@@ -856,11 +876,11 @@ GROUP BY t.query_id
 def sim_ivfpq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the trained/refined IVF-PQ pipeline
     (`sim_ivfpq_refined_topk`) against exact brute-force truth — the
-    companion eval proving the fix path's measured win (mean ≈ 60% on
+    companion eval proving the fix path's measured win (mean ≈ 79% on
     the fixture vs ≈ 4% for the base config; the residual loss is the
-    nprobe=8 coarse cap of 73%, see operators/ivfpq.py). Registered so
-    the index-quality claim stays a driver-checked number, not a
-    docstring assertion."""
+    trained-coarse nprobe=4 probe cap of 86% times ADC shortlist
+    noise, see operators/ivfpq.py). Registered so the index-quality
+    claim stays a driver-checked number, not a docstring assertion."""
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < N_QUERIES)
     truth = brute_force_topk(e, probes, k=TOP_K).select("query_id", "neighbor_id")

@@ -1391,7 +1391,9 @@ def test_ivfpq_refined_survives_emptied_trained_codeword(spark):
         rows.append((i, vec()))
     rows.append((50, list(rows[0][1])))  # exact copy of query 0
     for i in range(100, 116):
-        rows.append((i, vec()))  # the coarse centroid slice
+        rows.append((i, vec()))  # extra corpus bulk (the trained coarse
+        #                          quantizer seeds from id<16, so these
+        #                          are plain candidates)
     e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
     cbs = train_pq_codebooks(e)
@@ -1587,4 +1589,7 @@ def test_ivfpq_recall_queries_match_registered_oracles(spark, sf_dir):
         rows = q.fn(spark, sf_dir).collect()
         means[name] = sum(r["recall_permille"] for r in rows) / len(rows)
     assert means["sim_ivfpq_refined_recall"] >= 3 * means["sim_ivfpq_recall"], means
-    assert means["sim_ivfpq_refined_recall"] >= 300, means  # ≥ 30% mean recall@5
+    # ≥ 50% mean recall@5 (measured 0.79 with the trained coarse +
+    # trained PQ + refine at nprobe=4; generous slack for a testdata
+    # regeneration, but far above anything the base config can reach)
+    assert means["sim_ivfpq_refined_recall"] >= 500, means
