@@ -286,10 +286,14 @@ PQT_COARSE_LISTS = 16  # TRAINED coarse centroids (full-vector k-means —
 #                        for nprobe 2/4/8, the trained one measures
 #                        76/86/94% under the same integer-L2 metric)
 PQT_NPROBE = 4       # trained-coarse probe width: 86% cap probing 4/16
-#                      of the corpus (wider probes let ADC false
-#                      positives crowd the fixed shortlist — measured
-#                      recall 0.79 @4 vs 0.73 @8)
-PQT_SHORTLIST = 50   # ADC candidates exact-refined per query
+#                      of the corpus
+PQT_SHORTLIST = 100  # ADC candidates exact-refined per query — the
+#                      measured saturation point: recall@5 0.79 at
+#                      shortlist 50 (ADC noise squeezes true neighbors
+#                      out), 0.86 at 100 = the FULL nprobe=4 probe cap
+#                      (identical to an exhaustive exact re-rank of the
+#                      probed lists), flat beyond; the refine still
+#                      reads ≤ 100 embeddings/query
 
 
 def _sub_cb_literal(cb_s: list[tuple[int, list[int]]]) -> Column:
@@ -449,10 +453,12 @@ def ivfpq_refined_topk(
 
     Output: (query_id, neighbor_id, cosine_sim, rk) — same contract as
     every cosine top-k in the family. Measured recall@5 at sf0.01:
-    **0.79** probing 4/16 of the corpus, vs 0.60 for the r12-draft
-    slice-codebook coarse at nprobe=8 (half the corpus) and 0.04 for
-    the untrained no-refine base config — the trained coarse lifts the
-    probe cap from 23/38/73% to 76/86/94% (nprobe 2/4/8)."""
+    **0.86** probing 4/16 of the corpus — the FULL nprobe=4 probe cap
+    (the shortlist saturates the cap, so ADC costs zero recall) — vs
+    0.60 for the r12-draft slice-codebook coarse at nprobe=8 (half the
+    corpus) and 0.04 for the untrained no-refine base config; the
+    trained coarse lifts the probe cap from 23/38/73% to 76/86/94%
+    (nprobe 2/4/8)."""
     from .similarity import _rank_topk, _safe_cosine
     from ..functions.vectors import dot_unrolled
 

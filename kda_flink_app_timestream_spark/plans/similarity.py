@@ -843,11 +843,13 @@ def sim_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-vector exact-integer k-means — lifting the probe cap from
     23/38/73% to 76/86/94% at nprobe 2/4/8 vs the corpus-slice
     codebook), per-subspace Lloyd-trained PQ codebooks (8×16),
-    nprobe=4, ADC shortlist of 50 per query, exact cosine re-rank of
-    ONLY the shortlist. Embeddings are read for ≤ queries×50 rows via
+    nprobe=4, ADC shortlist of 100 per query, exact cosine re-rank of
+    ONLY the shortlist. Embeddings are read for ≤ queries×100 rows via
     a broadcast hash join — the corpus never shuffles and the
     quadratic stage does no vector arithmetic. Measured recall@5 at
-    sf0.01: **0.79 probing 4/16 of the corpus** vs 0.04 for the
+    sf0.01: **0.86 probing 4/16 of the corpus** — the full nprobe=4
+    probe cap, i.e. the shortlist saturates what exhaustive exact
+    re-ranking of the probed lists could reach — vs 0.04 for the
     untrained no-refine base config (`sim_ivfpq_recall` /
     `sim_ivfpq_refined_recall` keep both numbers as registered
     evals)."""
@@ -876,11 +878,12 @@ GROUP BY t.query_id
 def sim_ivfpq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the trained/refined IVF-PQ pipeline
     (`sim_ivfpq_refined_topk`) against exact brute-force truth — the
-    companion eval proving the fix path's measured win (mean ≈ 79% on
-    the fixture vs ≈ 4% for the base config; the residual loss is the
-    trained-coarse nprobe=4 probe cap of 86% times ADC shortlist
-    noise, see operators/ivfpq.py). Registered so the index-quality
-    claim stays a driver-checked number, not a docstring assertion."""
+    companion eval proving the fix path's measured win (mean ≈ 86% on
+    the fixture vs ≈ 4% for the base config; the residual loss is
+    EXACTLY the trained-coarse nprobe=4 probe cap — the shortlist
+    saturates it, see operators/ivfpq.py). Registered so the
+    index-quality claim stays a driver-checked number, not a
+    docstring assertion."""
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < N_QUERIES)
     truth = brute_force_topk(e, probes, k=TOP_K).select("query_id", "neighbor_id")
