@@ -1589,7 +1589,8 @@ def test_ivfpq_recall_queries_match_registered_oracles(spark, sf_dir):
         rows = q.fn(spark, sf_dir).collect()
         means[name] = sum(r["recall_permille"] for r in rows) / len(rows)
     assert means["sim_ivfpq_refined_recall"] >= 3 * means["sim_ivfpq_recall"], means
-    # ≥ 50% mean recall@5 (measured 0.79 with the trained coarse +
-    # trained PQ + refine at nprobe=4; generous slack for a testdata
-    # regeneration, but far above anything the base config can reach)
+    # ≥ 50% mean recall@5 (measured 0.86 with the trained coarse +
+    # trained PQ + saturated-shortlist refine at nprobe=4; generous
+    # slack for a testdata regeneration, but far above anything the
+    # base config can reach)
     assert means["sim_ivfpq_refined_recall"] >= 500, means
