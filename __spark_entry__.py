@@ -354,6 +354,30 @@ _RESCORE_AFTER = {
     #   definition); the file's other five registered consumers
     #   (text_decontaminate_overlap / duplicate_spans / rarity /
     #   pii / mixing) import untouched functions and are NOT flagged.
+    # r13 changes (this round's window is being built now — ACTIVE):
+    #   operators/ivfpq.py: train_pq_codebooks gained the shared-`pts`
+    #   parameter and ivfpq_refined_topk now quantizes/caches the
+    #   corpus ONCE for both trainings (ADVICE r12) — every registered
+    #   consumer of the file gets a post-change row:
+    "sim_ivfpq_adc_topk": 13,
+    "sim_ivfpq_recall": 13,
+    "sim_ivfpq_refined_topk": 13,
+    "sim_ivfpq_refined_recall": 13,
+    #   operators/mmr.py: the over-cap fallback dropped its forced
+    #   broadcast hint (ADVICE r12); plans/similarity.py (scoped per
+    #   the r7 precedent): sim_mmr_over_ivfpq's candidate stage rewired
+    #   onto the trained ivfpq_refined_topk path with the oracle rebuilt
+    #   on _ivfpq_refined_ctes (VERDICT r12 #2), and sim_ivfpq_adc_topk
+    #   retagged test-config (VERDICT r12 #4 — tag tuple is non-comment
+    #   source, the applyinpandas_zscore r8 precedent; flagged above):
+    "sim_mmr_diverse_topk": 13,
+    "sim_mmr_over_ivfpq": 13,
+    #   operators/curation.py (scoped to curate_corpus's body, its only
+    #   registered consumer): the exact collapse now aggregates the
+    #   full winner row via min(struct) — exactly one survivor per text
+    #   even under non-unique ids (ADVICE r12 medium), semi join
+    #   dropped:
+    "curate_corpus": 13,
 }
 
 

@@ -178,7 +178,10 @@ BENCH_QUERIES = [
 
 # canary steady-state spread at/above which the three timed passes are
 # treated as contended and ONE extra pass re-runs before reporting
-CANARY_RETRY_THRESHOLD = 2.0
+# (tightened 2.0 → 1.5 in r13 per VERDICT r12 #6: an idle box reads
+# ~1.0-1.2 steady, so 1.5 is real contention, not warmup — warmup lives
+# in sample 0 only and is excluded from steady_drift by design)
+CANARY_RETRY_THRESHOLD = 1.5
 
 
 def needs_canary_retry(samples: list[float], threshold: float = CANARY_RETRY_THRESHOLD) -> bool:
@@ -362,6 +365,19 @@ def main() -> None:
         "steady_drift": round(max(steady) / max(min(steady), 1e-9), 2),
         # True when the drift rule triggered the extra min-merged pass
         "retry_pass": retry_pass,
+        # the gate, stated in the artifact (VERDICT r12 #6): "clean" =
+        # steady tail under the threshold (whole-run `drift` above it
+        # is sample-0 JIT warmup by construction and does NOT dirty the
+        # headline — min-of-N drops the warm-up pass); "retried_clean" =
+        # one contended pass detected, extra min-merged pass ran and the
+        # tail settled; "contended" = still dirty after the one retry —
+        # treat the committed band as an upper bound
+        "threshold": CANARY_RETRY_THRESHOLD,
+        "verdict": (
+            "contended"
+            if max(steady) / max(min(steady), 1e-9) >= CANARY_RETRY_THRESHOLD
+            else ("retried_clean" if retry_pass else "clean")
+        ),
     }
 
     total_all = round(sum(timings.values()), 3)

@@ -270,22 +270,35 @@ def curate_corpus(
     )
     # exact collapse: smallest id per identical text, as a groupBy (NOT
     # a row_number window — ADVICE r11): partial map-side aggregation
-    # collapses a heavily duplicated text to one (fingerprint, text,
-    # min_id) row PER MAP TASK before the shuffle, so a million-copy
-    # doc never routes a million full-text rows through one reducer.
-    # The 8-byte xxhash64 fingerprint leads the grouping key
-    # (dedup_exact_summary's documented split); grouping ALSO by the
-    # text keeps equality exact under hash collisions. The winner set
-    # then prunes via an id-keyed semi join (AQE broadcasts it when
-    # small) instead of shuffling full survivor rows.
-    winner_ids = (
+    # collapses a heavily duplicated text to one row PER MAP TASK
+    # before the shuffle, so a million-copy doc never routes a million
+    # full-text rows through one reducer. The 8-byte xxhash64
+    # fingerprint leads the grouping key (dedup_exact_summary's
+    # documented split); grouping ALSO by the text keeps equality exact
+    # under hash collisions. The whole winner ROW comes out of the same
+    # aggregate as min(struct) — id leads the struct, so this picks the
+    # min-id row's payload (the other fields are text-derived, hence
+    # identical across the group) — guaranteeing EXACTLY one survivor
+    # per text even when ids are not unique in the input: the r12
+    # id-keyed semi join kept every copy of a duplicated (id, text) row
+    # and diverged from the oracle's row_number semantics (ADVICE r12).
+    # min(struct) is map-side combinable like min(id), and the payload
+    # adds four fixed-width columns to a shuffle row the text already
+    # dominates; dropping the semi join also removes a join stage.
+    exact = (
         gated.groupBy(
             F.xxhash64(F.col(text_col)).alias("__fp"), F.col(text_col)
         )
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    id_col, "lang", "n_tokens", "bpe_tokens", "quality_score"
+                )
+            ).alias("__winner")
+        )
+        .select(F.col(text_col), F.col("__winner.*"))
+        .cache()
     )
-    exact = gated.join(winner_ids, id_col, "left_semi").cache()
     defer_release(exact)  # feeds the near-dup stage AND the anti-join
     # docs under one shingle (< 3 tokens) have nothing to MinHash: they
     # pass through un-pruned, EXPLICITLY excluded from the signature

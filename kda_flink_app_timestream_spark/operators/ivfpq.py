@@ -329,6 +329,7 @@ def train_pq_codebooks(
     n_codes: int = PQT_N_CODES,
     iters: int = PQT_ITERS,
     dim: int = DIM,
+    pts: DataFrame | None = None,
 ) -> list[list[tuple[int, list[int]]]]:
     """Per-subspace Lloyd-trained PQ codebooks on the exact-integer
     grid — the ``operators/clustering.py`` recipe (deterministic
@@ -343,14 +344,22 @@ def train_pq_codebooks(
     1024 cells at the defaults, independent of corpus size) and the
     new codebooks come back as bounded driver-side model state. An
     emptied codeword simply disappears, deterministically on both
-    engines."""
-    sub_dim = dim // n_sub
-    pts = corpus.select(
-        F.col(id_col).alias("pid"), _quantized(vec_col).alias("qv")
-    ).cache()
-    from ..session import defer_release
+    engines.
 
-    defer_release(pts)  # each update round re-scans the quantized corpus
+    ``pts`` lets a caller that trains BOTH granularities (the refined
+    pipeline trains a coarse quantizer and the subspace codebooks off
+    the same corpus) hand in one shared cached ``(pid, qv)`` quantized
+    projection instead of each call building, caching, and
+    defer-releasing an identical copy (ADVICE r12: double executor
+    storage + double corpus quantization scans)."""
+    sub_dim = dim // n_sub
+    if pts is None:
+        pts = corpus.select(
+            F.col(id_col).alias("pid"), _quantized(vec_col).alias("qv")
+        ).cache()
+        from ..session import defer_release
+
+        defer_release(pts)  # each update round re-scans the quantized corpus
     seeds = sorted(
         (r["pid"], [int(x) for x in r["qv"]])
         for r in pts.filter(F.col("pid") < n_codes).collect()
@@ -459,22 +468,66 @@ def ivfpq_refined_topk(
     corpus) and 0.04 for the untrained no-refine base config; the
     trained coarse lifts the probe cap from 23/38/73% to 76/86/94%
     (nprobe 2/4/8)."""
-    from .similarity import _rank_topk, _safe_cosine
-    from ..functions.vectors import dot_unrolled
+    coarse, cbs = ivfpq_refined_train(
+        corpus, id_col, vec_col, n_sub, n_codes, iters, n_lists, dim
+    )
+    encoded = ivfpq_refined_encode(corpus, coarse, cbs, id_col, vec_col, n_sub, dim)
+    return ivfpq_refined_search(
+        encoded, corpus, queries, coarse, cbs, k, id_col, vec_col,
+        nprobe, n_sub, shortlist, dim,
+    )
 
-    sub_dim = dim // n_sub
+
+def ivfpq_refined_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = PQT_N_SUB,
+    n_codes: int = PQT_N_CODES,
+    iters: int = PQT_ITERS,
+    n_lists: int = PQT_COARSE_LISTS,
+    dim: int = DIM,
+) -> tuple[list[tuple[int, list[int]]], list[list[tuple[int, list[int]]]]]:
+    """The TRAIN half: (trained coarse quantizer, trained per-subspace
+    PQ codebooks) as bounded driver-side model state — in production
+    this runs once (or on drift) and the codebooks ship with the
+    stored index. ONE shared quantized projection feeds both trainings
+    (ADVICE r12: separate per-call caches doubled executor storage and
+    corpus quantization scans)."""
+    from ..session import defer_release
+
+    pts = corpus.select(
+        F.col(id_col).alias("pid"), _quantized(vec_col).alias("qv")
+    ).cache()
+    defer_release(pts)
     coarse = train_pq_codebooks(
-        corpus, id_col, vec_col, n_sub=1, n_codes=n_lists, iters=iters, dim=dim
+        corpus, id_col, vec_col, n_sub=1, n_codes=n_lists, iters=iters, dim=dim,
+        pts=pts,
     )[0]
-    cbs = train_pq_codebooks(corpus, id_col, vec_col, n_sub, n_codes, iters, dim)
+    cbs = train_pq_codebooks(
+        corpus, id_col, vec_col, n_sub, n_codes, iters, dim, pts=pts
+    )
+    return coarse, cbs
 
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(F.col(vec_col)).alias("cv"),
-            _quantized(vec_col).alias("qv"),
-        )
-        .withColumn("cn", norm_unrolled("cv", dim))
+
+def ivfpq_refined_encode(
+    corpus: DataFrame,
+    coarse: list[tuple[int, list[int]]],
+    cbs: list[list[tuple[int, list[int]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = PQT_N_SUB,
+    dim: int = DIM,
+) -> DataFrame:
+    """The INDEX-BUILD half for the trained pipeline: one zero-shuffle
+    narrow projection of the corpus to ``(neighbor_id, cid,
+    code_0..code_{n_sub-1})`` — runs once at write time, stored
+    ``partitionBy(cid)`` (the ``ivfpq_encode`` deployment shape; the
+    split-vs-composed parity through a real parquet round trip is
+    pinned by tests/test_llm_ops.py)."""
+    sub_dim = dim // n_sub
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _quantized(vec_col).alias("qv")
     )
     # cid is wrapped in coalesce(expr, -1) to make the join key
     # PROVABLY non-null: the cid equi-join otherwise infers
@@ -484,12 +537,35 @@ def ivfpq_refined_topk(
     # -1 arm is unreachable (the codebook is non-empty by construction,
     # so array_min never returns null); NullPropagation folds the
     # inferred isnotnull away entirely.
-    encoded = c.select(
+    return c.select(
         "neighbor_id",
         F.coalesce(_sub_code(coarse, 0, dim), F.lit(-1)).alias("cid"),
         *[_sub_code(cbs[s], s, sub_dim).alias(f"code_{s}") for s in range(n_sub)],
     )
 
+
+def ivfpq_refined_search(
+    encoded: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: list[tuple[int, list[int]]],
+    cbs: list[list[tuple[int, list[int]]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = PQT_NPROBE,
+    n_sub: int = PQT_N_SUB,
+    shortlist: int = PQT_SHORTLIST,
+    dim: int = DIM,
+) -> DataFrame:
+    """The QUERY half: probe the trained coarse lists, ADC-shortlist
+    from stored codes alone, exact-cosine re-rank of only the
+    shortlist (``corpus`` is touched just for the ≤ queries×shortlist
+    embedding fetch — a broadcast point-lookup join)."""
+    from .similarity import _rank_topk, _safe_cosine
+    from ..functions.vectors import dot_unrolled
+
+    sub_dim = dim // n_sub
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _quantized(vec_col).alias("qv"),
@@ -563,7 +639,13 @@ def ivfpq_refined_topk(
         )
         .withColumn("qn", norm_unrolled("qdv", dim))
     )
-    cand = c.select("neighbor_id", "cv", "cn")
+    cand = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cn", norm_unrolled("cv", dim))
+    )
     refined = (
         cand.join(F.broadcast(short), "neighbor_id")
         .join(F.broadcast(qv_side), "query_id")

@@ -254,8 +254,14 @@ def mmr_over_candidates(
         ids = sorted(r["cand_id"] for r in probe)
         c = corpus.filter(F.col(id_col).isin(ids))
     else:
+        # no broadcast hint on the fallback: the id set here is by
+        # definition LARGER than the pushdown cap, so forcing a
+        # broadcast would materialize an unbounded driver-side relation
+        # — exactly what this branch exists to avoid (ADVICE r12). AQE
+        # broadcasts it at runtime when it turns out small and falls
+        # back to a shuffled semi-join otherwise.
         c = corpus.join(
-            F.broadcast(distinct_ids),
+            distinct_ids,
             corpus[id_col] == distinct_ids["cand_id"],
             "left_semi",
         )

@@ -607,12 +607,22 @@ WHERE rk <= {TOP_K}
 @query(
     "sim_ivfpq_adc_topk",
     oracle=_ivfpq_oracle(),
-    tags=("similarity", "ann", "ivf", "pq", "compression"),
+    tags=("similarity", "ann", "ivf", "pq", "compression", "test-config"),
 )
 def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with asymmetric-distance lookup tables — the composed
     index (coarse quantizer + 4-byte PQ codes) every billion-vector
-    deployment runs, as one query. Each query precomputes n_sub×8
+    deployment runs, as one query.
+
+    Tagged ``test-config`` (VERDICT r12 #4, the applyinpandas_zscore
+    precedent): this untrained nprobe=2 configuration retrieves at
+    recall@5 ≈ 4% and now serves ONLY as `sim_ivfpq_recall`'s pinned
+    baseline subject — the production twin is `sim_ivfpq_refined_topk`
+    (trained coarse + trained PQ + exact shortlist refine, recall@5
+    0.86), which also feeds the composed `sim_mmr_over_ivfpq` as of
+    r13. The ADC mechanics proven here (LUT build, code→slot
+    translation, broadcast probe join) are exactly what the trained
+    twin executes. Each query precomputes n_sub×8
     integer LUT entries; scoring a candidate is then 4 array lookups +
     adds — NO vector arithmetic on the quadratic stage, and the full
     embedding column is never read at query time (only cid + codes).
@@ -1037,15 +1047,18 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mmr_over_ivfpq_oracle() -> str:
-    """IVF-PQ ADC candidate generation (top-MMR_N_CAND by ADC distance)
-    + exact MMR-grid relevance on the candidate set + the shared greedy
-    refinement chain."""
-    return _mmr_tail(f"""{_ivfpq_ctes()},
+    """Trained IVF-PQ + exact-refine candidate generation (top-
+    MMR_N_CAND by refined cosine — the `_ivfpq_refined_ctes` chain,
+    i.e. the 0.86-recall trained index, NOT the untrained base ADC
+    config whose 4%-recall candidate set the r12 composition
+    inherited — VERDICT r12 #2) + exact MMR-grid relevance on the
+    candidate set + the shared greedy refinement chain."""
+    return _mmr_tail(f"""{_ivfpq_refined_ctes()},
 annc AS MATERIALIZED (
     SELECT query_id, neighbor_id AS cand_id FROM (
         SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY adc_dist, neighbor_id
-        ) AS rk FROM scored
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+        ) AS rk FROM refined
     ) WHERE rk <= {MMR_N_CAND}
 ),
 em AS (
@@ -1070,29 +1083,30 @@ cand AS MATERIALIZED (
 )
 def sim_mmr_over_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed retrieve-then-rerank pipeline a real curation stack
-    runs (VERDICT r10 #4): IVF-PQ ADC retrieval feeds greedy MMR
-    diversity selection — candidate GENERATION never reads the
-    embedding column (4-byte PQ codes from nprobe/16 of the corpus,
-    `operators/ivfpq.py`), then the re-rank fetches real vectors for
-    only (queries × n_cand) ids via one broadcast point-lookup and
+    runs (VERDICT r10 #4): TRAINED IVF-PQ retrieval with exact
+    shortlist refine feeds greedy MMR diversity selection. Candidate
+    generation is `ivfpq_refined_topk` (VERDICT r12 #2 — the r12 form
+    fed MMR from the untrained base ADC config, recall@5 ≈ 4%, while
+    the 0.86-recall trained index sat one import away; measured
+    candidate-set recall for the composed stage is in SCALE.md):
+    trained coarse quantizer routes the corpus, ADC shortlists from
+    4-byte codes, and only ≤ shortlist embeddings per query are read
+    for the exact cosine re-rank — the corpus never shuffles and the
+    linear full-precision scan is gone from the registered query, not
+    just from prose. The MMR re-rank then fetches real vectors for
+    only (queries × n_cand) ids via one pushed-down point-lookup and
     recomputes relevance EXACT on the MMR integer grid (the ANN metric
     picks the candidate SET; refinement scores must not inherit its
-    quantization error). Unlike `sim_mmr_diverse_topk`'s brute-force
-    scan, the corpus-dependent cost here is the INDEX path — at 100 TB
-    the linear full-precision scan is gone from the registered query,
-    not just from prose. Integer-exact end to end, so the oracle
-    hash-matches; the refinement CTE chain is shared verbatim with the
-    brute-force oracle (`_mmr_tail`)."""
-    from ..operators.ivfpq import _collect_pq_codebook, ivfpq_adc_search, ivfpq_encode
+    quantization error). Integer/rounding-deterministic end to end, so
+    the oracle hash-matches; the refinement CTE chain is shared
+    verbatim with the brute-force oracle (`_mmr_tail`), and the
+    candidate chain verbatim with `sim_ivfpq_refined_topk`
+    (`_ivfpq_refined_ctes`)."""
     from ..operators.mmr import mmr_over_candidates
-    from ..operators.similarity import _collect_centroids, ivf_centroids
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES)
-    cents = _collect_centroids(ivf_centroids(e))
-    cb = _collect_pq_codebook(e, "vec_id", "embedding")
-    encoded = ivfpq_encode(e, cents, cb)
-    ann = ivfpq_adc_search(encoded, q, cents, cb, k=MMR_N_CAND).select(
+    ann = ivfpq_refined_topk(e, q, k=MMR_N_CAND).select(
         "query_id", F.col("neighbor_id").alias("cand_id")
     )
     return mmr_over_candidates(e, q, ann)

@@ -1142,38 +1142,36 @@ def test_ivfpq_mismatched_codebook_fails_loudly(spark, sf_dir):
 
 
 def test_mmr_over_ivfpq_split_equals_composed(spark, sf_dir):
-    """The composed registered query rebuilds the IVF-PQ index inline
-    (oracle-checkable without stored state); the production deployment
-    encodes once at write time and MMR-reranks over the STORED index.
-    Both paths must return identical rows — including through a real
-    partitionBy(cid) parquet round trip of the encoded table."""
+    """The composed registered query rebuilds the TRAINED IVF-PQ index
+    inline (oracle-checkable without stored state); the production
+    deployment trains once, encodes once at write time, and
+    MMR-reranks over the STORED index. Both paths must return
+    identical rows — including through a real partitionBy(cid) parquet
+    round trip of the encoded table. (r13: rewired from the untrained
+    base ADC split to the trained refined split, matching the
+    registered query's VERDICT r12 #2 rewire.)"""
     import tempfile
 
     from kda_flink_app_timestream_spark.operators.ivfpq import (
-        _collect_pq_codebook,
-        ivfpq_adc_search,
-        ivfpq_encode,
+        ivfpq_refined_encode,
+        ivfpq_refined_search,
+        ivfpq_refined_train,
     )
     from kda_flink_app_timestream_spark.operators.mmr import (
         MMR_N_CAND,
         mmr_over_candidates,
-    )
-    from kda_flink_app_timestream_spark.operators.similarity import (
-        _collect_centroids,
-        ivf_centroids,
     )
     from kda_flink_app_timestream_spark.plans import REGISTRY, load_all_plans
 
     load_all_plans()
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.filter(F.col("vec_id") < 20)
-    cents = _collect_centroids(ivf_centroids(e, "vec_id", "embedding"))
-    cb = _collect_pq_codebook(e, "vec_id", "embedding")
+    coarse, cbs = ivfpq_refined_train(e)
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/ivfpq_index"
-        ivfpq_encode(e, cents, cb).write.partitionBy("cid").parquet(path)
+        ivfpq_refined_encode(e, coarse, cbs).write.partitionBy("cid").parquet(path)
         stored = spark.read.parquet(path)
-        ann = ivfpq_adc_search(stored, q, cents, cb, k=MMR_N_CAND).select(
+        ann = ivfpq_refined_search(stored, e, q, coarse, cbs, k=MMR_N_CAND).select(
             "query_id", F.col("neighbor_id").alias("cand_id")
         )
         split_rows = sorted(
@@ -1525,6 +1523,17 @@ def test_curate_corpus_degenerate_inputs(spark):
     rows = curate_corpus(dup).collect()
     assert [r["doc_id"] for r in rows] == [3]
 
+    # non-unique ids: two byte-identical (id, text) ROWS must still
+    # collapse to ONE survivor — the r12 id-keyed semi join kept every
+    # copy of a duplicated winner row (ADVICE r12 medium); the
+    # min(struct) collapse restores the oracle's exactly-one-row-per-
+    # text semantics without an id-uniqueness precondition
+    dup_rows = spark.createDataFrame(
+        [(3, text), (3, text), (7, text)], "doc_id long, text string"
+    )
+    rows = curate_corpus(dup_rows).collect()
+    assert [r["doc_id"] for r in rows] == [3]
+
 
 def test_curate_corpus_duplicate_inflation_invariance(spark, sf_dir):
     """The defining property of a dedup-centred curation pipeline: a
@@ -1571,7 +1580,7 @@ def test_ivfpq_recall_queries_match_registered_oracles(spark, sf_dir):
     draft) run driver-style against their composed oracles, and the
     measured quality gap is pinned: the refined pipeline must beat the
     base config by a wide margin (sf0.01 measurement: mean recall@5
-    0.60 vs 0.04; this asserts the ORDERING with slack, not the exact
+    0.86 vs 0.04; this asserts the ORDERING with slack, not the exact
     means, so a testdata regeneration shifts numbers without lying
     about the claim)."""
     from kda_flink_app_timestream_spark.plans import REGISTRY, load_all_plans

@@ -76,7 +76,12 @@ def test_no_scale_killers_in_any_batch_plan(spark, sf_dir):
                 violations.append(f"{name}: {label}")
         if name not in OVERSIZED_FILTER_ALLOWED:
             opt = df._jdf.queryExecution().optimizedPlan().toString()
-            for m in re.finditer(r"Filter \((.*)\)\n", opt):
+            # match the whole rest of the Filter line, not just
+            # parenthesized conditions: a single non-parenthesized
+            # predicate (e.g. one isnotnull(<large derived tree>))
+            # prints without outer parens and would escape the
+            # oversized check it exists for (ADVICE r12)
+            for m in re.finditer(r"Filter (.*)\n", opt):
                 if len(m.group(1)) > OVERSIZED_FILTER_CHARS:
                     violations.append(
                         f"{name}: oversized Filter condition "
