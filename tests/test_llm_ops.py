@@ -1535,6 +1535,38 @@ def test_curate_corpus_degenerate_inputs(spark):
     assert [r["doc_id"] for r in rows] == [3]
 
 
+def test_language_id_argmax_tiebreak_und_semantics(spark):
+    """Pins the r13 array_max rewrite of ``language_id`` to the exact
+    contract of the original nested-when fold: argmax of marker hits,
+    ties to the EARLIEST language in LANG_ORDER, 'und' when nothing
+    hits, and null/empty-safe. The rewrite was motivated purely by
+    codegen shape (the fold referenced the running best twice per
+    language → ~2^5 subtree copies, 1.40 s → 0.44 s on the sf0.1 gate
+    scan); these rows are the semantics that must not drift with it."""
+    from kda_flink_app_timestream_spark.functions.text import (
+        LANG_ORDER,
+        language_id,
+    )
+
+    assert LANG_ORDER[:2] == ("en", "es")  # tie-break order assumed below
+    rows = [
+        ("the quick brown fox is here", "en"),  # clear winner
+        ("der die das und ist hier", "de"),  # later lang, strictly more hits
+        ("la de", "es"),  # es/fr tie (both hit 'la','de') → earliest wins
+        ("xyzzy plugh qwerty", "und"),  # no marker hits anywhere
+        ("", "und"),  # empty text
+        (None, "und"),  # null text
+        # one en hit vs two es hits → strictly-greater later lang wins
+        ("the el la", "es"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [
+        r["lang"]
+        for r in df.select(language_id(F.col("text")).alias("lang")).collect()
+    ]
+    assert got == [want for _, want in rows]
+
+
 def test_curate_corpus_duplicate_inflation_invariance(spark, sf_dir):
     """The defining property of a dedup-centred curation pipeline: a
     corpus with every document duplicated under fresh (larger) ids
