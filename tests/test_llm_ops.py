@@ -1637,80 +1637,47 @@ def test_ivfpq_recall_queries_match_registered_oracles(spark, sf_dir):
     assert means["sim_ivfpq_refined_recall"] >= 500, means
 
 
-def _mmr_candidate_recall_draft_oracle() -> str:
-    """STAGED FOR r14 registration (the r11→r12 staging pattern: draft
-    + driver-style verification this round, zero-risk `@query` move
-    next round when the rotation window has capacity): recall@
-    MMR_N_CAND of the composed retrieval's CANDIDATE stage — the
-    number SCALE.md r13 measures ad hoc (0.75 vs 0.12 for the r12
-    untrained form), as a driver-checked row. Both sides are the
-    already-registered verified chains re-rendered at k = MMR_N_CAND;
-    the k substitution is asserted unique so a future oracle edit
-    cannot silently widen the wrong window."""
+def test_rerank_at_n_cand_rejects_ambiguous_cut():
+    """The oracle k-substitution is word-boundary anchored and asserts
+    exactly one hit (ADVICE r13): a SQL body whose rank cut is a
+    longer number sharing the TOP_K prefix (e.g. 50 vs 5) must FAIL
+    loudly, not silently mangle '<= 50' into '<= 200'."""
+    import pytest
+
     from kda_flink_app_timestream_spark.plans.similarity import (
         MMR_N_CAND,
         TOP_K,
-        _BRUTEFORCE_ORACLE,
-        _ivfpq_refined_oracle,
+        _rerank_at_n_cand,
     )
 
-    tgt = f"WHERE rk <= {TOP_K}"
-    truth_sql = _BRUTEFORCE_ORACLE
-    approx_sql = _ivfpq_refined_oracle()
-    assert truth_sql.count(tgt) == 1 and approx_sql.count(tgt) == 1
-    truth_sql = truth_sql.replace(tgt, f"WHERE rk <= {MMR_N_CAND}")
-    approx_sql = approx_sql.replace(tgt, f"WHERE rk <= {MMR_N_CAND}")
-    return f"""
-WITH truth AS (SELECT query_id, neighbor_id FROM ({truth_sql}) t0),
-approx AS (SELECT query_id, neighbor_id FROM ({approx_sql}) a0)
-SELECT t.query_id,
-       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
-       CAST(count(a.neighbor_id) * {1000 // MMR_N_CAND} AS BIGINT) AS recall_permille
-FROM truth t
-LEFT JOIN approx a
-  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
-GROUP BY t.query_id
-"""
+    ok = _rerank_at_n_cand(f"SELECT 1 WHERE rk <= {TOP_K}\n")
+    assert f"WHERE rk <= {MMR_N_CAND}" in ok
+    with pytest.raises(AssertionError):
+        _rerank_at_n_cand(f"SELECT 1 WHERE rk <= {TOP_K}0\n")  # prefix-sharing cut
+    with pytest.raises(AssertionError):
+        _rerank_at_n_cand(
+            f"SELECT 1 WHERE rk <= {TOP_K} UNION SELECT 2 WHERE rk <= {TOP_K}"
+        )
 
 
-def test_mmr_candidate_recall_draft_matches_oracle(spark, sf_dir):
-    """Driver-style compare of the staged `sim_mmr_candidate_recall`
-    draft: the trained/refined candidate stage at k = MMR_N_CAND (the
-    exact frame `sim_mmr_over_ivfpq` re-ranks since the r13 rewire) vs
-    exact brute-force top-MMR_N_CAND truth. Measured sf0.01 mean
-    recall@20 ≈ 0.75 (sf0.001 ≈ 0.76) — pinned here with slack ≥ 500‰
-    so a testdata regeneration moves the number without voiding the
+def test_mmr_candidate_recall_matches_registered_oracle(spark, sf_dir):
+    """Driver-style compare of `sim_mmr_candidate_recall` — drafted and
+    verified in r13, REGISTERED in r14 (plans/similarity.py): the
+    trained/refined candidate stage at k = MMR_N_CAND (the exact frame
+    `sim_mmr_over_ivfpq` re-ranks since the r13 rewire) vs exact
+    brute-force top-MMR_N_CAND truth. Measured sf0.01 mean recall@20
+    ≈ 0.75 (sf0.001 ≈ 0.76) — pinned here with slack ≥ 500‰ so a
+    testdata regeneration moves the number without voiding the
     claim."""
-    from kda_flink_app_timestream_spark.operators.ivfpq import ivfpq_refined_topk
-    from kda_flink_app_timestream_spark.operators.similarity import brute_force_topk
-    from kda_flink_app_timestream_spark.plans.similarity import MMR_N_CAND, N_QUERIES
+    from kda_flink_app_timestream_spark.plans import REGISTRY, load_all_plans
 
     from .oracle_utils import compare_query, duckdb_connection
 
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    probes = e.filter(F.col("vec_id") < N_QUERIES)
-    truth = brute_force_topk(e, probes, k=MMR_N_CAND).select(
-        "query_id", "neighbor_id"
-    )
-    approx = ivfpq_refined_topk(e, probes, k=MMR_N_CAND).select(
-        F.col("query_id").alias("a_query_id"),
-        F.col("neighbor_id").alias("a_neighbor_id"),
-    )
-    joined = truth.join(
-        approx,
-        (F.col("query_id") == F.col("a_query_id"))
-        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
-        "left",
-    )
-    hits = F.count("a_neighbor_id")
-    df = joined.groupBy("query_id").agg(
-        hits.alias("n_hits"),
-        (hits * (1000 // MMR_N_CAND)).alias("recall_permille"),
-    )
+    load_all_plans()
+    q = REGISTRY["sim_mmr_candidate_recall"]
+    df = q.fn(spark, sf_dir)
     con = duckdb_connection(sf_dir)
-    problems = compare_query(
-        df, con, _mmr_candidate_recall_draft_oracle(), "mmr_candidate_recall_draft"
-    )
+    problems = compare_query(df, con, q.oracle, "sim_mmr_candidate_recall")
     assert not problems, problems[:3]
     rows = df.collect()
     mean = sum(r["recall_permille"] for r in rows) / len(rows)
