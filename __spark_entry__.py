@@ -394,6 +394,21 @@ _RESCORE_AFTER = {
     #   (curate_corpus already flagged above):
     "dedup_cluster_representatives": 13,
     "dedup_collapse_then_clusters": 13,
+    # r14 changes (this round's window is being built now — ACTIVE):
+    #   plans/clustering.py: the k-means / scaled-prune oracle builders
+    #   gained a `src` relation parameter (default "embeddings" —
+    #   rendered oracles proven byte-identical for every existing
+    #   query) so the new collapse-first composition
+    #   (`dedup_collapse_then_semantic`, tier-0 this round) can point
+    #   the verified chain at its collapsed CTE, and
+    #   dedup_semantic_prune_scaled retagged test-config (VERDICT r13
+    #   #6 — the tag tuple is non-comment source, the
+    #   applyinpandas_zscore r8 precedent). Per the r2 lesson every
+    #   registered consumer of the changed file gets a post-change row:
+    "sim_kmeans_clusters": 14,
+    "dedup_semantic_prune": 14,
+    "dedup_semantic_prune_twolevel": 14,
+    "dedup_semantic_prune_scaled": 14,
 }
 
 

@@ -174,6 +174,14 @@ BENCH_QUERIES = [
     # prune → survivor stats; the corpus-dependent terms are the one
     # gate scan and the duplicate-sized band/component stages
     "curate_corpus",
+    # r14 (VERDICT r13 #3/#6): the candidate-stage recall eval of the
+    # composed retrieval (pins recall@20 ≈ 0.75 as a timed+checked
+    # row), and the collapse-first semantic-dedup composition — the
+    # production path whose 100× win (14.6 s vs 149.6 s raw) the r13
+    # rehearsal measured; its raw-corpus twin dedup_semantic_prune_scaled
+    # moves to the test-config tier
+    "sim_mmr_candidate_recall",
+    "dedup_collapse_then_semantic",
 ]
 
 # canary steady-state spread at/above which the three timed passes are

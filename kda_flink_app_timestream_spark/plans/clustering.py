@@ -31,19 +31,21 @@ from .dedup import COSINE_THRESHOLD
 _DIM = 64
 
 
-def _kmeans_ctes(k_sql: str = str(KMEANS_K)) -> str:
+def _kmeans_ctes(k_sql: str = str(KMEANS_K), src: str = "embeddings") -> str:
     """The shared k-means CTE chain (``k_sql`` seeds, KMEANS_ITERS
     assignment rounds), ending in ``asg(pid, cid, dist_sq)`` — the DuckDB
     twin of operators/clustering.py:kmeans_assign. ``k_sql`` may be any
     scalar SQL expression (a literal, or a subquery deriving k from the
-    corpus size for the scale-honest variant)."""
+    corpus size for the scale-honest variant); ``src`` is the corpus
+    relation (a table or CTE name exposing ``vec_id, embedding`` — the
+    collapse-first composition points it at the collapsed CTE)."""
     assert KMEANS_ITERS == 2, "oracle CTE chain is unrolled for 2 rounds"
     return f"""
     pts AS (
         SELECT vec_id AS pid,
                list_transform(embedding::DOUBLE[],
                               x -> CAST(floor(x * {float(KMEANS_SCALE)}) AS BIGINT)) AS qv
-        FROM embeddings
+        FROM {src}
     ),
     u AS (
         SELECT pid, p.pos AS pos, qv[p.pos] AS v
@@ -301,10 +303,14 @@ def dedup_semantic_prune_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame
 # (TARGET_CLUSTER_SIZE is defined once above the twolevel section; with
 # banding on top, even a cluster far above target never goes quadratic —
 # per-(band, bucket) blocks are ~|cluster| / 2^planes_per_band)
-_K_SQL = (
-    f"SELECT greatest({KMEANS_K}, "
-    f"CAST(ceil(count(*) / {TARGET_CLUSTER_SIZE}.0) AS BIGINT)) FROM embeddings"
-)
+def _k_sql(src: str = "embeddings") -> str:
+    return (
+        f"SELECT greatest({KMEANS_K}, "
+        f"CAST(ceil(count(*) / {TARGET_CLUSTER_SIZE}.0) AS BIGINT)) FROM {src}"
+    )
+
+
+_K_SQL = _k_sql()
 
 
 def scaled_k(n_vectors: int) -> int:
@@ -315,7 +321,7 @@ def scaled_k(n_vectors: int) -> int:
     return max(KMEANS_K, -(-n_vectors // TARGET_CLUSTER_SIZE))
 
 
-def _semantic_prune_scaled_oracle() -> str:
+def _semantic_prune_scaled_oracle(src: str = "embeddings") -> str:
     # Same compound blocking as the Spark path: (cluster_id, band,
     # sign-LSH bucket), OR-amplified over EMB_N_BANDS bands, using the
     # identical inlined hyperplane constants as the operator
@@ -346,10 +352,10 @@ def _semantic_prune_scaled_oracle() -> str:
     # operator now pins the zero-norm edge to 0.0 on both engines)
     cos = sql_safe_cosine("a.v", "b.v")
     return f"""
-    WITH {_kmeans_ctes(f"({_K_SQL})")},
+    WITH {_kmeans_ctes(f"({_k_sql(src)})", src)},
     e0 AS (
         SELECT e.vec_id, a.cid AS cluster_id, e.embedding::DOUBLE[] AS v
-        FROM embeddings e JOIN asg a ON e.vec_id = a.pid
+        FROM {src} e JOIN asg a ON e.vec_id = a.pid
     ),
     bands AS (
         SELECT e.vec_id, e.cluster_id, b.i AS band, {band_case} AS bkt
@@ -377,7 +383,7 @@ def _semantic_prune_scaled_oracle() -> str:
 @query(
     "dedup_semantic_prune_scaled",
     oracle=_semantic_prune_scaled_oracle(),
-    tags=("dedup", "clustering", "semdedup", "scale"),
+    tags=("dedup", "clustering", "semdedup", "scale", "test-config"),
 )
 def dedup_semantic_prune_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production SemDeDup: identical keep/drop contract to
@@ -396,7 +402,16 @@ def dedup_semantic_prune_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle replicates both k-scaling (scalar subquery) and the
     banded candidate set (same inlined hyperplanes), so this is a full
-    value-checked row, not rows-only."""
+    value-checked row, not rows-only.
+
+    TEST-CONFIG since r14: this RAW-corpus form is the oracle subject,
+    but under heavy exact duplication its within-block pairing is
+    honestly quadratic in the copy count (identical vectors land in
+    the same cluster AND the same sign-LSH bucket — no blocking scheme
+    can separate them; SCALE.md r13 measured 149.6 s / 14.9 M scored
+    pairs at 100× duplicate inflation). The production entry is
+    ``dedup_collapse_then_semantic`` below — exact-collapse first,
+    measured 10× cheaper at 100× with matching keep/drop semantics."""
     e = load_table(spark, sf_dir, "embeddings")
     k = scaled_k(e.count())
     asg = kmeans_assign(e, k=k, iters=KMEANS_ITERS).cache()
@@ -414,4 +429,126 @@ def dedup_semantic_prune_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cluster_id",
         F.coalesce(F.col("__pruned"), F.lit(False)).alias("pruned"),
+    )
+
+
+# --- collapse-first composition: the production semantic-dedup path ----------
+
+# deterministic id shift for the in-query duplicate inflation (the sf
+# fixtures carry no identical embeddings, so the composition inflates
+# its own corpus — every even-id vector gets one exact copy — to make
+# the driver row exercise real collapse semantics, the
+# curate-corpus-invariance test pattern)
+DUP_OFFSET = 1_000_000
+
+
+def _collapse_then_semantic_oracle() -> str:
+    # The scaled-prune chain is reused VERBATIM (same builder), just
+    # pointed at the collapsed CTE — the composed oracle is the
+    # composition of two already-verified oracles, the curate_corpus
+    # pattern.
+    return f"""
+    WITH corpus AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {DUP_OFFSET} AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    collapsed AS MATERIALIZED (
+        SELECT min(vec_id) AS vec_id, embedding FROM corpus GROUP BY embedding
+    ),
+    verdict AS MATERIALIZED (
+        {_semantic_prune_scaled_oracle("collapsed")}
+    )
+    SELECT c2.vec_id,
+           c.vec_id AS rep_id,
+           v.cluster_id,
+           (c2.vec_id <> c.vec_id OR v.pruned) AS pruned
+    FROM corpus c2
+    JOIN collapsed c ON c2.embedding = c.embedding
+    JOIN verdict v ON v.vec_id = c.vec_id
+    """
+
+
+@query(
+    "dedup_collapse_then_semantic",
+    oracle=_collapse_then_semantic_oracle(),
+    tags=("dedup", "clustering", "semdedup", "scale", "composition", "production"),
+)
+def dedup_collapse_then_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION semantic-dedup composition as one registered
+    pipeline: exact-collapse identical vectors (min vec_id per
+    embedding) BEFORE the scaled SemDeDup prune, then expand the
+    per-representative verdict back over every copy. Registered in r14
+    from the r13 rehearsal (VERDICT r13 #6): at 100× duplicate
+    inflation the raw form scores 14.9 M pairs in 149.6 s — identical
+    copies form C(n,2) cliques inside every (cluster, band, bucket)
+    block, a quadratic term NO blocking scheme can cut because the
+    vectors are indistinguishable — while collapse-first runs the same
+    semantics in 14.6 s end to end with 576 scored pairs (SCALE.md
+    r13). Mirrors the r4 collapse-first rule proven for n-gram Jaccard
+    (``dedup_collapse_then_jaccard``), on the vector column instead of
+    text.
+
+    The corpus is inflated in-query (one exact copy of every even-id
+    vector, shifted by DUP_OFFSET) because the sf fixtures are
+    duplicate-free; the expansion contract is the composed keep/drop
+    table: each row carries its exact-dup representative, the
+    representative's learned cluster, and ``pruned`` = "is a non-winner
+    copy OR its representative lost the semantic prune". Restricted to
+    representatives the verdict is byte-identical to
+    ``dedup_semantic_prune_scaled`` on the base corpus (pinned by
+    tests/test_llm_ops.py) — the composition changes cost, not answers.
+
+    Scale shape: the collapse is one map-side-combinable groupBy on the
+    vector (at 100 TB group on a 64-bit fingerprint of the vector bytes
+    instead — ``dedup_exact_summary``'s rule — same result, 8-byte
+    shuffle key); the prune stage sees only unique vectors, so its
+    banded blocks are clique-free; the expansion is one join keyed by
+    the same vector/fingerprint. Everything downstream of the collapse
+    is corpus-size-independent under duplication — cost scales with
+    UNIQUE vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding")
+    corpus = base.unionByName(
+        base.filter(F.col("vec_id") % 2 == 0).select(
+            (F.col("vec_id") + DUP_OFFSET).alias("vec_id"), "embedding"
+        )
+    )
+    collapsed = (
+        corpus.groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    defer_release(collapsed)  # reused by k-count, k-means, pairing, expansion
+    k = scaled_k(collapsed.count())
+    asg = kmeans_assign(collapsed, k=k, iters=KMEANS_ITERS).cache()
+    defer_release(asg)
+    with_cluster = collapsed.join(asg.select("vec_id", "cluster_id"), "vec_id")
+    pairs = embedding_near_dup_pairs(
+        with_cluster, threshold=COSINE_THRESHOLD, block_col="cluster_id"
+    )
+    pruned = (
+        pairs.select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__pruned", F.lit(True))
+    )
+    verdict = asg.select("vec_id", "cluster_id").join(pruned, "vec_id", "left").select(
+        F.col("vec_id").alias("rep_id"),
+        "cluster_id",
+        F.coalesce(F.col("__pruned"), F.lit(False)).alias("rep_pruned"),
+    )
+    reps = collapsed.select(F.col("vec_id").alias("rep_id"), "embedding")
+    return (
+        corpus.join(reps, "embedding")
+        .join(verdict, "rep_id")
+        .select(
+            "vec_id",
+            "rep_id",
+            "cluster_id",
+            ((F.col("vec_id") != F.col("rep_id")) | F.col("rep_pruned")).alias(
+                "pruned"
+            ),
+        )
     )

@@ -1660,6 +1660,35 @@ def test_rerank_at_n_cand_rejects_ambiguous_cut():
         )
 
 
+def test_collapse_then_semantic_matches_scaled_on_reps(spark, sf_dir):
+    """The composition changes cost, not answers: restricted to
+    exact-dup representatives, `dedup_collapse_then_semantic`'s verdict
+    is byte-identical to `dedup_semantic_prune_scaled` on the base
+    corpus (the collapsed corpus IS the base corpus here — the sf
+    fixtures are duplicate-free, so every original id wins its group),
+    and every injected copy drops with a representative below it."""
+    from kda_flink_app_timestream_spark.plans import REGISTRY, load_all_plans
+
+    load_all_plans()
+    composed = REGISTRY["dedup_collapse_then_semantic"].fn(spark, sf_dir).cache()
+    reps = {
+        tuple(r)
+        for r in composed.filter(F.col("vec_id") == F.col("rep_id"))
+        .select("vec_id", "cluster_id", "pruned")
+        .collect()
+    }
+    base = {
+        tuple(r)
+        for r in REGISTRY["dedup_semantic_prune_scaled"].fn(spark, sf_dir).collect()
+    }
+    assert reps == base
+    copies = composed.filter(F.col("vec_id") != F.col("rep_id")).collect()
+    composed.unpersist()
+    assert copies, "inflation must inject at least one exact copy"
+    assert all(c.pruned for c in copies)
+    assert all(c.rep_id < c.vec_id for c in copies)
+
+
 def test_mmr_candidate_recall_matches_registered_oracle(spark, sf_dir):
     """Driver-style compare of `sim_mmr_candidate_recall` — drafted and
     verified in r13, REGISTERED in r14 (plans/similarity.py): the
