@@ -9,6 +9,7 @@ measures the distributed plan, not result transfer).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -190,6 +191,71 @@ BENCH_QUERIES = [
 # ~1.0-1.2 steady, so 1.5 is real contention, not warmup — warmup lives
 # in sample 0 only and is excluded from steady_drift by design)
 CANARY_RETRY_THRESHOLD = 1.5
+
+
+# cross-RUN ambient-inflation threshold (VERDICT r13 #5): the in-run
+# canary is blind to whole-run ambient slowness — five same-code sf0.1
+# runs spread 143-169 s while every steady_drift read clean (r12, r13).
+# The canary's ABSOLUTE seconds are comparable across runs (fixed-cost
+# pure-JVM probe), so each run also compares its steady floor to the
+# committed prior round's artifact: a clean steady tail that is still
+# >= 1.5x the prior round's floor means the whole RUN sat on a slow
+# host window, and the headline band should be read as an upper bound.
+AMBIENT_VS_PRIOR_THRESHOLD = 1.5
+
+
+def canary_vs_prior(
+    steady_samples: list[float],
+    prior: dict | None,
+    threshold: float = AMBIENT_VS_PRIOR_THRESHOLD,
+) -> dict:
+    """Compare this run's steady canary floor to the committed prior
+    round's (``prior`` = that artifact's ``canary`` dict). min() on
+    both sides: the floor is the host's best case, immune to the
+    single-sample jitter the in-run drift rule already handles."""
+    if not steady_samples:
+        return {"verdict": "n/a", "reason": "no steady samples"}
+    floor = round(min(steady_samples), 3)
+    prior_steady = (prior or {}).get("samples", [])[1:]
+    if not prior_steady:
+        return {"verdict": "n/a", "steady_min": floor, "reason": "no prior artifact"}
+    prior_floor = round(min(prior_steady), 3)
+    inflation = round(floor / max(prior_floor, 1e-9), 2)
+    return {
+        "steady_min": floor,
+        "prior_steady_min": prior_floor,
+        "prior_round": (prior or {}).get("_round"),
+        "inflation": inflation,
+        "threshold": threshold,
+        "verdict": "ambient_slow" if inflation >= threshold else "comparable",
+    }
+
+
+def load_prior_canary(here: str, current_round: int, suffix: str) -> dict | None:
+    """The newest committed ``BENCH_LOCAL_r{N}{suffix}.json`` with
+    N < current_round that carries canary samples, its round number
+    attached as ``_round``. Same-suffix only — sf0.01 floors are not
+    comparable to sf0.1 floors (different JVM/session pressure)."""
+    best: tuple[int, dict] | None = None
+    for path in glob.glob(os.path.join(here, f"BENCH_LOCAL_r*{suffix}.json")):
+        m = re.search(r"BENCH_LOCAL_r(\d+)(.*)\.json$", os.path.basename(path))
+        if not m or m.group(2) != suffix:
+            continue
+        rnd = int(m.group(1))
+        if rnd >= current_round:
+            continue
+        try:
+            with open(path) as f:
+                canary = json.load(f).get("canary") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        if len(canary.get("samples", [])) < 2:
+            continue
+        if best is None or rnd > best[0]:
+            best = (rnd, canary)
+    if best is None:
+        return None
+    return {**best[1], "_round": best[0]}
 
 
 def needs_canary_retry(samples: list[float], threshold: float = CANARY_RETRY_THRESHOLD) -> bool:
@@ -385,6 +451,17 @@ def main() -> None:
             "contended"
             if max(steady) / max(min(steady), 1e-9) >= CANARY_RETRY_THRESHOLD
             else ("retried_clean" if retry_pass else "clean")
+        ),
+        # cross-run ambient check (VERDICT r13 #5): absolute canary
+        # floor vs the committed prior round — catches the whole-run
+        # slow-host window the in-run steady_drift is blind to
+        "vs_prior": canary_vs_prior(
+            steady,
+            load_prior_canary(
+                os.path.dirname(os.path.abspath(__file__)),
+                _current_round(),
+                "" if sf == 0.1 else f"_sf{sf}",
+            ),
         ),
     }
 

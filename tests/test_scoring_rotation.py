@@ -240,3 +240,55 @@ def test_bench_canary_retry_rule():
     # threshold is a parameter (boundary inclusive)
     assert bench.needs_canary_retry([0.5, 0.30, 0.60], threshold=2.0)
     assert not bench.needs_canary_retry([0.5, 0.30, 0.59], threshold=2.0)
+
+
+def test_bench_canary_vs_prior_rule(tmp_path):
+    """VERDICT r13 #5: the cross-run ambient check compares this run's
+    steady canary FLOOR to the committed prior round's — a clean
+    in-run tail that still sits >= 1.5x the prior floor flags the
+    whole run as ambient-slow (the blind spot two rounds of 143-169 s
+    same-code spread documented)."""
+    import json
+
+    import bench
+
+    prior = {"samples": [0.6, 0.25, 0.23, 0.24, 0.25], "_round": 13}
+    # comparable floors -> comparable (floor 0.24 vs 0.23 = 1.04)
+    v = bench.canary_vs_prior([0.26, 0.24, 0.25, 0.24], prior)
+    assert v["verdict"] == "comparable" and v["prior_round"] == 13
+    assert v["steady_min"] == 0.24 and v["prior_steady_min"] == 0.23
+    # clean steady tail but every sample inflated -> ambient_slow
+    # (0.37/0.23 = 1.61 >= 1.5; in-run drift 0.39/0.37 would read clean)
+    v = bench.canary_vs_prior([0.39, 0.37, 0.38, 0.38], prior)
+    assert v["verdict"] == "ambient_slow" and v["inflation"] >= 1.5
+    # boundary inclusive, threshold parameterized
+    assert (
+        bench.canary_vs_prior([0.46], {"samples": [9.9, 0.23]}, threshold=2.0)[
+            "verdict"
+        ]
+        == "ambient_slow"
+    )
+    # degenerate inputs -> n/a, never a false flag
+    assert bench.canary_vs_prior([], prior)["verdict"] == "n/a"
+    assert bench.canary_vs_prior([0.3], None)["verdict"] == "n/a"
+    assert bench.canary_vs_prior([0.3], {"samples": [0.5]})["verdict"] == "n/a"
+
+    # artifact discovery: newest prior round with same suffix wins;
+    # current/future rounds and other-suffix files are ignored
+    (tmp_path / "BENCH_LOCAL_r12.json").write_text(
+        json.dumps({"canary": {"samples": [0.5, 0.30, 0.31]}})
+    )
+    (tmp_path / "BENCH_LOCAL_r13.json").write_text(
+        json.dumps({"canary": {"samples": [0.6, 0.25, 0.23]}})
+    )
+    (tmp_path / "BENCH_LOCAL_r13_sf0.01.json").write_text(
+        json.dumps({"canary": {"samples": [0.6, 0.11, 0.12]}})
+    )
+    (tmp_path / "BENCH_LOCAL_r14.json").write_text(
+        json.dumps({"canary": {"samples": [0.6, 0.99, 0.99]}})
+    )
+    got = bench.load_prior_canary(str(tmp_path), 14, "")
+    assert got["_round"] == 13 and got["samples"][1] == 0.25
+    got = bench.load_prior_canary(str(tmp_path), 14, "_sf0.01")
+    assert got["_round"] == 13 and got["samples"][1] == 0.11
+    assert bench.load_prior_canary(str(tmp_path), 12, "") is None
