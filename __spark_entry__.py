@@ -409,6 +409,14 @@ _RESCORE_AFTER = {
     "dedup_semantic_prune": 14,
     "dedup_semantic_prune_twolevel": 14,
     "dedup_semantic_prune_scaled": 14,
+    #   plans/similarity.py (scoped per the r7/r13 precedent — the
+    #   rendered-oracle diff is proven to touch exactly these two
+    #   queries, and sim_mmr_candidate_recall is tier-0 this round):
+    #   the composed retrieval's candidate stage now searches at the
+    #   swept MMR_CAND_NPROBE=6 / MMR_CAND_SHORTLIST=200 knobs
+    #   (VERDICT r13 #4 — dominates the old (4,100) default on mean AND
+    #   min recall@20 at both measured scales at flat cost):
+    "sim_mmr_over_ivfpq": 14,
 }
 
 

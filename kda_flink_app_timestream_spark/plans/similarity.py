@@ -705,7 +705,9 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_refined_ctes() -> str:
+def _ivfpq_refined_ctes(
+    nprobe: int = PQT_NPROBE, shortlist: int = PQT_SHORTLIST
+) -> str:
     """The trained IVF + trained PQ + exact-refine pipeline as a CTE
     chain ending in ``refined`` (query_id, neighbor_id, cosine_sim) —
     the SQL twin of operators/ivfpq.py:ivfpq_refined_topk. BOTH
@@ -715,7 +717,9 @@ def _ivfpq_refined_ctes() -> str:
     the coarse chain (g0→gd1→ga1→gc1→gd2) is full-vector k-means into
     {PQT_COARSE_LISTS} inverted lists with integer-L2 assignment and
     probing; the PQ chain (cb0→d1→a1→cb1→d2) is the same recipe per
-    SUBSPACE."""
+    SUBSPACE. ``nprobe``/``shortlist`` are the search-time knobs —
+    defaults are the base-config constants; the composed retrieval
+    passes its own swept values (MMR_CAND_NPROBE/MMR_CAND_SHORTLIST)."""
     sub_dim = 64 // PQT_N_SUB
     assert PQT_ITERS == 2, "oracle CTE chain is unrolled for 2 rounds"
     return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -770,7 +774,7 @@ probed AS (
     SELECT vec_id AS query_id, code AS cid FROM (
         SELECT vec_id, code,
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) AS rn
-        FROM gd2 WHERE vec_id < {N_QUERIES}) WHERE rn <= {PQT_NPROBE}
+        FROM gd2 WHERE vec_id < {N_QUERIES}) WHERE rn <= {nprobe}
 ),
 cb0 AS (SELECT sub, vec_id AS code, spos, v AS w FROM us WHERE vec_id < {PQT_N_CODES}),
 d1 AS (
@@ -818,7 +822,7 @@ short AS (
                row_number() OVER (
                    PARTITION BY query_id ORDER BY adc_dist, neighbor_id
                ) AS rn
-        FROM adcs) WHERE rn <= {PQT_SHORTLIST}
+        FROM adcs) WHERE rn <= {shortlist}
 ),
 refined AS (
     SELECT s.query_id, s.neighbor_id,
@@ -829,9 +833,11 @@ refined AS (
 )"""
 
 
-def _ivfpq_refined_oracle() -> str:
+def _ivfpq_refined_oracle(
+    nprobe: int = PQT_NPROBE, shortlist: int = PQT_SHORTLIST
+) -> str:
     return f"""
-WITH {_ivfpq_refined_ctes()}
+WITH {_ivfpq_refined_ctes(nprobe, shortlist)}
 SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INT) AS rk
 FROM (
     SELECT *, row_number() OVER (
@@ -1048,14 +1054,35 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
 
 
+# The composed retrieval's search-time knobs, promoted from the r14
+# nprobe × shortlist sweep (VERDICT r13 #4; full grid in SCALE.md r14).
+# (6, 200) DOMINATES the previous (PQT_NPROBE=4, PQT_SHORTLIST=100)
+# default on mean AND min candidate recall@20 at both measured scales —
+# sf0.01: 0.832/0.60 vs 0.752/0.40; sf0.1: 0.818/0.40 vs 0.695/0.40 —
+# at indistinguishable query-half cost (the 200 k-vector grid is flat:
+# fixed stage overhead dominates). The sweep's structural finding:
+# widening nprobe at a FIXED shortlist (6,100 / 8,100) REDUCES recall
+# at the larger scale — more probed mass means more ADC-noise
+# candidates competing for the same shortlist slots, squeezing true
+# neighbors out — so the shortlist must grow with probed mass; 200
+# saturates it here. (8, 200) wins at sf0.01 (0.895/0.65) but inverts
+# below (4/6, 200) at sf0.1 (0.795/0.40) for the same reason — the
+# scale-STABLE choice is (6, 200). The base refined queries keep the
+# PQT_* defaults: they are the recall eval's fixed subject.
+MMR_CAND_NPROBE = 6
+MMR_CAND_SHORTLIST = 200
+
+
 def _mmr_over_ivfpq_oracle() -> str:
     """Trained IVF-PQ + exact-refine candidate generation (top-
     MMR_N_CAND by refined cosine — the `_ivfpq_refined_ctes` chain,
     i.e. the 0.86-recall trained index, NOT the untrained base ADC
     config whose 4%-recall candidate set the r12 composition
-    inherited — VERDICT r12 #2) + exact MMR-grid relevance on the
-    candidate set + the shared greedy refinement chain."""
-    return _mmr_tail(f"""{_ivfpq_refined_ctes()},
+    inherited — VERDICT r12 #2; searched at the swept
+    MMR_CAND_NPROBE/MMR_CAND_SHORTLIST knobs since r14) + exact
+    MMR-grid relevance on the candidate set + the shared greedy
+    refinement chain."""
+    return _mmr_tail(f"""{_ivfpq_refined_ctes(MMR_CAND_NPROBE, MMR_CAND_SHORTLIST)},
 annc AS MATERIALIZED (
     SELECT query_id, neighbor_id AS cand_id FROM (
         SELECT *, row_number() OVER (
@@ -1108,9 +1135,10 @@ def sim_mmr_over_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES)
-    ann = ivfpq_refined_topk(e, q, k=MMR_N_CAND).select(
-        "query_id", F.col("neighbor_id").alias("cand_id")
-    )
+    ann = ivfpq_refined_topk(
+        e, q, k=MMR_N_CAND,
+        nprobe=MMR_CAND_NPROBE, shortlist=MMR_CAND_SHORTLIST,
+    ).select("query_id", F.col("neighbor_id").alias("cand_id"))
     return mmr_over_candidates(e, q, ann)
 
 
@@ -1132,7 +1160,9 @@ def _mmr_candidate_recall_oracle() -> str:
     re-rendered at k = MMR_N_CAND — the exact frame
     `sim_mmr_over_ivfpq` re-ranks since the r13 rewire."""
     truth_sql = _rerank_at_n_cand(_BRUTEFORCE_ORACLE)
-    approx_sql = _rerank_at_n_cand(_ivfpq_refined_oracle())
+    approx_sql = _rerank_at_n_cand(
+        _ivfpq_refined_oracle(MMR_CAND_NPROBE, MMR_CAND_SHORTLIST)
+    )
     return f"""
 WITH truth AS (SELECT query_id, neighbor_id FROM ({truth_sql}) t0),
 approx AS (SELECT query_id, neighbor_id FROM ({approx_sql}) a0)
@@ -1157,17 +1187,21 @@ def sim_mmr_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = MMR_N_CAND, exactly what `sim_mmr_over_ivfpq` consumes)
     against exact brute-force top-MMR_N_CAND truth. Registered in r14
     from the r13 staged draft (VERDICT r13 #3) so the candidate-set
-    quality SCALE.md r13 measured ad hoc — mean recall@20 ≈ 0.75 after
-    the trained-index rewire, vs 0.115 for the r12 untrained form —
-    stays a driver-checked row. MMR diversifies WITHIN this candidate
-    set, so its recall bounds the composed pipeline's retrieval
-    quality from above."""
+    quality SCALE.md r13 measured ad hoc stays a driver-checked row:
+    mean recall@20 ≈ 0.83 at sf0.01 under the swept (nprobe=6,
+    shortlist=200) composed knobs (0.75 at the old (4,100) default,
+    0.115 for the r12 untrained form). MMR diversifies WITHIN this
+    candidate set, so its recall bounds the composed pipeline's
+    retrieval quality from above."""
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < N_QUERIES)
     truth = brute_force_topk(e, probes, k=MMR_N_CAND).select(
         "query_id", "neighbor_id"
     )
-    approx = ivfpq_refined_topk(e, probes, k=MMR_N_CAND).select(
+    approx = ivfpq_refined_topk(
+        e, probes, k=MMR_N_CAND,
+        nprobe=MMR_CAND_NPROBE, shortlist=MMR_CAND_SHORTLIST,
+    ).select(
         F.col("query_id").alias("a_query_id"),
         F.col("neighbor_id").alias("a_neighbor_id"),
     )

@@ -1149,7 +1149,9 @@ def test_mmr_over_ivfpq_split_equals_composed(spark, sf_dir):
     identical rows — including through a real partitionBy(cid) parquet
     round trip of the encoded table. (r13: rewired from the untrained
     base ADC split to the trained refined split, matching the
-    registered query's VERDICT r12 #2 rewire.)"""
+    registered query's VERDICT r12 #2 rewire; r14: searches at the
+    swept MMR_CAND_NPROBE/MMR_CAND_SHORTLIST knobs the composed query
+    promoted per VERDICT r13 #4.)"""
     import tempfile
 
     from kda_flink_app_timestream_spark.operators.ivfpq import (
@@ -1162,6 +1164,10 @@ def test_mmr_over_ivfpq_split_equals_composed(spark, sf_dir):
         mmr_over_candidates,
     )
     from kda_flink_app_timestream_spark.plans import REGISTRY, load_all_plans
+    from kda_flink_app_timestream_spark.plans.similarity import (
+        MMR_CAND_NPROBE,
+        MMR_CAND_SHORTLIST,
+    )
 
     load_all_plans()
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1171,9 +1177,10 @@ def test_mmr_over_ivfpq_split_equals_composed(spark, sf_dir):
         path = f"{d}/ivfpq_index"
         ivfpq_refined_encode(e, coarse, cbs).write.partitionBy("cid").parquet(path)
         stored = spark.read.parquet(path)
-        ann = ivfpq_refined_search(stored, e, q, coarse, cbs, k=MMR_N_CAND).select(
-            "query_id", F.col("neighbor_id").alias("cand_id")
-        )
+        ann = ivfpq_refined_search(
+            stored, e, q, coarse, cbs, k=MMR_N_CAND,
+            nprobe=MMR_CAND_NPROBE, shortlist=MMR_CAND_SHORTLIST,
+        ).select("query_id", F.col("neighbor_id").alias("cand_id"))
         split_rows = sorted(
             tuple(r) for r in mmr_over_candidates(e, q, ann).collect()
         )
