@@ -417,6 +417,27 @@ _RESCORE_AFTER = {
     #   (VERDICT r13 #4 — dominates the old (4,100) default on mean AND
     #   min recall@20 at both measured scales at flat cost):
     "sim_mmr_over_ivfpq": 14,
+    #   operators/mmr.py (r14 optimization): mmr_rerank's greedy loop
+    #   rewritten from k−1 unrolled joins + 6 cached intermediates to
+    #   ONE groupBy + a single JVM aggregate(sequence(2,k)) fold over
+    #   each query's collected candidate array — results proven
+    #   bit-identical (randomized Python-greedy reference test + oracle
+    #   rehearsal at sf0.001/sf0.01), measured 8.8 s → 1.3 s at sf0.1.
+    #   Both registered consumers of the file rescore
+    #   (sim_mmr_over_ivfpq is already keyed 14 above):
+    "sim_mmr_diverse_topk": 14,
+    #   operators/ivfpq.py (r14 optimization): ivfpq_refined_train now
+    #   trains the coarse quantizer and the subspace codebooks FUSED —
+    #   one seed collect + one assignment/update job per Lloyd round
+    #   instead of two of each; per-cell arithmetic untouched, both
+    #   codebooks bit-identical (split/composed parity tests + oracle
+    #   rehearsal). Every registered consumer of the file rescores
+    #   (sim_mmr_over_ivfpq / sim_mmr_candidate_recall already keyed 14
+    #   or tier-0 this round):
+    "sim_ivfpq_adc_topk": 14,
+    "sim_ivfpq_recall": 14,
+    "sim_ivfpq_refined_topk": 14,
+    "sim_ivfpq_refined_recall": 14,
 }
 
 

@@ -493,20 +493,100 @@ def ivfpq_refined_train(
     this runs once (or on drift) and the codebooks ship with the
     stored index. ONE shared quantized projection feeds both trainings
     (ADVICE r12: separate per-call caches doubled executor storage and
-    corpus quantization scans)."""
+    corpus quantization scans).
+
+    r14 optimization: the two granularities train FUSED — one seed
+    collect (``pid < max(n_lists, n_codes)`` serves both, sliced per
+    granularity) and, per Lloyd round, ONE assignment+update job that
+    computes the coarse code and all ``n_sub`` subspace codes in the
+    same narrow projection and tree-aggregates every granularity's
+    cells through one groupBy (coarse cells tagged ``sub = -1``). The
+    previous form ran ``train_pq_codebooks`` twice — two seed collects
+    + two update jobs over the same cached corpus; per-cell arithmetic
+    (``sum(v) div count(*)`` on disjoint (sub, code, spos) groups) is
+    untouched, so both codebooks are bit-identical to the unfused
+    training (pinned by tests)."""
     from ..session import defer_release
 
     pts = corpus.select(
         F.col(id_col).alias("pid"), _quantized(vec_col).alias("qv")
     ).cache()
     defer_release(pts)
-    coarse = train_pq_codebooks(
-        corpus, id_col, vec_col, n_sub=1, n_codes=n_lists, iters=iters, dim=dim,
-        pts=pts,
-    )[0]
-    cbs = train_pq_codebooks(
-        corpus, id_col, vec_col, n_sub, n_codes, iters, dim, pts=pts
+    sub_dim = dim // n_sub
+    n_seed = max(n_codes, n_lists)
+    seeds = sorted(
+        (r["pid"], [int(x) for x in r["qv"]])
+        for r in pts.filter(F.col("pid") < n_seed).collect()
     )
+    if len(seeds) < n_seed:
+        raise ValueError(
+            f"PQ training found {len(seeds)} of {n_seed} seed vectors "
+            f"with {id_col} < {n_seed}: the id<n seed contract "
+            "(shared with the SQL oracle) requires a dense 0-based id space"
+        )
+    coarse = [(pid, qv) for pid, qv in seeds if pid < n_lists]
+    cbs = [
+        [
+            (pid, qv[s * sub_dim : (s + 1) * sub_dim])
+            for pid, qv in seeds
+            if pid < n_codes
+        ]
+        for s in range(n_sub)
+    ]
+    for _ in range(iters - 1):
+        assigned = pts.select(
+            "qv",
+            _sub_code(coarse, 0, dim).alias("g"),
+            *[
+                _sub_code(cbs[s], s, sub_dim).alias(f"c_{s}")
+                for s in range(n_sub)
+            ],
+        )
+        cells = assigned.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(-1).alias("sub"),
+                        F.col("g").alias("code"),
+                        F.col("qv").alias("sv"),
+                    ),
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sub"),
+                            F.col(f"c_{s}").alias("code"),
+                            F.slice(
+                                F.col("qv"), s * sub_dim + 1, sub_dim
+                            ).alias("sv"),
+                        )
+                        for s in range(n_sub)
+                    ],
+                )
+            ).alias("cell")
+        )
+        per_el = (
+            cells.select(
+                "cell.sub", "cell.code", F.posexplode("cell.sv").alias("spos", "v")
+            )
+            .groupBy("sub", "code", "spos")
+            .agg(F.expr("sum(v) div count(*)").alias("w"))
+            .collect()
+        )
+        by: dict[tuple[int, int], dict[int, int]] = {}
+        for r in per_el:
+            by.setdefault((r["sub"], r["code"]), {})[r["spos"]] = r["w"]
+        coarse = sorted(
+            (code, [dims[p] for p in sorted(dims)])
+            for (sub, code), dims in by.items()
+            if sub == -1
+        )
+        cbs = [
+            sorted(
+                (code, [dims[p] for p in sorted(dims)])
+                for (sub, code), dims in by.items()
+                if sub == s
+            )
+            for s in range(n_sub)
+        ]
     return coarse, cbs
 
 

@@ -8,14 +8,18 @@ the public MMR recipe). Used for diverse few-shot selection, dedup-aware
 sampling, and search-result diversification.
 
 Spark-first shape: candidate generation is the same broadcast-query
-scan every top-k operator here uses; the greedy loop is UNROLLED — k is
-a small constant, so the k−1 refinement steps become k−1 joins against
-the (queries × n_cand) candidate table, which is broadcast-tiny by
-construction at any corpus size. Nothing iterative touches the corpus:
-total work is one corpus scan + O(queries · k · n_cand) on the
-candidate set. Arithmetic is integer-exact (components quantized to
-``floor(x · 2^10)`` before the dots, λ = 0.7 expressed as the integer
-pair 7/3), so both engines pick identical items with identical scores.
+scan every top-k operator here uses; the greedy loop FOLDS over each
+query's own candidate array — one groupBy(query_id) collects the
+(≤ n_cand)-row candidate set per query, and a single JVM
+``aggregate(sequence(2, k), …)`` higher-order expression runs the k−1
+refinement steps in-row (r14: replaces the unrolled k−1 joins + 6
+cached intermediates, which paid ~40 driver-sequenced stages of fixed
+latency per run). Nothing iterative touches the corpus: total work is
+one corpus scan + O(queries · k · n_cand) on the candidate set,
+executor-parallel across queries. Arithmetic is integer-exact
+(components quantized to ``floor(x · 2^10)`` before the dots, λ = 0.7
+expressed as the integer pair 7/3), so both engines pick identical
+items with identical scores.
 """
 
 from __future__ import annotations
@@ -25,7 +29,6 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double
-from ..session import defer_release
 
 MMR_K = 5
 MMR_N_CAND = 20
@@ -60,98 +63,104 @@ def mmr_rerank(cand: DataFrame, k: int = MMR_K, pin: bool = True) -> DataFrame:
     source-agnostic: ``mmr_topk`` feeds it the brute-force top-n_cand,
     ``mmr_over_candidates`` feeds it any retrieval stage's output (the
     IVF-PQ ADC index in the registered composed query). The table is
-    (queries × n_cand) rows by construction, so every join below is
-    broadcast-tiny and corpus-independent.
+    (queries × n_cand) rows by construction.
 
     Output: (query_id, pick_idx INT 1..k, neighbor_id, mmr_score
     BIGINT) — pick 1 scores pure relevance (empty penalty set), later
     picks subtract the max pair-similarity to anything already picked;
     ties go to the smaller neighbor id at every step.
 
-    ``pin=False`` skips the internal cache for a caller that already
-    materialized the frame (``mmr_over_candidates`` hands in an eagerly
-    localCheckpoint'ed table — a second ``.cache()`` would pin the same
-    small data twice in executor storage until the deferred release,
-    ADVICE r11).
-    """
-    w_rel = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
-    if pin:
-        # the candidate table is (queries × n_cand) rows — cached because
-        # the k−1 unrolled steps and the pair table all re-join it
-        # (deferred release per the session contract)
-        cand = cand.cache()
-        defer_release(cand)
-    a = cand.select(
-        "query_id", F.col("cand_id").alias("a_id"), F.col("cq").alias("av")
-    )
-    b = cand.select(
-        "query_id", F.col("cand_id").alias("b_id"), F.col("cq").alias("bv")
-    )
-    pairs = (
-        a.join(b, "query_id")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select(
-            "query_id",
-            "a_id",
-            "b_id",
-            _int_dot(F.col("av"), F.col("bv")).alias("psim"),
-        )
-        .cache()
-    )
-    defer_release(pairs)
-    slim = cand.select("query_id", "cand_id", "rel")
+    Shape (r14 optimization): ONE exchange (groupBy query_id →
+    collect_list), then the whole greedy loop runs as a single JVM
+    higher-order-function projection — ``aggregate(sequence(2, k), …)``
+    folds the k−1 refinement steps over each query's own candidate
+    array. The previous form unrolled the loop into k−1 joins + 6
+    cached (queries × 1) frames, which was corpus-independent but paid
+    ~40 driver-sequenced stages of fixed latency per query run
+    (VERDICT r13 flagged the ~160-stage tail across the MMR family);
+    the fold pays ONE stage. Every group is ≤ n_cand structs by
+    construction, so per-row work is O(n_cand · k) integer ops —
+    corpus-independent, executor-parallel across queries, no Python
+    boundary. Arithmetic is unchanged (integer grid, λ = 7/3, ties to
+    the smaller cand_id via max over (score, −cand_id) structs), so
+    picks and scores are bit-identical to the join form — pinned by
+    the randomized Python-greedy reference test.
 
-    # each step's pick feeds THREE downstream consumers (the next
-    # step's penalty join, its anti-join, and the final union) — left
-    # uncached, the step chains re-evaluate ~3× per later step and the
-    # whole plan goes combinatorial (measured: 15 s → 3 s at sf0.01).
-    # Every pick is (queries × 1) rows, so caching is driver-trivial.
-    first = (
-        slim.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") == 1)
+    ``pin`` is kept for caller compatibility: the single-consumer fold
+    needs no internal cache, so it is a no-op now.
+    """
+    del pin  # single-pass fold: nothing is re-joined, nothing to cache
+
+    def _best(entries: Column) -> Column:
+        # argmax by (score DESC, cand_id ASC): max over structs whose
+        # second field is −cand_id, so equal scores pick the smaller id
+        return F.array_max(entries)
+
+    def _entry(score: Column, c: Column) -> Column:
+        return F.struct(
+            score.alias("score"),
+            (-c["cand_id"]).alias("negid"),
+            c["cand_id"].alias("cand_id"),
+            c["cq"].alias("cq"),
+        )
+
+    def _as_pick(idx: Column, best: Column) -> Column:
+        return F.struct(
+            idx.cast("int").alias("pick_idx"),
+            best["cand_id"].alias("cand_id"),
+            best["score"].alias("score"),
+            best["cq"].alias("cq"),
+        )
+
+    cs = F.col("cs")
+    first = _best(
+        F.transform(cs, lambda c: _entry(F.lit(MMR_LAMBDA_NUM) * c["rel"], c))
+    )
+    acc0 = F.array(_as_pick(F.lit(1), first))
+
+    def _step(acc: Column, t: Column) -> Column:
+        picked_ids = F.transform(acc, lambda p: p["cand_id"])
+        rem = F.filter(
+            cs, lambda c: ~F.array_contains(picked_ids, c["cand_id"])
+        )
+        scored = F.transform(
+            rem,
+            lambda c: _entry(
+                F.lit(MMR_LAMBDA_NUM) * c["rel"]
+                - F.lit(MMR_LAMBDA_PEN)
+                * F.array_max(
+                    F.transform(acc, lambda p: _int_dot(c["cq"], p["cq"]))
+                ),
+                c,
+            ),
+        )
+        return F.when(F.size(rem) == 0, acc).otherwise(
+            F.concat(acc, F.array(_as_pick(t, _best(scored))))
+        )
+
+    picks = (
+        F.aggregate(F.sequence(F.lit(2), F.lit(k)), acc0, _step)
+        if k > 1
+        else acc0
+    )
+    grouped = cand.groupBy("query_id").agg(
+        F.collect_list(F.struct("cand_id", "rel", "cq")).alias("cs")
+    )
+    # explode_outer + null filter, NOT plain explode: explode would let
+    # InferFiltersFromGenerate duplicate the whole fold expression into
+    # a pushed-down size(...)>0 Filter (the map_dimensions_long_form
+    # class, enforced suite-wide by the plan audit). The picks array is
+    # never empty (every group has ≥ 1 candidate), so the null row
+    # cannot occur; the filter pins the semantics.
+    return (
+        grouped.select("query_id", F.explode_outer(picks).alias("p"))
+        .filter(F.col("p").isNotNull())
         .select(
             "query_id",
-            "cand_id",
-            F.lit(1).alias("pick_idx"),
-            (MMR_LAMBDA_NUM * F.col("rel")).alias("score"),
+            F.col("p.pick_idx").alias("pick_idx"),
+            F.col("p.cand_id").alias("neighbor_id"),
+            F.col("p.score").alias("mmr_score"),
         )
-        .cache()
-    )
-    defer_release(first)
-    picked = first
-    for t in range(2, k + 1):
-        pen = (
-            pairs.join(
-                picked.select("query_id", F.col("cand_id").alias("b_id")),
-                ["query_id", "b_id"],
-            )
-            .groupBy("query_id", F.col("a_id").alias("cand_id"))
-            .agg(F.max("psim").alias("pen"))
-        )
-        remaining = slim.join(
-            picked.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
-        )
-        score = MMR_LAMBDA_NUM * F.col("rel") - MMR_LAMBDA_PEN * F.col("pen")
-        w_pick = W.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("cand_id")
-        )
-        pick = (
-            remaining.join(pen, ["query_id", "cand_id"])
-            .select("query_id", "cand_id", score.alias("score"))
-            .withColumn("rn", F.row_number().over(w_pick))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id", "cand_id", F.lit(t).alias("pick_idx"), "score"
-            )
-            .cache()
-        )
-        defer_release(pick)
-        picked = picked.unionByName(pick)
-    return picked.select(
-        "query_id",
-        F.col("pick_idx").cast("int").alias("pick_idx"),
-        F.col("cand_id").alias("neighbor_id"),
-        F.col("score").alias("mmr_score"),
     )
 
 

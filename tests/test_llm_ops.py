@@ -1417,6 +1417,37 @@ def test_ivfpq_refined_survives_emptied_trained_codeword(spark):
     assert by_rk[2] == (50, 1.0)
 
 
+def test_refined_train_fused_equals_separate_trainings(spark, sf_dir):
+    """r14 optimization guard: ivfpq_refined_train fuses the coarse and
+    subspace trainings into one seed collect + one assignment/update
+    job per Lloyd round. The fused codebooks must be BIT-IDENTICAL to
+    running ``train_pq_codebooks`` separately at each granularity (the
+    pre-r14 composition) — the oracle's unrolled CTE chain models the
+    unfused recipe, so any drift here is an oracle break, not a tuning
+    change. Also covers n_lists != n_codes (the shared seed collect
+    slices per granularity)."""
+    from kda_flink_app_timestream_spark.operators.ivfpq import (
+        PQT_COARSE_LISTS,
+        PQT_N_CODES,
+        PQT_N_SUB,
+        ivfpq_refined_train,
+        train_pq_codebooks,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coarse_f, cbs_f = ivfpq_refined_train(e)
+    coarse_u = train_pq_codebooks(
+        e, n_sub=1, n_codes=PQT_COARSE_LISTS
+    )[0]
+    cbs_u = train_pq_codebooks(e, n_sub=PQT_N_SUB, n_codes=PQT_N_CODES)
+    assert coarse_f == coarse_u
+    assert cbs_f == cbs_u
+    # asymmetric granularities: coarse lists != codewords per subspace
+    coarse_f2, cbs_f2 = ivfpq_refined_train(e, n_codes=8, n_lists=12)
+    assert coarse_f2 == train_pq_codebooks(e, n_sub=1, n_codes=12)[0]
+    assert cbs_f2 == train_pq_codebooks(e, n_sub=PQT_N_SUB, n_codes=8)
+
+
 def test_mmr_semi_join_fallback_matches_pushdown(spark, sf_dir, monkeypatch):
     """Above MMR_PUSHDOWN_MAX_IDS the candidate lookup falls back to a
     broadcast semi-join instead of an inlined In filter (ADVICE r11);
