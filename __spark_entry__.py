@@ -438,6 +438,14 @@ _RESCORE_AFTER = {
     "sim_ivfpq_recall": 14,
     "sim_ivfpq_refined_topk": 14,
     "sim_ivfpq_refined_recall": 14,
+    #   plans/dedup.py (r14 optimization, SCOPED per the r7 precedent —
+    #   edit strictly local to dedup_minhash_tuning's body): the grid's
+    #   three signature passes collapse to ONE cached pass at the max
+    #   width, sliced per setting (prefix-stable coefficients, pinned
+    #   by test_minhash_signature_is_prefix_stable); banding/estimate
+    #   expressions unchanged, oracle untouched, rehearsed green at
+    #   sf0.001/sf0.01:
+    "dedup_minhash_tuning": 14,
 }
 
 

@@ -285,7 +285,10 @@ def mmr_over_candidates(
             "cq",
         )
     )
-    # and a leaf for the refinement: brute-force-sized plans from here
-    # (already materialized — mmr_rerank must not re-pin it, ADVICE r11)
-    cand = cand.localCheckpoint(eager=True)
+    # no checkpoint before the refinement (r14): the fold-based
+    # mmr_rerank consumes ``cand`` exactly once (one groupBy), so the
+    # eager materialization job the unrolled form needed — its
+    # combinatorial re-references were what blew the plan up — would
+    # now be pure overhead; lineage above is already truncated at the
+    # checkpointed cand_ids leaf.
     return mmr_rerank(cand, k, pin=False)

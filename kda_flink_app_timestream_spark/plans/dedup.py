@@ -19,8 +19,10 @@ from ..operators.dedup import (
     NUM_MINHASHES,
     SIMHASH_BITS,
     exact_jaccard_pairs,
+    lsh_candidate_pairs,
     minhash_coeffs,
     minhash_near_dup_pairs,
+    minhash_signature,
     simhash,
 )
 from ..operators.similarity import embedding_near_dup_pairs
@@ -755,7 +757,19 @@ def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one frame (3 rows — a metrics table, not data volume). Ratios
     go through the exact integer half-up formula so every row
     hash-matches the oracle, whose per-setting CTE bodies are the same
-    generated SQL as the individual pair queries at that setting."""
+    generated SQL as the individual pair queries at that setting.
+
+    r14 optimization: the SIGNATURES are also computed once. MinHash
+    permutation coefficients depend only on the permutation index
+    (``minhash_coeffs``), so a narrower signature is a PREFIX of a
+    wider one — one cached signature pass at the grid's max width
+    (tokenize + shingle + per-shingle md5 hashing, the expensive
+    per-doc work) feeds every setting via ``slice(sig, 1, num_hashes)``
+    instead of each setting re-hashing the corpus (3 signature passes
+    → 1; the prefix contract is pinned by
+    ``test_minhash_signature_is_prefix_stable``). The banding +
+    estimate stages per setting are the same expressions
+    ``minhash_near_dup_pairs`` builds, over the sliced signature."""
     from ..functions.exact import floor_round
 
     d = load_table(spark, sf_dir, "documents").filter(
@@ -767,14 +781,36 @@ def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     defer_release(exact)
+    sig_full = minhash_signature(
+        d, num_hashes=max(h for h, _ in MINHASH_TUNING_GRID)
+    ).cache()
+    defer_release(sig_full)  # every grid setting re-reads it
     out: DataFrame | None = None
     for num_hashes, num_bands in MINHASH_TUNING_GRID:
-        mh = minhash_near_dup_pairs(
-            d,
-            threshold=JACCARD_THRESHOLD,
-            num_hashes=num_hashes,
-            num_bands=num_bands,
-        ).select("doc_a", "doc_b")
+        sig = sig_full.select(
+            "doc_id", F.slice("sig", 1, num_hashes).alias("sig")
+        )
+        cand = lsh_candidate_pairs(
+            sig, num_bands=num_bands, num_hashes=num_hashes
+        )
+        sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+        sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / float(num_hashes)
+        )
+        mh = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b")
+        )
         counts = (
             exact.withColumn("__e", F.lit(1))
             .join(mh.withColumn("__m", F.lit(1)), ["doc_a", "doc_b"], "full_outer")

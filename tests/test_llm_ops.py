@@ -264,6 +264,26 @@ def test_lsh_banding_guards(spark, docs):
     assert lsh_candidate_pairs(sig, num_hashes=8, max_band_freq=1).count() == 0
 
 
+def test_minhash_signature_is_prefix_stable(spark, docs):
+    """r14 optimization contract: permutation coefficients depend only
+    on the permutation index (``minhash_coeffs``), so a narrower
+    signature is a PREFIX of a wider one. ``dedup_minhash_tuning``
+    relies on this — one cached signature pass at the grid's max width
+    is sliced per setting instead of re-hashing the corpus per setting.
+    If the coefficient derivation ever keys on ``num_hashes``, this
+    catches it before the tuning oracle does."""
+    wide = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signature(docs, num_hashes=32).collect()
+    }
+    for n in (8, 16):
+        narrow = {
+            r["doc_id"]: list(r["sig"])
+            for r in minhash_signature(docs, num_hashes=n).collect()
+        }
+        assert narrow == {k: v[:n] for k, v in wide.items()}
+
+
 def test_minhash_recall_at_production_params(spark):
     """128 hashes / 16 bands (8 rows per band) on a known-answer corpus:
     every planted near-dup pair (Jaccard ≥ ~0.8) must surface, and the
