@@ -446,6 +446,23 @@ _RESCORE_AFTER = {
     #   expressions unchanged, oracle untouched, rehearsed green at
     #   sf0.001/sf0.01:
     "dedup_minhash_tuning": 14,
+    #   operators/dedup.py (r14 optimization, SCOPED per the r7
+    #   precedent — edit strictly local to connected_components' round
+    #   loop): per-round eager localCheckpoint + separate count fused
+    #   into one lazy-checkpoint-materializing count job. Consumers of
+    #   connected_components (curate_corpus rides the same flag):
+    "dedup_cluster_representatives": 14,
+    "dedup_collapse_then_clusters": 14,
+    "curate_corpus": 14,
+    #   plans/clustering.py (r14 optimization, SCOPED — edit strictly
+    #   local to dedup_collapse_then_semantic's body): the in-query
+    #   duplicate inflation rewritten from base UNION filtered-copy
+    #   (2 parquet scans per consumption, corpus consumed twice = 4
+    #   scans/run) to a single-scan explode over per-row offset arrays;
+    #   row set proven identical (oracle rehearsed green at sf0.01).
+    #   The query is tier-0 this round (first row lands regardless) —
+    #   flag recorded for the ledger:
+    "dedup_collapse_then_semantic": 14,
 }
 
 

@@ -584,12 +584,18 @@ def connected_components(
             "h", F.least(F.col("mn"), F.col("h")).alias("m")
         )
         with_m = large.join(m_low, "h")
+        # LAZY checkpoint + count = ONE materialization job per round
+        # (r14): eager=True runs its own internal action and the count
+        # below was a second job over the just-persisted partitions —
+        # the count is the round's required action anyway, so let it
+        # trigger the checkpoint. Post-materialization semantics are
+        # identical (lineage cut, partitions pinned until released).
         small = (
             with_m.select(F.col("l").alias("h"), F.col("m").alias("l"))
             .union(with_m.select(F.col("h"), F.col("m").alias("l")))
             .filter(F.col("h") != F.col("l"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_small = small.count()
         done = _edge_set_equal(small, n_small, e, n_e)

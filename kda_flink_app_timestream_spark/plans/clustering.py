@@ -510,11 +510,19 @@ def dedup_collapse_then_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNIQUE vectors."""
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select("vec_id", "embedding")
-    corpus = base.unionByName(
-        base.filter(F.col("vec_id") % 2 == 0).select(
-            (F.col("vec_id") + DUP_OFFSET).alias("vec_id"), "embedding"
-        )
-    )
+    # in-query duplicate inflation as ONE scan (r14): the previous
+    # base UNION filtered-copy form scanned the parquet twice per
+    # consumption, and `corpus` executes twice (collapse + final
+    # expansion join) — 4 corpus scans per run, 2 with the explode.
+    # Row set identical: every even id contributes offsets {0,
+    # DUP_OFFSET}, every odd id just {0}.
+    offsets = F.when(
+        F.col("vec_id") % 2 == 0,
+        F.array(F.lit(0).cast("long"), F.lit(DUP_OFFSET).cast("long")),
+    ).otherwise(F.array(F.lit(0).cast("long")))
+    corpus = base.select(
+        F.explode(offsets).alias("__off"), "vec_id", "embedding"
+    ).select((F.col("vec_id") + F.col("__off")).alias("vec_id"), "embedding")
     collapsed = (
         corpus.groupBy("embedding")
         .agg(F.min("vec_id").alias("vec_id"))
