@@ -463,6 +463,13 @@ _RESCORE_AFTER = {
     #   The query is tier-0 this round (first row lands regardless) —
     #   flag recorded for the ledger:
     "dedup_collapse_then_semantic": 14,
+    #   operators/clustering.py (r14 optimization, SCOPED — edit
+    #   strictly local to kmeans_assign_twolevel's seed-collection
+    #   path): count()+collect() over the cached seed frame fused into
+    #   one bounded take(cap+1) that both probes the cap and fetches
+    #   the rows (order-insensitive — rows re-sorted per cell). Its
+    #   only registered consumer:
+    "dedup_semantic_prune_twolevel": 14,
 }
 
 

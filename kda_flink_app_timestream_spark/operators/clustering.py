@@ -310,8 +310,13 @@ def kmeans_assign_twolevel(
         .cache()
     )
     defer_release(seeds_df)
-    n_seeds = seeds_df.count()
-    if n_seeds > seed_collect_cap:
+    # ONE bounded take probes the cap AND fetches the seed rows (r14):
+    # the previous count()-then-collect() pair was two driver jobs over
+    # the same cached frame; take(cap + 1) answers "over the cap?"
+    # without a full count and IS the collect when under it (seed ORDER
+    # is irrelevant — rows are re-sorted per cell below).
+    seed_rows = seeds_df.take(seed_collect_cap + 1)
+    if len(seed_rows) > seed_collect_cap:
         s = seeds_df.select(
             "ccid", F.col("pid").alias("__sid"), F.col("qv").alias("__sqv")
         )
@@ -329,7 +334,6 @@ def kmeans_assign_twolevel(
             F.col("__b.dist_sq").alias("dist_sq"),
         )
 
-    seed_rows = seeds_df.collect()
     by_cell: dict[int, list[tuple[int, list[int]]]] = {}
     for r in seed_rows:
         by_cell.setdefault(r["ccid"], []).append((r["pid"], list(r["qv"])))

@@ -468,10 +468,21 @@ def ivfpq_refined_topk(
     corpus) and 0.04 for the untrained no-refine base config; the
     trained coarse lifts the probe cap from 23/38/73% to 76/86/94%
     (nprobe 2/4/8)."""
+    from ..session import defer_release
+
+    # ONE cached quantized projection feeds the trainings AND the
+    # encode (r14): train already cached (pid, qv); the encode used to
+    # re-scan and re-quantize the raw corpus for the identical values.
+    pts = corpus.select(
+        F.col(id_col).alias("pid"), _quantized(vec_col).alias("qv")
+    ).cache()
+    defer_release(pts)
     coarse, cbs = ivfpq_refined_train(
-        corpus, id_col, vec_col, n_sub, n_codes, iters, n_lists, dim
+        corpus, id_col, vec_col, n_sub, n_codes, iters, n_lists, dim, pts=pts
     )
-    encoded = ivfpq_refined_encode(corpus, coarse, cbs, id_col, vec_col, n_sub, dim)
+    encoded = ivfpq_refined_encode(
+        corpus, coarse, cbs, id_col, vec_col, n_sub, dim, pts=pts
+    )
     return ivfpq_refined_search(
         encoded, corpus, queries, coarse, cbs, k, id_col, vec_col,
         nprobe, n_sub, shortlist, dim,
@@ -487,13 +498,16 @@ def ivfpq_refined_train(
     iters: int = PQT_ITERS,
     n_lists: int = PQT_COARSE_LISTS,
     dim: int = DIM,
+    pts: DataFrame | None = None,
 ) -> tuple[list[tuple[int, list[int]]], list[list[tuple[int, list[int]]]]]:
     """The TRAIN half: (trained coarse quantizer, trained per-subspace
     PQ codebooks) as bounded driver-side model state — in production
     this runs once (or on drift) and the codebooks ship with the
     stored index. ONE shared quantized projection feeds both trainings
     (ADVICE r12: separate per-call caches doubled executor storage and
-    corpus quantization scans).
+    corpus quantization scans); ``pts`` lets the composed pipeline hand
+    in a caller-cached ``(pid, qv)`` projection it also feeds to the
+    encode (r14 — the train_pq_codebooks precedent).
 
     r14 optimization: the two granularities train FUSED — one seed
     collect (``pid < max(n_lists, n_codes)`` serves both, sliced per
@@ -506,12 +520,13 @@ def ivfpq_refined_train(
     (``sum(v) div count(*)`` on disjoint (sub, code, spos) groups) is
     untouched, so both codebooks are bit-identical to the unfused
     training (pinned by tests)."""
-    from ..session import defer_release
+    if pts is None:
+        from ..session import defer_release
 
-    pts = corpus.select(
-        F.col(id_col).alias("pid"), _quantized(vec_col).alias("qv")
-    ).cache()
-    defer_release(pts)
+        pts = corpus.select(
+            F.col(id_col).alias("pid"), _quantized(vec_col).alias("qv")
+        ).cache()
+        defer_release(pts)
     sub_dim = dim // n_sub
     n_seed = max(n_codes, n_lists)
     seeds = sorted(
@@ -598,17 +613,24 @@ def ivfpq_refined_encode(
     vec_col: str = "embedding",
     n_sub: int = PQT_N_SUB,
     dim: int = DIM,
+    pts: DataFrame | None = None,
 ) -> DataFrame:
     """The INDEX-BUILD half for the trained pipeline: one zero-shuffle
     narrow projection of the corpus to ``(neighbor_id, cid,
     code_0..code_{n_sub-1})`` — runs once at write time, stored
     ``partitionBy(cid)`` (the ``ivfpq_encode`` deployment shape; the
     split-vs-composed parity through a real parquet round trip is
-    pinned by tests/test_llm_ops.py)."""
+    pinned by tests/test_llm_ops.py). ``pts`` (r14): a caller-cached
+    ``(pid, qv)`` quantized projection — the composed pipeline shares
+    the training's cache instead of re-scanning and re-quantizing the
+    raw corpus for the identical values."""
     sub_dim = dim // n_sub
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _quantized(vec_col).alias("qv")
-    )
+    if pts is None:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), _quantized(vec_col).alias("qv")
+        )
+    else:
+        c = pts.select(F.col("pid").alias("neighbor_id"), "qv")
     # cid is wrapped in coalesce(expr, -1) to make the join key
     # PROVABLY non-null: the cid equi-join otherwise infers
     # isnotnull(cid) and pushdown inlines the whole derived
