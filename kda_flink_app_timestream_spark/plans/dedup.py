@@ -527,7 +527,18 @@ def dedup_lineage_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.size(tokens(F.col("text"))) >= 3
     )
-    pairs = exact_jaccard_pairs(d, threshold=JACCARD_THRESHOLD).select("doc_a", "doc_b")
+    # the pair pipeline is cached BEFORE forking into parent/nodes
+    # (r14): both persists below derive from it, and each one's first
+    # materialization otherwise re-runs the whole inverted-index join
+    # chain (the internal per-doc hash cache only covers the scan side
+    # — the posting/shared shuffles ran twice, measured ~1.3 s of the
+    # query at sf0.1)
+    pairs = (
+        exact_jaccard_pairs(d, threshold=JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    defer_release(pairs)
     parent = (
         pairs.groupBy(F.col("doc_b").alias("node"))
         .agg(F.min("doc_a").alias("parent"))
