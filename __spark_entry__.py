@@ -417,65 +417,66 @@ _RESCORE_AFTER = {
     #   (VERDICT r13 #4 — dominates the old (4,100) default on mean AND
     #   min recall@20 at both measured scales at flat cost):
     "sim_mmr_over_ivfpq": 14,
-    #   operators/mmr.py (r14 optimization): mmr_rerank's greedy loop
-    #   rewritten from k−1 unrolled joins + 6 cached intermediates to
-    #   ONE groupBy + a single JVM aggregate(sequence(2,k)) fold over
-    #   each query's collected candidate array — results proven
-    #   bit-identical (randomized Python-greedy reference test + oracle
-    #   rehearsal at sf0.001/sf0.01), measured 8.8 s → 1.3 s at sf0.1.
-    #   Both registered consumers of the file rescore
-    #   (sim_mmr_over_ivfpq is already keyed 14 above):
-    "sim_mmr_diverse_topk": 14,
-    #   operators/ivfpq.py (r14 optimization): ivfpq_refined_train now
-    #   trains the coarse quantizer and the subspace codebooks FUSED —
-    #   one seed collect + one assignment/update job per Lloyd round
-    #   instead of two of each; per-cell arithmetic untouched, both
-    #   codebooks bit-identical (split/composed parity tests + oracle
-    #   rehearsal). Every registered consumer of the file rescores
-    #   (sim_mmr_over_ivfpq / sim_mmr_candidate_recall already keyed 14
-    #   or tier-0 this round):
-    "sim_ivfpq_adc_topk": 14,
-    "sim_ivfpq_recall": 14,
-    "sim_ivfpq_refined_topk": 14,
-    "sim_ivfpq_refined_recall": 14,
-    #   plans/dedup.py (r14 optimization, SCOPED per the r7 precedent —
-    #   edit strictly local to dedup_minhash_tuning's body): the grid's
-    #   three signature passes collapse to ONE cached pass at the max
-    #   width, sliced per setting (prefix-stable coefficients, pinned
-    #   by test_minhash_signature_is_prefix_stable); banding/estimate
-    #   expressions unchanged, oracle untouched, rehearsed green at
-    #   sf0.001/sf0.01:
-    "dedup_minhash_tuning": 14,
-    #   operators/dedup.py (r14 optimization, SCOPED per the r7
-    #   precedent — edit strictly local to connected_components' round
-    #   loop): per-round eager localCheckpoint + separate count fused
-    #   into one lazy-checkpoint-materializing count job. Consumers of
-    #   connected_components (curate_corpus rides the same flag):
-    "dedup_cluster_representatives": 14,
-    "dedup_collapse_then_clusters": 14,
-    "curate_corpus": 14,
-    #   plans/clustering.py (r14 optimization, SCOPED — edit strictly
-    #   local to dedup_collapse_then_semantic's body): the in-query
-    #   duplicate inflation rewritten from base UNION filtered-copy
-    #   (2 parquet scans per consumption, corpus consumed twice = 4
-    #   scans/run) to a single-scan explode over per-row offset arrays;
-    #   row set proven identical (oracle rehearsed green at sf0.01).
-    #   The query is tier-0 this round (first row lands regardless) —
-    #   flag recorded for the ledger:
+    # r15 flags — the r14 OPTIMIZATION round's changes, keyed 15 per
+    # the late-r6/r12 dormant-flag convention: r14's window was already
+    # EXACTLY full when the optimization landed (43 r10-aged greens +
+    # the 5 build flags above + 2 tier-0 registrations = 50 — the
+    # rotation-debt test pins that composition), so these activate when
+    # _CURRENT_ROUND bumps to 15. Every change below is result-
+    # identical by construction and was proven so locally (focused
+    # tests + driver-style oracle rehearsal at sf0.001/sf0.01, all
+    # green — see OPTIMIZATION_r14.md), and the five build flags above
+    # already give this round's window post-change rows for the
+    # heaviest-touched paths (sim_mmr_over_ivfpq rides the MMR fold +
+    # fused training; dedup_semantic_prune* ride the CC/clustering
+    # edits they consume).
+    #   operators/mmr.py: mmr_rerank's greedy loop rewritten from k−1
+    #   unrolled joins + 6 cached intermediates to ONE groupBy + a
+    #   single JVM aggregate(sequence(2,k)) fold — bit-identical
+    #   (randomized Python-greedy reference test), 8.8 s → 1.3 s:
+    "sim_mmr_diverse_topk": 15,
+    #   operators/ivfpq.py: ivfpq_refined_train fused (one seed collect
+    #   + one assignment/update job per Lloyd round, was two of each;
+    #   pinned by test_refined_train_fused_equals_separate_trainings)
+    #   and ivfpq_refined_encode shares the trained quantized cache.
+    #   File-level consumers (sim_ivfpq_adc_topk / sim_ivfpq_recall
+    #   execute only untouched functions — flagged anyway per the
+    #   conservative file rule):
+    "sim_ivfpq_adc_topk": 15,
+    "sim_ivfpq_recall": 15,
+    "sim_ivfpq_refined_topk": 15,
+    "sim_ivfpq_refined_recall": 15,
+    #   (sim_mmr_candidate_recall is tier-0 this round — its FIRST row
+    #   lands in r14 on post-change code, so a flag would only force a
+    #   wasted r15 rescore; same for dedup_collapse_then_semantic
+    #   below, keyed 14 to self-expire with its r14 row):
+    "sim_mmr_candidate_recall": 14,
+    #   plans/dedup.py (SCOPED — edits strictly local to two query
+    #   bodies): dedup_minhash_tuning's three signature passes collapse
+    #   to ONE cached pass sliced per setting (prefix-stable
+    #   coefficients, pinned by test_minhash_signature_is_prefix_stable);
+    #   dedup_lineage_recursive caches the pair pipeline before the
+    #   parent/nodes fork:
+    "dedup_minhash_tuning": 15,
+    "dedup_lineage_recursive": 15,
+    #   operators/dedup.py (SCOPED — strictly local to
+    #   connected_components' round loop): per-round eager checkpoint +
+    #   count fused into one job. CC consumers:
+    "dedup_cluster_representatives": 15,
+    "dedup_collapse_then_clusters": 15,
+    "curate_corpus": 15,
+    #   plans/clustering.py (SCOPED — strictly local to
+    #   dedup_collapse_then_semantic's body): duplicate inflation
+    #   rewritten to a single-scan explode (was 4 parquet scans/run);
+    #   tier-0 this round, so its first (r14) row is the post-change
+    #   row and the flag self-expires with it:
     "dedup_collapse_then_semantic": 14,
-    #   operators/clustering.py (r14 optimization, SCOPED — edit
-    #   strictly local to kmeans_assign_twolevel's seed-collection
-    #   path): count()+collect() over the cached seed frame fused into
-    #   one bounded take(cap+1) that both probes the cap and fetches
-    #   the rows (order-insensitive — rows re-sorted per cell). Its
-    #   only registered consumer:
-    "dedup_semantic_prune_twolevel": 14,
-    #   plans/dedup.py (r14 optimization, SCOPED — edit strictly local
-    #   to dedup_lineage_recursive's body): the pair pipeline is cached
-    #   before forking into the parent/nodes persists, whose first
-    #   materializations each re-ran the whole inverted-index join
-    #   chain (5.3 s → 3.1 s at sf0.1; oracle rehearsed green):
-    "dedup_lineage_recursive": 14,
+    #   operators/clustering.py (SCOPED — strictly local to
+    #   kmeans_assign_twolevel's seed-collection path): seed
+    #   count()+collect() fused into one bounded take(cap+1). Its only
+    #   registered consumer already carries the build's keyed-14 flag
+    #   above (clustering-oracle src param), so its r14 row is ALSO the
+    #   post-change row for this edit — no extra debt.
 }
 
 
