@@ -69,7 +69,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # exists — VERDICT.md stayed the round-5 judge), so "latest committed
 # round + 1" under-counted and would have parked the keyed-7 flags
 # forever.
-_CURRENT_ROUND = 14
+_CURRENT_ROUND = 15
 
 _RESCORE_AFTER = {
     # r3 operator rewrites whose consumers got NO r3 driver row
