@@ -477,6 +477,18 @@ _RESCORE_AFTER = {
     #   registered consumer already carries the build's keyed-14 flag
     #   above (clustering-oracle src param), so its r14 row is ALSO the
     #   post-change row for this edit — no extra debt.
+    # r15 changes (this round's window is being built now — ACTIVE):
+    #   operators/ivfpq.py: the codebook-literal expression trees are
+    #   now assembled as per-stage SQL strings (selectExpr/F.expr)
+    #   instead of Column-API composition — physical plans verified
+    #   byte-identical modulo lambda-variable numbering
+    #   (plans/r15/*_{before,after}.txt), but per the r2 lesson every
+    #   registered consumer of the changed file gets a post-change
+    #   driver row. The five sim_ivfpq_* flags above are already keyed
+    #   15; the two composed consumers re-key from their self-expired
+    #   r14 flags:
+    "sim_mmr_over_ivfpq": 15,
+    "sim_mmr_candidate_recall": 15,
 }
 
 

@@ -74,6 +74,59 @@ def _int_sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+# --- SQL-string expression assembly (r15) -----------------------------------
+#
+# The codebook-literal expression trees in this module are built as SQL
+# STRINGS and attached with ONE selectExpr/F.expr call per stage, not
+# composed through the Column API. Measured motivation (guide §1,
+# cProfile at sf0.1): one composed ivfpq_refined_topk build spent
+# ~4.7 s of 5.7 s waiting on py4j across 8,888 round trips — each
+# Column op costs ~14 ms on this host (py4j + eager analysis), and the
+# HOF lambda builders (`transform`/`aggregate`/`zip_with` via
+# _create_lambda) were the top offenders (18 `_sub_code` calls = 1.8 s
+# of pure plan construction). The SQL text below parses JVM-side in
+# ~1-3 ms per stage and yields the SAME expression trees the Column
+# form built (same literals, same named_struct field order, same
+# integer arithmetic), so results are bit-identical; the literal
+# arrays stay foldable and ConstantFolding collapses them exactly as
+# before.
+
+
+def _sq_dist_sql(a: str, b: str) -> str:
+    """SQL twin of ``_int_sq_dist`` — exact integer squared L2."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _adc_sum_sql(code_ids_per_sub: list[list[int]]) -> str:
+    """SQL text of the per-candidate ADC distance: the sum over
+    subspaces of ``element_at(lut_s, slot(code_s))``.
+
+    The code→slot translation must NOT assume the codeword ids form a
+    gap-free range (review fix: on a corpus missing an id inside the
+    codebook range, positional ``code − base + 1`` read the wrong slot
+    / NULL past the end and diverged from the oracle's value-keyed
+    join). The contiguity check is made in PYTHON at plan-build: a
+    contiguous codebook keeps the cheap positional arithmetic —
+    out-of-range yields NULL (caught loudly by the caller's guard),
+    never a raw positional index, because a stale code below the base
+    would turn NEGATIVE and element_at would silently read from the
+    array END — and a sparse one gets an explicit literal code→slot
+    map."""
+    terms = []
+    for s, code_ids in enumerate(code_ids_per_sub):
+        if code_ids == list(range(code_ids[0], code_ids[0] + len(code_ids))):
+            sl = f"CAST(code_{s} - {code_ids[0]} + 1 AS INT)"
+            slot = f"(CASE WHEN ({sl} >= 1 AND {sl} <= {len(code_ids)}) THEN {sl} END)"
+        else:
+            entries = ", ".join(f"{code}, {i + 1}" for i, code in enumerate(code_ids))
+            slot = f"CAST(map({entries})[code_{s}] AS INT)"
+        terms.append(f"element_at(lut_{s}, {slot})")
+    return " + ".join(terms)
+
+
 def _collect_pq_codebook(
     corpus: DataFrame, id_col: str, vec_col: str
 ) -> list[tuple[int, list[int]]]:
@@ -94,18 +147,18 @@ def _collect_pq_codebook(
     return cb
 
 
-def _sub_codeword_literal(
+def _sub_codeword_literal_sql(
     codebook: list[tuple[int, list[int]]], s: int, sub_dim: int
-) -> Column:
+) -> str:
     """Subspace ``s`` of the codebook as one literal
-    ``array<struct<c, cv>>`` in code-id order."""
+    ``array<struct<c, cv>>`` in code-id order (SQL text)."""
     structs = ", ".join(
         f"named_struct('c', {int(code)}L, 'cv', array("
         + ", ".join(f"{int(w[s * sub_dim + i])}L" for i in range(sub_dim))
         + "))"
         for code, w in codebook
     )
-    return F.expr(f"array({structs})")
+    return f"array({structs})"
 
 
 def ivfpq_encode(
@@ -133,16 +186,16 @@ def ivfpq_encode(
     )
     assigned = _nearest_centroids(c, cents, "cv", "cn", 1)
 
-    def code(s: int) -> Column:
-        sub = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
-        cand = F.transform(
-            _sub_codeword_literal(codebook, s, sub_dim),
-            lambda e: F.struct(_int_sq_dist(sub, e["cv"]).alias("d"), e["c"].alias("c")),
+    def code_sql(s: int) -> str:
+        sub = f"slice(qv, {s * sub_dim + 1}, {sub_dim})"
+        cand = (
+            f"transform({_sub_codeword_literal_sql(codebook, s, sub_dim)}, "
+            f"e -> named_struct('d', {_sq_dist_sql(sub, 'e.cv')}, 'c', e.c))"
         )
-        return F.array_min(cand)["c"]
+        return f"array_min({cand})['c']"
 
-    return assigned.select(
-        "neighbor_id", "cid", *[code(s).alias(f"code_{s}") for s in range(n_sub)]
+    return assigned.selectExpr(
+        "neighbor_id", "cid", *[f"{code_sql(s)} AS code_{s}" for s in range(n_sub)]
     )
 
 
@@ -172,54 +225,24 @@ def ivfpq_adc_search(
     )
     probed = _nearest_centroids(q, cents, "qdv", "qn", nprobe)
 
-    def lut(s: int) -> Column:
-        sub = F.slice(F.col("qq"), s * sub_dim + 1, sub_dim)
-        return F.transform(
-            _sub_codeword_literal(codebook, s, sub_dim),
-            lambda e: _int_sq_dist(sub, e["cv"]),
+    def lut_sql(s: int) -> str:
+        sub = f"slice(qq, {s * sub_dim + 1}, {sub_dim})"
+        return (
+            f"transform({_sub_codeword_literal_sql(codebook, s, sub_dim)}, "
+            f"e -> {_sq_dist_sql(sub, 'e.cv')})"
         )
 
-    probed = probed.select(
-        "query_id", "cid", *[lut(s).alias(f"lut_{s}") for s in range(n_sub)]
+    probed = probed.selectExpr(
+        "query_id", "cid", *[f"{lut_sql(s)} AS lut_{s}" for s in range(n_sub)]
     )
 
     # --- ADC scoring: broadcast the (queries × nprobe) probe side; a
     # candidate costs n_sub array lookups — LUT slot i is codeword i in
-    # code-id order. The code→slot translation must NOT assume the
-    # codeword ids form a gap-free range (review fix: on a corpus
-    # missing an id inside PQ_CODEBOOK_RANGE, positional ``code − base
-    # + 1`` read the wrong slot / NULL past the end and diverged from
-    # the oracle's value-keyed join). The contiguity check is made in
-    # PYTHON at plan-build: the common contiguous codebook keeps the
-    # cheap positional arithmetic; a sparse one gets an explicit
-    # literal code→slot map (bench: the map path costs ~0.3 ms/row
-    # extra — only pay it when the ids actually have gaps).
+    # code-id order. Slot translation + gap handling: _adc_sum_sql
+    # (bench: the sparse-map path costs ~0.3 ms/row extra — only paid
+    # when the ids actually have gaps).
     code_ids = [int(code) for code, _w in codebook]
-    contiguous = code_ids == list(range(code_ids[0], code_ids[0] + len(code_ids)))
-    if contiguous:
-        def slot(code_col: Column) -> Column:
-            # out-of-range → NULL (caught loudly below), never a raw
-            # positional index: a stale code below the base would turn
-            # NEGATIVE and element_at would silently read from the
-            # array END — a wrong answer, not even a wrong ordering
-            s = (code_col - code_ids[0] + 1).cast("int")
-            return F.when((s >= 1) & (s <= len(code_ids)), s)
-    else:
-        slot_of = F.create_map(
-            *[
-                lit
-                for i, code in enumerate(code_ids)
-                for lit in (F.lit(code), F.lit(i + 1))
-            ]
-        )
-
-        def slot(code_col: Column) -> Column:
-            return slot_of[code_col].cast("int")
-
-    adc = None
-    for s in range(n_sub):
-        term = F.element_at(F.col(f"lut_{s}"), slot(F.col(f"code_{s}")))
-        adc = term if adc is None else adc + term
+    adc = F.expr(_adc_sum_sql([code_ids] * n_sub))
     # A NULL ADC distance can only mean the encoded table's codes do
     # not match the codebook passed here (stale index, or the
     # encode/search split called with different codebooks): every
@@ -296,29 +319,31 @@ PQT_SHORTLIST = 100  # ADC candidates exact-refined per query — the
 #                      reads ≤ 100 embeddings/query
 
 
-def _sub_cb_literal(cb_s: list[tuple[int, list[int]]]) -> Column:
+def _sub_cb_literal_sql(cb_s: list[tuple[int, list[int]]]) -> str:
     """One subspace codebook as a literal ``array<struct<c, cv>>``
-    (code-id order) — the per-subspace twin of
-    ``_sub_codeword_literal``, for codebooks whose codewords differ by
-    subspace (trained PQ) instead of slicing shared full-dim vectors."""
+    (code-id order, SQL text) — the per-subspace twin of
+    ``_sub_codeword_literal_sql``, for codebooks whose codewords differ
+    by subspace (trained PQ) instead of slicing shared full-dim
+    vectors."""
     structs = ", ".join(
         f"named_struct('c', {int(code)}L, 'cv', array("
         + ", ".join(f"{int(x)}L" for x in w)
         + "))"
         for code, w in cb_s
     )
-    return F.expr(f"array({structs})")
+    return f"array({structs})"
 
 
-def _sub_code(cb_s: list[tuple[int, list[int]]], s: int, sub_dim: int) -> Column:
+def _sub_code_sql(cb_s: list[tuple[int, list[int]]], s: int, sub_dim: int) -> str:
     """Nearest codeword id for subspace ``s`` of a quantized row ``qv``
-    (exact integer distances, ties to the smaller code id)."""
-    sub = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
-    cand = F.transform(
-        _sub_cb_literal(cb_s),
-        lambda e: F.struct(_int_sq_dist(sub, e["cv"]).alias("d"), e["c"].alias("c")),
+    (exact integer distances, ties to the smaller code id via
+    ``array_min`` over (d, c) structs), as SQL text."""
+    sub = f"slice(qv, {s * sub_dim + 1}, {sub_dim})"
+    cand = (
+        f"transform({_sub_cb_literal_sql(cb_s)}, "
+        f"e -> named_struct('d', {_sq_dist_sql(sub, 'e.cv')}, 'c', e.c))"
     )
-    return F.array_min(cand)["c"]
+    return f"array_min({cand})['c']"
 
 
 def train_pq_codebooks(
@@ -375,23 +400,16 @@ def train_pq_codebooks(
         for s in range(n_sub)
     ]
     for _ in range(iters - 1):
-        assigned = pts.select(
-            "qv", *[_sub_code(cbs[s], s, sub_dim).alias(f"c_{s}") for s in range(n_sub)]
+        assigned = pts.selectExpr(
+            "qv",
+            *[f"{_sub_code_sql(cbs[s], s, sub_dim)} AS c_{s}" for s in range(n_sub)],
         )
-        cells = assigned.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("sub"),
-                            F.col(f"c_{s}").alias("code"),
-                            F.slice(F.col("qv"), s * sub_dim + 1, sub_dim).alias("sv"),
-                        )
-                        for s in range(n_sub)
-                    ]
-                )
-            ).alias("cell")
+        cell_structs = ", ".join(
+            f"named_struct('sub', {s}, 'code', c_{s}, "
+            f"'sv', slice(qv, {s * sub_dim + 1}, {sub_dim}))"
+            for s in range(n_sub)
         )
+        cells = assigned.selectExpr(f"explode(array({cell_structs})) AS cell")
         per_el = (
             cells.select("cell.sub", "cell.code", F.posexplode("cell.sv").alias("spos", "v"))
             .groupBy("sub", "code", "spos")
@@ -412,22 +430,18 @@ def train_pq_codebooks(
     return cbs
 
 
-def _coarse_probe(cb0: list[tuple[int, list[int]]], dim: int, nprobe: int) -> Column:
+def _coarse_probe_sql(cb0: list[tuple[int, list[int]]], dim: int, nprobe: int) -> str:
     """Top-``nprobe`` TRAINED coarse centroid ids for a quantized row
     ``qv`` by exact integer L2 (ties to the smaller id) — the probe
-    twin of ``_sub_code``'s k=1 assignment, as one zero-shuffle
+    twin of ``_sub_code_sql``'s k=1 assignment, as one zero-shuffle
     sort+slice over the literal codebook (explode the result to one
-    row per probed list)."""
-    cand = F.transform(
-        _sub_cb_literal(cb0),
-        lambda e: F.struct(
-            _int_sq_dist(F.slice(F.col("qv"), 1, dim), e["cv"]).alias("d"),
-            e["c"].alias("c"),
-        ),
+    row per probed list), as SQL text."""
+    d = _sq_dist_sql(f"slice(qv, 1, {dim})", "e.cv")
+    cand = (
+        f"transform({_sub_cb_literal_sql(cb0)}, "
+        f"e -> named_struct('d', {d}, 'c', e.c))"
     )
-    return F.transform(
-        F.slice(F.sort_array(cand), 1, nprobe), lambda s: s["c"]
-    )
+    return f"transform(slice(sort_array({cand}), 1, {nprobe}), s -> s.c)"
 
 
 def ivfpq_refined_topk(
@@ -549,35 +563,20 @@ def ivfpq_refined_train(
         for s in range(n_sub)
     ]
     for _ in range(iters - 1):
-        assigned = pts.select(
+        assigned = pts.selectExpr(
             "qv",
-            _sub_code(coarse, 0, dim).alias("g"),
-            *[
-                _sub_code(cbs[s], s, sub_dim).alias(f"c_{s}")
+            f"{_sub_code_sql(coarse, 0, dim)} AS g",
+            *[f"{_sub_code_sql(cbs[s], s, sub_dim)} AS c_{s}" for s in range(n_sub)],
+        )
+        cell_structs = ", ".join(
+            ["named_struct('sub', -1, 'code', g, 'sv', qv)"]
+            + [
+                f"named_struct('sub', {s}, 'code', c_{s}, "
+                f"'sv', slice(qv, {s * sub_dim + 1}, {sub_dim}))"
                 for s in range(n_sub)
-            ],
+            ]
         )
-        cells = assigned.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit(-1).alias("sub"),
-                        F.col("g").alias("code"),
-                        F.col("qv").alias("sv"),
-                    ),
-                    *[
-                        F.struct(
-                            F.lit(s).alias("sub"),
-                            F.col(f"c_{s}").alias("code"),
-                            F.slice(
-                                F.col("qv"), s * sub_dim + 1, sub_dim
-                            ).alias("sv"),
-                        )
-                        for s in range(n_sub)
-                    ],
-                )
-            ).alias("cell")
-        )
+        cells = assigned.selectExpr(f"explode(array({cell_structs})) AS cell")
         per_el = (
             cells.select(
                 "cell.sub", "cell.code", F.posexplode("cell.sv").alias("spos", "v")
@@ -639,10 +638,10 @@ def ivfpq_refined_encode(
     # -1 arm is unreachable (the codebook is non-empty by construction,
     # so array_min never returns null); NullPropagation folds the
     # inferred isnotnull away entirely.
-    return c.select(
+    return c.selectExpr(
         "neighbor_id",
-        F.coalesce(_sub_code(coarse, 0, dim), F.lit(-1)).alias("cid"),
-        *[_sub_code(cbs[s], s, sub_dim).alias(f"code_{s}") for s in range(n_sub)],
+        f"coalesce({_sub_code_sql(coarse, 0, dim)}, -1) AS cid",
+        *[f"{_sub_code_sql(cbs[s], s, sub_dim)} AS code_{s}" for s in range(n_sub)],
     )
 
 
@@ -679,40 +678,30 @@ def ivfpq_refined_search(
     # class, enforced suite-wide by the r12 plan audit). The probe
     # array is never empty (the codebook is non-empty by construction),
     # so the null row cannot occur; the filter pins the semantics.
-    probed = q.select(
+    probed = q.selectExpr(
         "query_id",
         "qv",
-        F.explode_outer(_coarse_probe(coarse, dim, nprobe)).alias("cid"),
+        f"explode_outer({_coarse_probe_sql(coarse, dim, nprobe)}) AS cid",
     ).filter(F.col("cid").isNotNull())
 
-    def lut(s: int) -> Column:
-        sub = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
-        return F.transform(_sub_cb_literal(cbs[s]), lambda e: _int_sq_dist(sub, e["cv"]))
+    def lut_sql(s: int) -> str:
+        sub = f"slice(qv, {s * sub_dim + 1}, {sub_dim})"
+        return (
+            f"transform({_sub_cb_literal_sql(cbs[s])}, "
+            f"e -> {_sq_dist_sql(sub, 'e.cv')})"
+        )
 
-    probed = probed.select(
-        "query_id", "cid", *[lut(s).alias(f"lut_{s}") for s in range(n_sub)]
+    probed = probed.selectExpr(
+        "query_id", "cid", *[f"{lut_sql(s)} AS lut_{s}" for s in range(n_sub)]
     )
 
     # per-subspace code→LUT-slot translation, same contiguity rule +
     # loud NULL guard as ivfpq_adc_search (an emptied trained codeword
-    # leaves a gap, which switches that subspace to the literal map)
-    adc = None
-    for s in range(n_sub):
-        code_ids = [int(code) for code, _w in cbs[s]]
-        if code_ids == list(range(code_ids[0], code_ids[0] + len(code_ids))):
-            sl = (F.col(f"code_{s}") - code_ids[0] + 1).cast("int")
-            slot = F.when((sl >= 1) & (sl <= len(code_ids)), sl)
-        else:
-            slot_of = F.create_map(
-                *[
-                    lit
-                    for i, code in enumerate(code_ids)
-                    for lit in (F.lit(code), F.lit(i + 1))
-                ]
-            )
-            slot = slot_of[F.col(f"code_{s}")].cast("int")
-        term = F.element_at(F.col(f"lut_{s}"), slot)
-        adc = term if adc is None else adc + term
+    # leaves a gap, which switches that subspace to the literal map —
+    # see _adc_sum_sql)
+    adc = F.expr(
+        _adc_sum_sql([[int(code) for code, _w in cbs[s]] for s in range(n_sub)])
+    )
     adc = F.when(
         adc.isNull(),
         F.raise_error(

@@ -1468,6 +1468,53 @@ def test_refined_train_fused_equals_separate_trainings(spark, sf_dir):
     assert cbs_f2 == train_pq_codebooks(e, n_sub=PQT_N_SUB, n_codes=8)
 
 
+def test_sub_code_sql_matches_python_argmin(spark):
+    """r15 optimization guard: the codebook expressions are assembled
+    as per-stage SQL strings (_sub_code_sql / _adc_sum_sql replaced the
+    Column-API composition; physical plans verified identical modulo
+    lambda numbering — plans/r15). Pin the generated SQL's semantics
+    against a pure-Python reference: exact integer argmin per subspace
+    with ties to the smaller code id, and the ADC sum through the
+    code→slot translation — including a GAPPED codebook (the sparse
+    literal-map branch)."""
+    import random
+
+    from kda_flink_app_timestream_spark.operators.ivfpq import (
+        _adc_sum_sql,
+        _sub_code_sql,
+    )
+
+    rng = random.Random(7)
+    sub_dim = 4
+    # gapped code ids (2 missing) exercise the sparse-map slot branch;
+    # duplicate codeword vectors force the smaller-id tie-break
+    cb = [(0, [5, -3, 2, 7]), (1, [5, -3, 2, 7]), (3, [-9, 0, 4, 1]), (6, [2, 2, 2, 2])]
+    rows = [(i, [rng.randint(-10, 10) for _ in range(sub_dim)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "rid long, qv array<bigint>")
+
+    def py_code(v):
+        best = min((sum((x - y) ** 2 for x, y in zip(v, w)), c) for c, w in cb)
+        return best[1]
+
+    got = {
+        r["rid"]: r["c"]
+        for r in df.selectExpr("rid", f"{_sub_code_sql(cb, 0, sub_dim)} AS c").collect()
+    }
+    assert got == {rid: py_code(v) for rid, v in rows}
+
+    # ADC: lut in code-id order, slot translated through the gapped map
+    lut = [17, 4, 99, 23]
+    adc_rows = [(i, lut, c) for i, (c, _w) in enumerate(cb)]
+    adc_df = spark.createDataFrame(adc_rows, "rid long, lut_0 array<bigint>, code_0 long")
+    got_adc = {
+        r["rid"]: r["adc"]
+        for r in adc_df.selectExpr(
+            "rid", f"{_adc_sum_sql([[c for c, _w in cb]])} AS adc"
+        ).collect()
+    }
+    assert got_adc == {i: lut[i] for i in range(len(cb))}
+
+
 def test_mmr_semi_join_fallback_matches_pushdown(spark, sf_dir, monkeypatch):
     """Above MMR_PUSHDOWN_MAX_IDS the candidate lookup falls back to a
     broadcast semi-join instead of an inlined In filter (ADVICE r11);
