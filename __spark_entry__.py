@@ -489,6 +489,19 @@ _RESCORE_AFTER = {
     #   r14 flags:
     "sim_mmr_over_ivfpq": 15,
     "sim_mmr_candidate_recall": 15,
+    #   operators/dedup.py (SCOPED per the r7/r11 precedent — edits
+    #   strictly local to minhash_signature / lsh_candidate_pairs /
+    #   minhash_near_dup_pairs bodies plus the new band_structs_sql /
+    #   minhash_est_sql helpers; simhash / exact-jaccard / CC bodies
+    #   untouched): the signature-permutation array, band layout and
+    #   estimate are assembled as per-stage SQL strings. Every
+    #   registered execution path reaching the changed functions
+    #   (grep-verified) gets a post-change row — curate_corpus and
+    #   dedup_minhash_tuning are already keyed 15 above:
+    "dedup_minhash_pairs": 15,
+    "dedup_minhash_eval": 15,
+    "dedup_cross_corpus_prune": 15,
+    "stream_dedup_minhash_bands": 15,
 }
 
 

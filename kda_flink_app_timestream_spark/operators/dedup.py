@@ -69,6 +69,37 @@ def _scatter_batch(df: DataFrame) -> DataFrame:
     return scatter(df)
 
 
+def band_structs_sql(
+    sig_sql: str,
+    num_bands: int = NUM_BANDS,
+    rows_per_band: int | None = None,
+    band_field: str = "band_idx",
+    key_field: str = "band_key",
+) -> str:
+    """The LSH band layout as ONE shared expression (BACKLOG r6 #5),
+    rendered as SQL text: an array of ``(band_field, key_field)``
+    structs, band key = ':'-joined decimal renderings of the band's
+    signature slice — used by ``lsh_candidate_pairs`` and (via the
+    ``band_structs`` Column wrapper) the streaming band-dedup query,
+    and kept in lockstep with the generated DuckDB twin
+    (plans/dedup.py:minhash_sig_ctes). SQL-string form r15: the
+    Column-API build cost ~80 py4j round trips per call (~0.16 s) —
+    the batch callers assemble whole stages as one selectExpr now
+    (guide §1/§7.3 driver-side planning)."""
+    if rows_per_band is None:
+        rows_per_band = NUM_MINHASHES // num_bands
+    structs = ", ".join(
+        f"named_struct('{band_field}', {b}, '{key_field}', concat_ws(':', "
+        + ", ".join(
+            f"CAST({sig_sql}[{b * rows_per_band + r}] AS STRING)"
+            for r in range(rows_per_band)
+        )
+        + "))"
+        for b in range(num_bands)
+    )
+    return f"array({structs})"
+
+
 def band_structs(
     sig_col: Column,
     num_bands: int = NUM_BANDS,
@@ -76,12 +107,11 @@ def band_structs(
     band_field: str = "band_idx",
     key_field: str = "band_key",
 ) -> Column:
-    """The LSH band layout as ONE shared expression (BACKLOG r6 #5):
-    an array of ``(band_field, key_field)`` structs, band key = ':'
-    -joined decimal renderings of the band's signature slice — used by
-    ``lsh_candidate_pairs`` and the streaming band-dedup query, and
-    kept in lockstep with the generated DuckDB twin
-    (plans/dedup.py:minhash_sig_ctes)."""
+    """Column wrapper over ``band_structs_sql`` for callers holding a
+    Column (the streaming band-dedup query). The layout lives in the
+    _sql body; this builds the identical expression through the Column
+    API (``sig_col[i]`` ≡ ``sig[i]`` extraction, ``F.lit(b)`` ≡ the
+    int literal)."""
     if rows_per_band is None:
         rows_per_band = NUM_MINHASHES // num_bands
     return F.array(
@@ -122,18 +152,19 @@ def minhash_signature(
     base = F.transform(sh, lambda x: portable_hash64(x, "mh") % MINHASH_PRIME)
     with_base = toked.select(F.col(id_col), base.alias("base"))
     coeff_a, coeff_b = minhash_coeffs(num_hashes)
-
-    def perm(s: int):
-        a, b = coeff_a[s], coeff_b[s]
-        return lambda h: (h * a + b) % MINHASH_PRIME
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("base"), perm(s)))
-            for s in range(num_hashes)
-        ]
-    )
-    return with_base.select(F.col(id_col), sig.alias("sig"))
+    # the permutation array as ONE selectExpr string (r15): the Column
+    # form built num_hashes array_min(transform(...)) trees through
+    # py4j (~200 round trips for a 32-wide signature, ~0.4 s of pure
+    # plan construction); the SQL text parses JVM-side in ~1 ms and
+    # yields the same expressions — h·a + b uses bigint literals where
+    # the Column form used int literals, which promote identically
+    # under the bigint base hash
+    sig_sql = "array(" + ", ".join(
+        f"array_min(transform(base, h -> (h * {coeff_a[s]}L + {coeff_b[s]}L) "
+        f"% {MINHASH_PRIME}L))"
+        for s in range(num_hashes)
+    ) + ")"
+    return with_base.selectExpr(id_col, f"{sig_sql} AS sig")
 
 
 def lsh_candidate_pairs(
@@ -159,7 +190,6 @@ def lsh_candidate_pairs(
             f"num_hashes ({num_hashes}) must be divisible by num_bands ({num_bands})"
         )
     rows_per_band = num_hashes // num_bands
-    bands = band_structs(F.col("sig"), num_bands, rows_per_band)
     guarded = sig_df.withColumn(
         "__sig_ok",
         F.assert_true(
@@ -170,9 +200,10 @@ def lsh_candidate_pairs(
             ),
         ),
     ).drop("__sig_ok")
-    exploded = guarded.select(F.col(id_col), F.explode(bands).alias("band")).select(
-        id_col, "band.band_idx", "band.band_key"
-    )
+    exploded = guarded.selectExpr(
+        id_col,
+        f"explode({band_structs_sql('sig', num_bands, rows_per_band)}) AS band",
+    ).select(id_col, "band.band_idx", "band.band_key")
     if max_band_freq is not None:
         hot = (
             exploded.groupBy("band_idx", "band_key")
@@ -196,6 +227,22 @@ def lsh_candidate_pairs(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def minhash_est_sql(
+    num_hashes: int, a: str = "sig_a", b: str = "sig_b"
+) -> str:
+    """Estimated Jaccard from two signature columns, as SQL text: the
+    fraction of agreeing positions, rounded to 4 places — THE single
+    definition of the estimate (ADVICE r14: ``dedup_minhash_tuning``
+    used to inline a duplicate of this body; both now render from
+    here, and the generated DuckDB oracle stays the independent
+    twin). ``{num_hashes}D`` is a double literal — a bare ``8.0``
+    would parse as DECIMAL and change the division's result type."""
+    return (
+        f"round(size(filter(zip_with({a}, {b}, (x, y) -> x = y), m -> m)) "
+        f"/ {float(num_hashes)}D, 4)"
     )
 
 
@@ -226,19 +273,12 @@ def minhash_near_dup_pairs(
     )
     sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda m: m,
-            )
-        )
-        / float(num_hashes)
-    )
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .selectExpr(
+            "doc_a", "doc_b", f"{minhash_est_sql(num_hashes)} AS est_jaccard"
+        )
         .filter(F.col("est_jaccard") >= threshold)
     )
 

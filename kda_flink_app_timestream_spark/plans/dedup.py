@@ -21,6 +21,7 @@ from ..operators.dedup import (
     exact_jaccard_pairs,
     lsh_candidate_pairs,
     minhash_coeffs,
+    minhash_est_sql,
     minhash_near_dup_pairs,
     minhash_signature,
     simhash,
@@ -806,19 +807,12 @@ def dedup_minhash_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
         sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-        est = (
-            F.size(
-                F.filter(
-                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                    lambda m: m,
-                )
-            )
-            / float(num_hashes)
-        )
         mh = (
             cand.join(sa, "doc_a")
             .join(sb, "doc_b")
-            .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+            .selectExpr(
+                "doc_a", "doc_b", f"{minhash_est_sql(num_hashes)} AS est_jaccard"
+            )
             .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
             .select("doc_a", "doc_b")
         )
