@@ -502,6 +502,15 @@ _RESCORE_AFTER = {
     "dedup_minhash_eval": 15,
     "dedup_cross_corpus_prune": 15,
     "stream_dedup_minhash_bands": 15,
+    #   operators/similarity.py (SCOPED — strictly local to lsh_bucket's
+    #   body plus the new _hyperplane_sql helper): the bucket expression
+    #   renders as one F.expr SQL string when given a column name (every
+    #   internal call site). Registered execution paths reaching
+    #   lsh_bucket (grep-verified): lsh_topk's two call sites and
+    #   embedding_near_dup_pairs' banded keys:
+    "sim_lsh_topk": 15,
+    "sim_ann_recall": 15,
+    "dedup_embedding_pairs": 15,
 }
 
 

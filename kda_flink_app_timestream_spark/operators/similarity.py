@@ -64,6 +64,16 @@ def hyperplane(plane: int, dim: int = DIM) -> Column:
     return F.array(*[F.lit(c) for c in plane_components(plane, dim)])
 
 
+def _hyperplane_sql(plane: int, dim: int) -> str:
+    """``hyperplane`` as a SQL double-array literal. ``repr(c)D`` is
+    bit-exact: repr emits the shortest round-tripping decimal and SQL
+    double literals parse correctly-rounded, so the parsed double is
+    the identical value ``F.lit(c)`` shipped through py4j."""
+    return (
+        "array(" + ", ".join(f"{c!r}D" for c in plane_components(plane, dim)) + ")"
+    )
+
+
 def lsh_bucket(
     vec: Column | str, n_planes: int = N_PLANES, dim: int = DIM, plane_offset: int = 0
 ) -> Column:
@@ -80,10 +90,24 @@ def lsh_bucket(
     ~10× faster end-to-end at bench scale and identical in value
     (``0.0 + x == x`` makes the fold's double sequence equal the
     left-assoc chain, and the plane components are the same literals),
-    so the oracles are unaffected. String input is accepted for
-    call-site convenience and evaluates the same way."""
+    so the oracles are unaffected.
+
+    r15: with a column NAME (every internal call site), the whole
+    bucket expression is rendered as ONE F.expr SQL string — the
+    Column-API form cost ~65 py4j round trips per plane (n_planes·dim
+    float literals, ~0.4-0.9 s per call at local latency; guide §1/
+    §7.3 driver-side planning). The SQL parses to the same fold tree.
+    A Column argument keeps the original builder."""
     if isinstance(vec, str):
-        vec = F.col(vec)
+        terms = []
+        for p in range(n_planes):
+            d = (
+                f"aggregate(zip_with({vec}, "
+                f"{_hyperplane_sql(plane_offset + p, dim)}, "
+                f"(x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+            )
+            terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+        return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
     bucket = None
     for p in range(n_planes):
         d = F.aggregate(
